@@ -1,0 +1,99 @@
+"""Fixture catalog: parquet scans with full Catalyst visibility.
+
+The reference reads data with ``spark.read.csv/parquet`` and immediately
+escapes to RDDs (reference tensorflow_async.py:290), losing pushdown. Here
+every table stays a DataFrame so filters/projections reach the parquet
+scan (verify with ``df.explain()`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the same code path holds: ``spark.read.parquet`` over a
+partitioned table directory gets partition pruning for free; nothing below
+ever collects a table to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.session import ensure_runtime_configs
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor — TPC-H
+# region/nation are fixed-size; supplier/part grow with SF but stay
+# broadcastable into the TB range relative to fact tables. Join helpers
+# use this set to place explicit broadcast hints.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts arrives as raw nanos (see session nanosAsLong note); present
+        # it as a proper timestamp at Spark's µs precision.
+        import pyspark.sql.functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a lazy parquet scan."""
+    ensure_runtime_configs(spark)
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# DataFrames are immutable logical plans — safe to memoize per
+# (session, dir, table). Saves repeated parquet-footer reads when the
+# driver runs dozens of registered queries back to back.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        ensure_runtime_configs(spark)
+        df = _SCAN_CACHE[key] = load_table(spark, sf_dir, name)
+    return df
+
+
+class Tables:
+    """Attribute-style lazy access to the fixture tables of one sf_dir."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return cached_table(self._spark, self._sf_dir, name)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works verbatim."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100 TB:
+
+- exact:       hash-groupBy on a content fingerprint (one shuffle of
+               (hash, id), never of the payload).
+- minhash LSH: shingles → K minhashes → B bands → band-bucket self-join
+               (shuffle key = (band, signature-slice hash); candidate
+               pairs only within buckets — never O(n²)).
+- simhash:     64-bit simhash + hamming-ball bucketing via bit-block
+               keys (Manku et al. WWW'07 style block permutation).
+- n-gram Jaccard: exact set similarity via shingle-inverted-index join
+               (co-occurrence count / union size) with a shingle
+               frequency cap to bound skew.
+- embedding cosine: near-dup over embeddings (see similarity module for
+               the ANN path).
+
+The reference has no dedup surface; this is the north-star extension
+(SURVEY.md §7 M3). Everything below is DataFrame-only — candidate
+generation and verification are joins/aggregations Catalyst can plan,
+with AQE handling bucket skew.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from sparkflow_spark.functions.text import (
+    content_hash,
+    fingerprint,
+    hamming64,
+    simhash64,
+    word_shingles,
+)
+from sparkflow_spark.functions.vector import cosine_similarity
+
+# Large Mersenne prime for the (a*x + b) mod p universal-hash family.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct text (the min id — deterministic).
+
+    Scale shape: shuffles only (fingerprint, id); the winner set is then
+    a semi-join back against the full table, so document payloads cross
+    the network once, not twice.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """array<bigint> of K minhashes over a shingle array — pure Catalyst.
+
+    Universal hash family h_i(x) = (a_i * xxhash64(x) + b_i) mod p with
+    deterministic (a_i, b_i) derived from ``seed`` via a splitmix-style
+    recurrence (computed in Python at plan time — no RNG on executors).
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    sig = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)))
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word shingles."""
+    return df.select(
+        F.col(id_col),
+        _minhash_signature(word_shingles(F.col(text_col), k=shingle_k), num_hashes, seed).alias(
+            "sig"
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band-slice land in one bucket.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    fraction of matching minhashes. Shuffle key is (band, hash(slice)):
+    at 100 TB the bucket join shuffles K·n small keys, and AQE's skew
+    join splits pathological buckets (e.g. boilerplate docs).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    bucketed = (
+        sigs.select(
+            F.col(id_col),
+            F.col("sig"),
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+    a = bucketed.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = bucketed.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs with hamming verification.
+
+    Pigeonhole bucketing (Manku et al.): split the 64-bit simhash into
+    ``blocks`` bit-blocks; any pair within hamming ≤ blocks-1 shares at
+    least one exact block → join on (block_idx, block_value), verify
+    with bit_count(xor). Output: (id_a, id_b, hamming).
+    """
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    width = 64 // blocks
+    # block index is a plan-time Python int (shiftright requires int)
+    exploded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sh"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "sh", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+
+    a = exploded.select("blk", "val", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = exploded.select("blk", "val", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("sh_a", "sh_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    (id, shingle) exploded → self-join on shingle → co-occurrence count
+    |A∩B| → Jaccard = inter / (|A| + |B| - inter). ``max_shingle_freq``
+    drops boilerplate shingles that appear in more than N docs — the
+    classic skew guard: without it one stop-shingle creates an O(n²)
+    bucket at scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("shingle")
+    ).distinct()
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), on="id_a")
+        .join(F.broadcast(nb), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column (brute-force
+    verification path; see similarity.lsh_ann for the bucketed path).
+
+    Brute force is O(n²) within the join — only sane under a blocking
+    key or for candidate verification. Kept as the exactness oracle.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

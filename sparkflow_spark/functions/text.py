@@ -1,0 +1,196 @@
+"""Text-analysis expressions for training-data pipelines — pure Catalyst.
+
+Language-ID, quality scoring, token counting, shingling, SimHash and
+fingerprinting, all as JVM-side expressions (no Python UDFs): at 100 TB
+these run per-row inside whole-stage codegen with zero shuffle and zero
+serialization boundary, so text preprocessing is scan-bound.
+
+Cross-engine notes: functions used in t2 oracle checks (token_count,
+punct counting, md5 fingerprint) restrict themselves to regex/semantics
+identical between Spark (Java regex) and DuckDB (RE2): simple character
+classes and ``\\s+`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# Tiny characteristic-stopword sets per language for the n-gram/stopword
+# heuristic language identifier. Deliberately small: the point is the
+# Spark expression shape (broadcast-free, codegen-able), not linguistic
+# completeness.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+    "it": ("il", "che", "di", "per", "una", "sono", "con", "non"),
+}
+
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "with", "for", "as", "on", "at", "by", "be",
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>, empties dropped."""
+    parts = F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
+    return F.filter(parts, lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND punctuation
+    boundaries, the way a BPE pre-tokenizer segments; ~chars/4 fallback
+    intuition replaced by an actual segmentation count."""
+    c = F.col(text) if isinstance(text, str) else text
+    # insert breaks around punctuation, then whitespace-split
+    seg = F.regexp_replace(c, r"([.,;:!?()\[\]{}\"'])", r" $1 ")
+    parts = F.split(F.trim(seg), r"\s+")
+    return F.size(F.filter(parts, lambda t: t != "")).cast("bigint")
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles (lowercased) → array<string>.
+
+    Expression shape: substring at each offset via transform(sequence).
+    Per-row, codegen-able; used by MinHash/Jaccard dedup.
+    """
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    length = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.when(length >= n, F.transform(idx, lambda i: c.substr(i, F.lit(n)))).otherwise(
+        F.array(c)
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles → array<string> (distinct), for Jaccard/MinHash."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+_PUNCT_CLASS = r"[.,;:!?]"
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))).cast("bigint")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) > 0, punct_count(c) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length sweet-spot, sane
+    punctuation density, stopword presence, sane mean token length.
+    (Gopher/C4-style filters distilled into one monotone score.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    len_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    mtl = mean_token_length(c)
+    mtl_term = F.when((mtl >= 3) & (mtl <= 10), 1.0).otherwise(0.5)
+    return (len_term * 0.25 + punct_term * 0.25 + stop_term * 0.25 + mtl_term * 0.25).cast(
+        "double"
+    )
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map<lang, hits> of characteristic-marker hits."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def detect_lang(text: Column | str, default: str = "en") -> Column:
+    """argmax over lang_scores; ties/no-hits → default."""
+    scores = lang_scores(text)
+    best = F.array_max(F.transform(scores, lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang"))))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Cross-engine document fingerprint: md5 of whitespace-normalized,
+    lowercased text. md5 is bit-identical in Spark and DuckDB, so this is
+    t2-checkable; use simhash64/xxhash64 variants for speed-only paths."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def content_hash(text: Column | str) -> Column:
+    """Fast 64-bit content hash (xxhash64, Spark-side only)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens — pure Catalyst.
+
+    Per token: xxhash64 → ±1 per bit position; accumulate a 64-length
+    counter array with ``aggregate``; sign of each counter sets the bit.
+    Near-duplicate docs differ in few bits (hamming distance).
+    """
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def add_token(acc, t):
+        h = F.xxhash64(t)
+        # bit positions are plan-time Python ints (shiftright requires int)
+        bitvec = F.array(
+            *[
+                (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for i in range(64)
+            ]
+        )
+        return F.zip_with(acc, bitvec, lambda a, b: a + b)
+
+    counters = F.aggregate(toks, zero, add_token)
+    # Assemble sign bits MSB→LSB by Horner's method (acc*2 + bit) over the
+    # low 63 bits (max acc fits a long, so this is ANSI-overflow-safe),
+    # then OR in the top bit as the long's sign bit.
+    low = F.aggregate(
+        F.reverse(F.slice(counters, 1, 63)),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 2 + F.when(c > 0, 1).otherwise(0),
+    )
+    top = F.element_at(counters, 64)
+    return F.when(top > 0, low.bitwiseOR(F.lit(-(1 << 63)).cast("long"))).otherwise(low)
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of XOR)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

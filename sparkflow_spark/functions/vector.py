@@ -1,0 +1,52 @@
+"""Vector math over ``array<float/double>`` columns — pure Catalyst.
+
+The reference handles vectors by densifying MLlib Vectors into numpy on
+the Python side (reference ml_util.py:62,99 — row-at-a-time). Here vector
+arithmetic is expressed with higher-order functions (``zip_with`` /
+``aggregate`` / ``transform``), which run inside the JVM with no
+serialization boundary, vectorize under whole-stage codegen, and scale to
+any row count because they are per-row expressions (no shuffle).
+
+All functions cast elements to DOUBLE first so accumulation order and
+precision are well-defined (left-to-right IEEE double adds) — this also
+makes results reproducible against numpy/DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
+    num = dot(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0, num / den)
+
+
+def normalize(a: Column | str) -> Column:
+    """L2-normalize an array column (zero vectors pass through unchanged).
+
+    Pre-normalizing embeddings once lets every downstream similarity be a
+    plain dot product — at 100 TB you normalize at ingest, not per query.
+    """
+    n = l2_norm(a)
+    return F.when(n != 0, F.transform(_as_double(a), lambda x: x / n)).otherwise(_as_double(a))

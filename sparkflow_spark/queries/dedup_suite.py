@@ -1,0 +1,130 @@
+"""Dedup query surface — exact + n-gram Jaccard are oracle-checked; the
+hash-family ops (MinHash, SimHash) are engine-defined → rows-only driver
+check plus python-oracle pytest coverage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark import dedup
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import register
+
+
+@register(
+    "d_exact_dedup_rows",
+    oracle="""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("dedup",),
+)
+def d_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup, keep min-id winner per fingerprint."""
+    t = Tables(spark, sf)
+    return dedup.exact_dedup(t.documents).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                            list_transform(range(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> x != '') AS toks
+                    FROM documents)
+            ) base, UNNEST(base.shingles) AS u(shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DECIMAL(18,3)) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.n + sb.n - i) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "join"),
+)
+def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 — inverted-index join,
+    matched shingle-for-shingle by the DuckDB oracle."""
+    t = Tables(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=None
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard"), 3).cast("decimal(18,3)").alias("j"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "d_minhash_pairs",
+    oracle=None,  # hash-family specific; python mirror in tests
+    tags=("dedup", "lsh"),
+)
+def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (64 hashes, 16 bands) with estimated
+    Jaccard ≥ 0.5."""
+    t = Tables(spark, sf)
+    return (
+        dedup.minhash_candidate_pairs(t.documents, num_hashes=64, bands=16)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "d_simhash_pairs",
+    oracle=None,  # hash-family specific; python mirror in tests
+    tags=("dedup", "lsh"),
+)
+def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via 4-block pigeonhole."""
+    t = Tables(spark, sf)
+    return dedup.simhash_near_duplicates(t.documents, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "d_embedding_near_dup",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.9
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "vector"),
+)
+def d_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (≥0.9), ids only — double math on
+    both engines keeps the comparison stable away from the threshold."""
+    t = Tables(spark, sf)
+    return (
+        dedup.embedding_near_duplicates(t.embeddings, threshold=0.9)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,127 @@
+"""Array / map / struct / UDF surface — SURVEY.md §2c Q31, Q32, Q40."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.functions.vector import dot, l2_norm
+from sparkflow_spark.queries import register
+from sparkflow_spark.queries.relational import dec2
+
+
+@register(
+    "q31_array_size_invariants",
+    oracle="""
+        SELECT label, COUNT(*) AS c, CAST(SUM(len(embedding)) AS BIGINT) AS s
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+    tags=("functions", "array"),
+)
+def q31a(spark: SparkSession, sf: str) -> DataFrame:
+    """Array size invariants per label (embedding dim is fixed → s = c·16)."""
+    t = Tables(spark, sf)
+    return (
+        t.embeddings.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.size("embedding")).cast("bigint").alias("s"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q31_array_dot_norm",
+    oracle="""
+        SELECT vec_id,
+               CAST(ROUND(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 2)
+                 AS DECIMAL(18,2)) AS nrm2
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("functions", "array", "vector"),
+)
+def q31b(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order-function dot product (‖v‖² per vector), double math on
+    both engines so accumulation is bit-comparable."""
+    t = Tables(spark, sf)
+    return (
+        t.embeddings.select("vec_id", dec2(dot("embedding", "embedding")).alias("nrm2"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q32_struct_map_access",
+    oracle="""
+        SELECT event_id, user_id AS uid, event_type AS et, 1 AS mv
+        FROM events ORDER BY event_id
+    """,
+    tags=("functions", "struct", "map"),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Build struct + map in-engine, then access fields/keys — the oracle
+    checks the round-trip collapses to the raw values."""
+    t = Tables(spark, sf)
+    built = t.events.select(
+        "event_id",
+        F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("e")).alias("st"),
+        F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("mp"),
+    )
+    return built.select(
+        "event_id",
+        F.col("st.u").alias("uid"),
+        F.col("st.e").alias("et"),
+        F.col("mp").getItem("a").alias("mv"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q40_pandas_udf_scalar",
+    oracle="""
+        SELECT event_id, CAST(ROUND(value * 2, 2) AS DECIMAL(18,2)) AS v2
+        FROM events ORDER BY event_id
+    """,
+    tags=("functions", "udf"),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf — the engine's sanctioned slow
+    path (reference's equivalent was row-pickled mapPartitions,
+    reference tensorflow_async.py:99)."""
+    t = Tables(spark, sf)
+
+    @F.pandas_udf(T.DoubleType())
+    def double_it(v: pd.Series) -> pd.Series:
+        return v * 2.0
+
+    return (
+        t.events.select("event_id", dec2(double_it(F.col("value"))).alias("v2"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q40_grouped_agg_pandas_udf",
+    oracle="""
+        SELECT event_type, CAST(ROUND(AVG(value), 2) AS DECIMAL(18,2)) AS av
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("functions", "udf", "agg"),
+)
+def q40b(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF surface)."""
+    t = Tables(spark, sf)
+
+    @F.pandas_udf(T.DoubleType())
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    return (
+        t.events.groupBy("event_type")
+        .agg(dec2(mean_udaf(F.col("value"))).alias("av"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,725 @@
+"""Relational operator surface — SURVEY.md §2c Q01–Q34.
+
+The reference implements no relational operators of its own (SURVEY.md
+§2b); this module declares the full surface the new engine exposes, each
+query expressed with the DataFrame API so Catalyst owns the physical plan
+(pushdown, pruning, join selection, AQE).
+
+Scale notes are attached per query where the plan shape matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import register
+
+
+def dec2(col):
+    """Stabilize an aggregated double for cross-engine hashing.
+
+    Contract rule from SURVEY.md §2c: CAST(ROUND(x, 2) AS DECIMAL(18,2))
+    on both engines.
+    """
+    return F.round(col, 2).cast(T.DecimalType(18, 2))
+
+
+# ---------------------------------------------------------------------------
+# Scans, projections, filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_scan_project",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("relational", "scan"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + projection. ReadSchema must prune to the 2 columns."""
+    t = Tables(spark, sf)
+    return t.region.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@register(
+    "q02_filter_and",
+    oracle="""
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_quantity > 45 AND l_discount < 0.02
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("relational", "filter"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive comparison filter — pushed to the parquet scan
+    (PushedFilters: GreaterThan, LessThan)."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q03_filter_in_between_like",
+    oracle="""
+        SELECT o_orderkey FROM orders
+        WHERE o_orderstatus IN ('F','O')
+          AND o_totalprice BETWEEN 1000 AND 2000
+          AND o_orderpriority LIKE '1-%'
+        ORDER BY o_orderkey
+    """,
+    tags=("relational", "filter"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(1000, 2000)
+            & F.col("o_orderpriority").like("1-%")
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q04_filter_null_coalesce",
+    oracle="""
+        SELECT c_custkey, COALESCE(c_name, '?') AS n FROM customer
+        WHERE c_name IS NOT NULL
+        ORDER BY c_custkey
+    """,
+    tags=("relational", "filter"),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.filter(F.col("c_name").isNotNull())
+        .select("c_custkey", F.coalesce("c_name", F.lit("?")).alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_broadcast_inner_join",
+    oracle="""
+        SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_name
+    """,
+    tags=("relational", "join"),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimension-dimension equi-join with an explicit broadcast hint.
+
+    At 100 TB the hint matters when the big side is a fact table: region/
+    nation are O(10²) rows at any SF, so BroadcastHashJoin avoids any
+    shuffle of the probe side.
+    """
+    t = Tables(spark, sf)
+    return (
+        t.nation.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"), "inner")
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q06_multiway_join",
+    oracle="""
+        SELECT c_name, o_orderkey,
+               CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        ORDER BY o_orderkey
+    """,
+    tags=("relational", "join"),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join. The selective nation filter is applied before the join
+    so Catalyst broadcasts the filtered dimension; customer⋈orders is the
+    shuffle join (SMJ/SHJ under AQE) on the natural key."""
+    t = Tables(spark, sf)
+    nation_fr = t.nation.filter(F.col("n_name") == "NATION_7")
+    return (
+        t.customer.join(F.broadcast(nation_fr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", dec2(F.col("o_totalprice")).alias("tp"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q07_left_outer_join",
+    oracle="""
+        SELECT c_custkey, o_orderkey FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 90000
+        ORDER BY c_custkey, o_orderkey NULLS LAST
+    """,
+    tags=("relational", "join"),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join with a non-key predicate inside the join condition
+    (semantically different from a post-join filter — unmatched left rows
+    survive)."""
+    t = Tables(spark, sf)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 90000)
+    return (
+        t.customer.join(t.orders, cond, "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+@register(
+    "q08_full_outer_join",
+    oracle="""
+        SELECT n_nationkey, s_suppkey FROM supplier
+        FULL JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_nationkey NULLS LAST, s_suppkey NULLS LAST
+    """,
+    tags=("relational", "join"),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"), "full")
+        .select("n_nationkey", "s_suppkey")
+        .orderBy(F.col("n_nationkey").asc_nulls_last(), F.col("s_suppkey").asc_nulls_last())
+    )
+
+
+@register(
+    "q09_left_semi_join",
+    oracle="""
+        SELECT p_partkey FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+        ORDER BY p_partkey
+    """,
+    tags=("relational", "join"),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery as a left-semi join: no duplication of the probe side,
+    and the build side carries only the join key after pruning."""
+    t = Tables(spark, sf)
+    hot = t.lineitem.filter(F.col("l_quantity") > 49).select("l_partkey")
+    return (
+        t.part.join(hot, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q10_left_anti_join",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q11_theta_join",
+    oracle="""
+        SELECT s.s_suppkey, c.c_custkey FROM supplier s
+        JOIN customer c
+          ON c.c_acctbal > s.s_acctbal AND c.c_nationkey = s.s_nationkey
+        ORDER BY s.s_suppkey, c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join with an equi component: Catalyst uses the nationkey
+    equality as the hash/sort key and evaluates the range predicate as a
+    join residual — O(n·m) only within a nation, never a global BNLJ."""
+    t = Tables(spark, sf)
+    s = t.supplier.alias("s")
+    c = t.customer.alias("c")
+    cond = (F.col("c.c_acctbal") > F.col("s.s_acctbal")) & (
+        F.col("c.c_nationkey") == F.col("s.s_nationkey")
+    )
+    return s.join(c, cond).select("s.s_suppkey", "c.c_custkey").orderBy("s_suppkey", "c_custkey")
+
+
+@register(
+    "q12_cross_join",
+    oracle="""
+        SELECT r1.r_regionkey AS k1, r2.r_regionkey AS k2
+        FROM region r1 CROSS JOIN region r2
+        ORDER BY k1, k2
+    """,
+    tags=("relational", "join"),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross join — only ever sane when one side is tiny (broadcast)."""
+    t = Tables(spark, sf)
+    r1 = t.region.select(F.col("r_regionkey").alias("k1"))
+    r2 = t.region.select(F.col("r_regionkey").alias("k2"))
+    return r1.crossJoin(F.broadcast(r2)).orderBy("k1", "k2")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_hash_agg_tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+               CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(18,2)) AS sq,
+               CAST(ROUND(AVG(l_extendedprice), 2) AS DECIMAL(18,2)) AS ap
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg", "flagship"),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with partial (map-side) aggregation
+    — the shuffle carries one row per (flag,status) per input partition,
+    not the fact table. This is the flagship ``entry()`` query."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            dec2(F.sum("l_quantity")).alias("sq"),
+            dec2(F.avg("l_extendedprice")).alias("ap"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q14_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    tags=("relational", "agg"),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct count — Catalyst expands to a two-phase aggregate
+    (partial dedup per partition, then global)."""
+    t = Tables(spark, sf)
+    return t.orders.agg(F.countDistinct("o_custkey").alias("u"))
+
+
+@register(
+    "q15_approx_count_distinct",
+    oracle=None,  # HLL sketches are engine-specific; behavioral check in tests
+    tags=("relational", "agg", "approx"),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct's shuffle is not worth it. Tests assert ≤5% error vs q14."""
+    t = Tables(spark, sf)
+    return t.orders.agg(F.approx_count_distinct("o_custkey", 0.02).alias("u"))
+
+
+@register(
+    "q16_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c
+    """,
+    tags=("relational", "agg"),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            F.col("c"),
+        )
+    )
+
+
+@register(
+    "q17_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS c FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 3
+        ORDER BY c DESC, o_custkey
+    """,
+    tags=("relational", "agg"),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .orderBy(F.col("c").desc(), "o_custkey")
+    )
+
+
+@register(
+    "q18_scalar_subquery",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar aggregate subquery as a broadcast cross-join of a 1-row
+    aggregate — fully distributed, no driver round-trip."""
+    t = Tables(spark, sf)
+    avg_bal = t.customer.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_window_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders) t
+        WHERE rnk <= 2
+        ORDER BY o_custkey, rnk
+    """,
+    tags=("relational", "window"),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER. Spark ≥3.5 rewrites rank<k filters
+    into WindowGroupLimit, so each shuffle partition keeps only k rows."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t.orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+@register(
+    "q20_window_lag",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+        ORDER BY o_custkey, o_orderkey NULLS LAST
+    """,
+    tags=("relational", "window"),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select("o_orderkey", "o_custkey", F.lag("o_orderkey").over(w).alias("prev"))
+        .orderBy(F.col("o_custkey"), F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+@register(
+    "q21_window_running_sum",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(SUM(l_quantity) OVER (
+                    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS DECIMAL(18,2)) AS rq
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("relational", "window"),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS-frame running sum. (l_orderkey, l_linenumber) is not unique in
+    the fixtures, so l_quantity joins the window sort: tied rows then
+    carry equal addends and the output multiset is deterministic."""
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_linenumber", dec2(F.sum("l_quantity").over(w)).alias("rq")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_topk_global",
+    oracle="""
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    tags=("relational", "sort"),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps 25 rows, driver merges 25·P rows, never a full
+    global sort."""
+    t = Tables(spark, sf)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", dec2(F.col("o_totalprice")).alias("tp"))
+    )
+
+
+@register(
+    "q23_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY k
+    """,
+    tags=("relational", "setop"),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .union(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+@register(
+    "q24_intersect",
+    oracle="""
+        SELECT n_nationkey FROM nation
+        INTERSECT
+        SELECT c_nationkey FROM customer
+        ORDER BY n_nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def q24a(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.nation.select("n_nationkey")
+        .intersect(t.customer.select(F.col("c_nationkey").alias("n_nationkey")))
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "q24_except",
+    oracle="""
+        SELECT n_nationkey FROM nation
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+        ORDER BY n_nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def q24b(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.nation.select("n_nationkey")
+        .exceptAll(t.supplier.select(F.col("s_nationkey").alias("n_nationkey")))
+        .distinct()
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_string_functions",
+    oracle="""
+        SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
+               LENGTH(p_type) AS lt, CONCAT(p_brand, '#', p_type) AS ct
+        FROM part ORDER BY p_partkey
+    """,
+    tags=("relational", "functions"),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("b"),
+            F.substring("p_name", 1, 5).alias("pfx"),
+            F.length("p_type").cast("bigint").alias("lt"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("ct"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q26_date_extract",
+    oracle="""
+        SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y,
+               CAST(MONTH(o_orderdate) AS INT) AS m
+        FROM orders ORDER BY o_orderkey
+    """,
+    tags=("relational", "functions"),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q27_date_trunc_group",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS c
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "functions", "agg"),
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mo"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("mo")
+    )
+
+
+@register(
+    "q28_math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05) > 0.01 AS far,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+               CAST(ROUND(SQRT(l_extendedprice), 2) AS DECIMAL(18,2)) AS sq
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("relational", "functions"),
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.abs(F.col("l_discount") - 0.05) > 0.01).alias("far"),
+            F.floor("l_quantity").alias("fq"),
+            dec2(F.sqrt("l_extendedprice")).alias("sq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q29_case_when",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 150000 THEN 'hi'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'lo' END AS band
+        FROM orders ORDER BY o_orderkey
+    """,
+    tags=("relational", "functions"),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 150000, "hi")
+            .when(F.col("o_totalprice") > 50000, "mid")
+            .otherwise("lo")
+            .alias("band"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q30_json_extract",
+    oracle="""
+        SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        FROM events ORDER BY event_id
+    """,
+    tags=("relational", "functions", "json"),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction — dialect split per SURVEY.md §2c: Spark
+    ``get_json_object``, DuckDB ``->>``; semantics (int value of $.k)
+    identical."""
+    t = Tables(spark, sf)
+    return (
+        t.events.select(
+            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q33_sampling",
+    oracle=None,  # engine-specific RNG; binomial-bound check in tests
+    tags=("relational", "sampling"),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """Bernoulli sampling, deterministic per seed — partition-local, no
+    shuffle. (Row content is engine-specific: rows-only driver check.)"""
+    t = Tables(spark, sf)
+    return t.lineitem.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q34_exact_dedup_count",
+    oracle="SELECT COUNT(*) AS c FROM (SELECT DISTINCT text FROM documents) t",
+    tags=("relational", "dedup"),
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup cardinality. See sparkflow_spark.dedup for the full
+    keep-one-row operators."""
+    t = Tables(spark, sf)
+    return t.documents.select("text").distinct().agg(F.count(F.lit(1)).alias("c"))

@@ -1,0 +1,88 @@
+"""Similarity-search query surface over ``embeddings``."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkflow_spark.functions.vector import cosine_similarity
+
+from sparkflow_spark import similarity
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import register
+
+# Probe set: the first 10 vectors by id — deterministic and expressible
+# in both engines.
+_N_PROBES = 10
+
+
+def _probes(t: Tables) -> DataFrame:
+    return (
+        t.embeddings.orderBy("vec_id")
+        .limit(_N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    )
+
+
+@register(
+    "s_brute_force_top1",
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+            ORDER BY vec_id LIMIT {_N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+            FROM probes p CROSS JOIN embeddings e
+            WHERE e.vec_id != p.probe_id
+        )
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored) t
+        WHERE rnk = 1 ORDER BY probe_id
+    """,
+    tags=("similarity", "vector"),
+)
+def s_brute(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-1 neighbor for 10 probes (self-match excluded).
+
+    Plan shape: probes broadcast against the corpus scan, cosine as a
+    JVM higher-order expression, per-probe top-1 via window group-limit.
+    """
+    t = Tables(spark, sf)
+    p = _probes(t).select("probe_id", F.col("embedding").alias("_pvec"))
+    scored = (
+        t.embeddings.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cosine_similarity("_pvec", "embedding").alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("probe_id", "vec_id")
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "s_lsh_ann_top1",
+    oracle=None,  # ANN recall vs brute force asserted in tests
+    tags=("similarity", "lsh"),
+)
+def s_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-1 for the same probes (recall path)."""
+    t = Tables(spark, sf)
+    top = similarity.lsh_topk(t.embeddings, _probes(t), k=2, num_planes=6, num_tables=6)
+    return (
+        top.filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id")
+        .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
+        .orderBy("probe_id")
+    )

@@ -1,0 +1,86 @@
+"""SparkSession construction and runtime configuration.
+
+The reference pins Spark 2.4.3 and configures nothing (SURVEY.md, repo map;
+reference Dockerfile:29). The new engine is explicit about the knobs that
+matter at 100 TB scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion/promotion.
+- Arrow on: every Python exchange (pandas_udf, mapInPandas, toPandas) is
+  columnar and vectorized instead of row-pickled.
+- UTC session timezone: deterministic date/timestamp semantics regardless
+  of host timezone (fixtures are written tz-naive; see FIXTURES.md).
+- shuffle.partitions sized for the local harness; on a real cluster AQE's
+  coalescing makes the initial number much less sensitive, and
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` should be
+  set to ~3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and meaningful) to set on an already-running
+# session. Everything the query layer depends on must be here, because the
+# driver harness hands us a session we did not build.
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fixture doubles are exact in both engines; ANSI off keeps Spark's
+    # permissive casts aligned with DuckDB's TRY-free behavior for the
+    # oracle contract.
+    "spark.sql.ansi.enabled": "false",
+    # events.parquet stores ts as TIMESTAMP(NANOS) (FIXTURES.md), which
+    # Spark's vectorized reader rejects; read as raw nanos and convert in
+    # the catalog (ns → µs, Spark's native precision).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_runtime_configs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally provided session.
+
+    Idempotent and cheap; call at every entry point.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A config may be static in some deployments; never fail the
+            # query path over a tuning knob.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "sparkflow_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a session tuned for the local harness.
+
+    On a real cluster most of these come from spark-submit conf; the
+    builder only hard-codes what is semantically required (timezone,
+    Arrow, AQE).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_runtime_configs(spark)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per SURVEY.md §7 M3 and the north-star brief:
+
+- brute-force cosine top-k — the exactness baseline. O(probes·n) dot
+  products, but every dot product is a JVM-side higher-order-function
+  expression, the probe set is broadcast, and top-k is a per-probe
+  window-limit: no driver loop, no Python.
+- LSH-bucketed ANN (random hyperplane signatures, Charikar'02 — the same
+  family as MLlib's BucketedRandomProjectionLSH but kept in plain
+  DataFrame ops so the plan is inspectable and oracle-checkable): probe
+  joins touch only matching buckets; multi-probe via multiple tables.
+
+At 100 TB the brute-force path is what you run *inside* a bucket or
+partition; the signature join is what bounds the candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from sparkflow_spark.functions.vector import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each probe against the corpus.
+
+    probes is expected small (a query batch) → broadcast; the corpus
+    streams through one partition-local pass; per-probe top-k is a
+    window group-limit, so each task emits ≤ k rows per probe.
+    Output: (probe_id, vec_id, cosine, rnk), rnk = 1..k.
+    """
+    p = probes.select(F.col(probe_id), F.col(vec_col).alias("_pvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    scored = c.join(F.broadcast(p)).select(
+        probe_id,
+        corpus_id,
+        cosine_similarity("_pvec", "_cvec").alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy(probe_id, "rnk")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def rh_signature(vec_col, planes: list[list[float]]):
+    """Random-hyperplane bit signature as a bigint (≤ 63 planes)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.transform(vec_col if not isinstance(vec_col, str) else F.col(vec_col), lambda x: x.cast("double")),
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates = bucket-join over ``num_tables`` independent
+    random-hyperplane signatures, then exact cosine re-rank.
+
+    Scale shape: corpus is hashed once per table (pure expressions, no
+    shuffle until the join); the join key (table, signature) gives
+    ~n/2^planes candidates per probe per table. Recall tunes with
+    (num_planes ↓, num_tables ↑).
+    """
+    tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t)) for t in range(num_tables)]
+
+    def signatures(df: DataFrame, id_alias: str) -> DataFrame:
+        sig_structs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), rh_signature(vec_col, planes).alias("sig"))
+                for t, planes in tables
+            ]
+        )
+        return df.select(
+            F.col(id_alias), F.col(vec_col).alias(f"_{id_alias}_vec"), F.explode(sig_structs).alias("ts")
+        ).select(id_alias, f"_{id_alias}_vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    c_sig = signatures(corpus.select(F.col(corpus_id), F.col(vec_col)), corpus_id)
+    p_sig = signatures(probes.select(F.col(probe_id), F.col(vec_col)), probe_id)
+
+    candidates = (
+        c_sig.join(F.broadcast(p_sig), on=["tbl", "sig"])
+        .select(probe_id, corpus_id, f"_{probe_id}_vec", f"_{corpus_id}_vec")
+        .dropDuplicates([probe_id, corpus_id])
+    )
+    scored = candidates.select(
+        probe_id,
+        corpus_id,
+        cosine_similarity(f"_{probe_id}_vec", f"_{corpus_id}_vec").alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy(probe_id, "rnk")
+    )
