@@ -1,0 +1,285 @@
+"""DistributedDL — the reference's ``SparkAsyncDL``/``SparkAsyncDLModel``
+pair rebuilt on Spark's ML Pipeline API with scale-sane dataflow.
+
+Training (cf. reference EP1, SURVEY.md §3):
+- The reference runs an HTTP parameter server on the driver and has every
+  partition GET/POST weights **per iteration** (reference
+  HogwildSparkModel.py:57,69) — a per-iteration driver round-trip that
+  dies at cluster scale.
+- Here each epoch is ONE Spark job: ``mapInPandas`` over the feature
+  DataFrame trains a local copy per partition (weights arrive via a
+  broadcast, Arrow batches feed numpy), each partition emits its final
+  weights + sample count (one tiny row per partition), and the driver
+  computes the sample-weighted average — the model-averaging pattern the
+  reference's dead ``calculate_weights`` sketches (reference
+  ml_util.py:43-51). Network traffic per epoch: O(P · |weights|), zero
+  per-iteration chatter; data never leaves its partition.
+
+Inference (cf. reference EP2):
+- ``pandas_udf`` with an explicit return type (the reference re-inferred
+  output schemas from collected Rows — SURVEY.md §1 flags this). The
+  model deserializes once per python worker, not once per row.
+
+Persistence (cf. reference EP3):
+- ``DefaultParamsWritable/Readable`` with weights stored as a JSON
+  string Param (the reference's own weight codec shape, reference
+  ml_util.py:31-40, tensorflow_async.py:310) — the 128-LoC
+  dill-in-StopWordsRemover shim (reference pipeline_util.py) vanishes.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.linalg import VectorUDT
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import HasInputCol, HasLabelCol, HasPredictionCol, HasSeed
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+
+from sparkflow_spark.ml.nn import MLP, build_optimizer
+
+
+class _DLParams(HasInputCol, HasPredictionCol):
+    networkSpec = Param(
+        Params._dummy(), "networkSpec", "JSON network spec (layers/activations/loss/seed)",
+        typeConverter=TypeConverters.toString,
+    )
+    modelWeights = Param(
+        Params._dummy(), "modelWeights", "JSON list-of-lists weight arrays",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def _featurize(self, dataset: DataFrame):
+        """Input column → array<double> (densifies MLlib Vectors, mirrors
+        reference handle_data's np.asarray densification,
+        reference tensorflow_async.py:45-48)."""
+        col = self.getInputCol()
+        field = dataset.schema[col]
+        if isinstance(field.dataType, VectorUDT):
+            return vector_to_array(F.col(col)).cast(T.ArrayType(T.DoubleType()))
+        return F.col(col).cast(T.ArrayType(T.DoubleType()))
+
+
+class DistributedDL(
+    Estimator, _DLParams, HasLabelCol, HasSeed, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Distributed trainer for a numpy MLP over a DataFrame.
+
+    Reference API surface covered (reference tensorflow_async.py:102-321):
+    inputCol/labelCol/predictionCol, optimizer name + lr + options JSON,
+    iters (global epochs), miniBatchSize, localIters (per-partition
+    passes), partitions (coalesce), shufflePerIter, unsupervised mode
+    (labelCol=None → autoencoder-style: target = input).
+    """
+
+    tfOptimizer = Param(Params._dummy(), "tfOptimizer", "optimizer name",
+                        typeConverter=TypeConverters.toString)
+    tfLearningRate = Param(Params._dummy(), "tfLearningRate", "learning rate",
+                           typeConverter=TypeConverters.toFloat)
+    iters = Param(Params._dummy(), "iters", "global averaging epochs",
+                  typeConverter=TypeConverters.toInt)
+    localIters = Param(Params._dummy(), "localIters", "local passes per epoch",
+                       typeConverter=TypeConverters.toInt)
+    miniBatchSize = Param(Params._dummy(), "miniBatchSize", "minibatch size (-1 = full)",
+                          typeConverter=TypeConverters.toInt)
+    partitions = Param(Params._dummy(), "partitions", "coalesce to N partitions (-1 = keep)",
+                       typeConverter=TypeConverters.toInt)
+    shufflePerIter = Param(Params._dummy(), "shufflePerIter", "reshuffle rows between epochs",
+                           typeConverter=TypeConverters.toBoolean)
+    optimizerOptions = Param(Params._dummy(), "optimizerOptions", "optimizer options JSON",
+                             typeConverter=TypeConverters.toString)
+    unsupervised = Param(Params._dummy(), "unsupervised", "train target = input (autoencoder)",
+                         typeConverter=TypeConverters.toBoolean)
+    verbose = Param(Params._dummy(), "verbose", "print loss per epoch",
+                    typeConverter=TypeConverters.toBoolean)
+
+    @keyword_only
+    def __init__(
+        self,
+        inputCol: str = "features",
+        labelCol: str = "label",
+        predictionCol: str = "predicted",
+        networkSpec: str = "",
+        tfOptimizer: str = "adam",
+        tfLearningRate: float = 0.01,
+        iters: int = 10,
+        localIters: int = 10,
+        miniBatchSize: int = -1,
+        partitions: int = -1,
+        shufflePerIter: bool = False,
+        optimizerOptions: str = "{}",
+        unsupervised: bool = False,
+        seed: int = 42,
+        verbose: bool = False,
+    ):
+        super().__init__()
+        self._setDefault(
+            inputCol="features", labelCol="label", predictionCol="predicted",
+            networkSpec="", tfOptimizer="adam", tfLearningRate=0.01, iters=10,
+            localIters=10, miniBatchSize=-1, partitions=-1, shufflePerIter=False,
+            optimizerOptions="{}", unsupervised=False, seed=42, verbose=False,
+        )
+        self._set(**self._input_kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "DistributedDLModel":
+        spec = json.loads(self.getOrDefault(self.networkSpec))
+        opt_name = self.getOrDefault(self.tfOptimizer)
+        lr = self.getOrDefault(self.tfLearningRate)
+        opt_options = json.loads(self.getOrDefault(self.optimizerOptions))
+        epochs = self.getOrDefault(self.iters)
+        local_iters = self.getOrDefault(self.localIters)
+        batch = self.getOrDefault(self.miniBatchSize)
+        parts = self.getOrDefault(self.partitions)
+        shuffle = self.getOrDefault(self.shufflePerIter)
+        unsup = self.getOrDefault(self.unsupervised)
+        seed = self.getOrDefault(self.seed)
+        verbose = self.getOrDefault(self.verbose)
+
+        feats = self._featurize(dataset).alias("_x")
+        if unsup:
+            train_df = dataset.select(feats)
+        else:
+            train_df = dataset.select(
+                feats, F.col(self.getOrDefault(self.labelCol)).cast("double").alias("_y")
+            )
+        if parts > 0:
+            train_df = train_df.coalesce(parts)
+
+        model = MLP({**spec, "seed": seed})
+        weights = model.get_weights()
+        sc = dataset.sparkSession.sparkContext
+
+        out_schema = T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("loss", T.DoubleType()),
+                T.StructField("w", T.StringType()),
+            ]
+        )
+
+        for epoch in range(epochs):
+            # weights travel once per worker via broadcast (torrent), not
+            # in every task closure (reference ships graph JSON per task,
+            # reference tensorflow_async.py:294)
+            bc = sc.broadcast(json.dumps([w.tolist() for w in weights]))
+            spec_json = json.dumps({**spec, "seed": seed})
+            epoch_seed = seed + epoch * 1000
+
+            def train_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                local = MLP(json.loads(spec_json))
+                local.set_weights([np.asarray(w) for w in json.loads(bc.value)])
+                opt = build_optimizer(opt_name, lr, opt_options)
+                Xs, Ys = [], []
+                for pdf in batches:
+                    X = np.vstack(pdf["_x"].to_numpy()) if len(pdf) else np.zeros((0, local.layers[0]))
+                    Xs.append(X)
+                    if not unsup and "_y" in pdf.columns:
+                        Ys.append(pdf["_y"].to_numpy())
+                if not Xs or sum(x.shape[0] for x in Xs) == 0:
+                    return  # empty partition contributes nothing
+                X = np.vstack(Xs)
+                Y = X if unsup else np.concatenate(Ys).reshape(-1, 1)
+                rng = np.random.default_rng(epoch_seed)
+                n = X.shape[0]
+                for _ in range(local_iters):
+                    if batch <= 0 or batch >= n:
+                        local.set_weights(opt.apply(local.weights, local.gradients(X, Y)))
+                    else:
+                        order = rng.permutation(n)  # in-partition shuffle
+                        for s in range(0, n, batch):
+                            idx = order[s : s + batch]
+                            local.set_weights(
+                                opt.apply(local.weights, local.gradients(X[idx], Y[idx]))
+                            )
+                yield pd.DataFrame(
+                    {"n": [n], "loss": [local.loss_value(X, Y)], "w": [local.weights_to_json()]}
+                )
+
+            parts_out = train_df.mapInPandas(train_partition, schema=out_schema).collect()
+            bc.destroy()
+            if not parts_out:
+                break
+            # sample-weighted model average — O(P·|weights|) driver work,
+            # the distributed analogue of reference ml_util.py:43-51
+            total = float(sum(r["n"] for r in parts_out))
+            acc = None
+            for r in parts_out:
+                ws = [np.asarray(w) * (r["n"] / total) for w in json.loads(r["w"])]
+                acc = ws if acc is None else [a + w for a, w in zip(acc, ws)]
+            weights = acc
+            if verbose:
+                mean_loss = sum(r["loss"] * r["n"] for r in parts_out) / total
+                print(f"[DistributedDL] epoch {epoch + 1}/{epochs} loss={mean_loss:.6f}")
+            if shuffle and epoch < epochs - 1:
+                # re-mix data between epochs (reference partitionShuffles,
+                # reference HogwildSparkModel.py:264-266)
+                train_df = train_df.repartition(train_df.rdd.getNumPartitions())
+
+        model.set_weights(weights)
+        fitted = DistributedDLModel(
+            inputCol=self.getOrDefault(self.inputCol),
+            predictionCol=self.getOrDefault(self.predictionCol),
+            networkSpec=json.dumps(spec),
+            modelWeights=model.weights_to_json(),
+        )
+        return fitted
+
+
+class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsReadable):
+    """Fitted model: appends ``predictionCol`` via Arrow-batched inference.
+
+    Output type is declared up front from the network spec: scalar
+    ``double`` for 1-D outputs, ``array<double>`` otherwise (reference
+    decided this per-row with try/except, reference ml_util.py:74-81).
+    """
+
+    @keyword_only
+    def __init__(
+        self,
+        inputCol: str = "features",
+        predictionCol: str = "predicted",
+        networkSpec: str = "",
+        modelWeights: str = "",
+    ):
+        super().__init__()
+        self._setDefault(
+            inputCol="features", predictionCol="predicted", networkSpec="", modelWeights=""
+        )
+        self._set(**self._input_kwargs)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        spec_json = self.getOrDefault(self.networkSpec)
+        weights_json = self.getOrDefault(self.modelWeights)
+        spec = json.loads(spec_json)
+        out_dim = spec["layers"][-1]
+        ret_type = T.DoubleType() if out_dim == 1 else T.ArrayType(T.DoubleType())
+
+        @F.pandas_udf(ret_type)
+        def infer(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            # model rebuilt once per python worker, cached across batches
+            local = MLP(json.loads(spec_json))
+            local.weights_from_json(weights_json)
+            for s in it:
+                X = np.vstack(s.to_numpy())
+                P = local.forward(X)
+                if out_dim == 1:
+                    yield pd.Series(P[:, 0])
+                else:
+                    yield pd.Series(list(P))
+
+        return dataset.withColumn(
+            self.getOrDefault(self.predictionCol), infer(self._featurize(dataset))
+        )
+
+    def get_weights(self) -> list[np.ndarray]:
+        return [np.asarray(w) for w in json.loads(self.getOrDefault(self.modelWeights))]

@@ -1,1 +1,95 @@
-"""ML pipeline query surface — filled by sparkflow_spark.ml (M2)."""
+"""ML pipeline query surface — M01/M02 from SURVEY.md §2c.
+
+m02 (fixed-weight linear inference) is oracle-checked: a single linear
+layer is exactly ``dot(x, w) + b``, which DuckDB can compute with list
+ops — so the engine's whole inference path (vector handling, Arrow
+exchange, pandas_udf batching) is t2-verified, not just smoke-checked.
+
+m01 (training) is rows-only for the driver; convergence bounds live in
+tests/test_ml.py (the reference's own oracle shape,
+reference tests/dl_runner.py:85-88).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.ml import DistributedDL, DistributedDLModel, build_network
+from sparkflow_spark.queries import register
+from sparkflow_spark.queries.relational import dec2
+
+# Deterministic linear weights shared by the Spark model and the DuckDB
+# oracle: w_i = ((i % 5) - 2) / 10, b = 0.05 — dim-agnostic formula (the
+# fixtures use 64-dim embeddings at every SF).
+_B = 0.05
+
+
+def _weights(dim: int) -> list[float]:
+    return [((i % 5) - 2) / 10.0 for i in range(dim)]
+
+
+@register(
+    "m02_linear_inference",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * ((((i - 1) % 5) - 2) / 10.0)))
+                    + {_B}, 2) AS DECIMAL(18,2)) AS pred
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("ml", "inference"),
+)
+def m02(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-weight linear model through the full DistributedDLModel
+    inference path (pandas_udf, Arrow batches, declared schema)."""
+    t = Tables(spark, sf)
+    dim = len(t.embeddings.select("embedding").first()[0])
+    model = DistributedDLModel(
+        inputCol="embedding",
+        predictionCol="_p",
+        networkSpec=build_network([dim, 1], activations=["linear"]),
+        modelWeights=json.dumps([[[w] for w in _weights(dim)], [_B]]),
+    )
+    return (
+        model.transform(t.embeddings)
+        .select("vec_id", dec2(F.col("_p")).alias("pred"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "m01_train_predict",
+    oracle=None,  # training trajectory is engine-defined; bounds in tests
+    tags=("ml", "training"),
+)
+def m01(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end fit+transform on the embeddings table (binary target
+    label%2): returns (vec_id, pred_label) — driver rows-only check;
+    accuracy bound asserted in tests/test_ml.py."""
+    t = Tables(spark, sf)
+    df = t.embeddings.select(
+        "vec_id", "embedding", (F.col("label") % 2).cast("double").alias("y")
+    )
+    dim = len(t.embeddings.select("embedding").first()[0])
+    est = DistributedDL(
+        inputCol="embedding",
+        labelCol="y",
+        predictionCol="p",
+        networkSpec=build_network([dim, 16, 1], activations=["tanh", "sigmoid"], loss="bce"),
+        tfOptimizer="adam",
+        tfLearningRate=0.05,
+        iters=3,
+        localIters=30,
+        partitions=4,
+        seed=42,
+    )
+    model = est.fit(df)
+    return (
+        model.transform(df)
+        .select("vec_id", (F.col("p") > 0.5).cast("int").alias("pred_label"))
+        .orderBy("vec_id")
+    )

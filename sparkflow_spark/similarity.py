@@ -86,7 +86,7 @@ def lsh_topk(
     corpus_id: str = "vec_id",
     probe_id: str = "probe_id",
     vec_col: str = "embedding",
-    dim: int = 16,
+    dim: int | None = None,
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
@@ -99,6 +99,8 @@ def lsh_topk(
     ~n/2^planes candidates per probe per table. Recall tunes with
     (num_planes ↓, num_tables ↑).
     """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t)) for t in range(num_tables)]
 
     def signatures(df: DataFrame, id_alias: str) -> DataFrame:
