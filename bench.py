@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query executes to Spark's noop sink (full computation, no driver
+collect), warm session, JVM startup excluded (a warmup query runs
+first). Per-query seconds let BASELINE.md track the ≤2×-DuckDB target
+per shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkflow_spark.queries import load_all
+from sparkflow_spark.session import build_session
+
+# Representative spread: scan/filter, joins, aggs, windows, top-k, scalar
+# functions, JSON, text, dedup join, vector search, ML inference,
+# streaming, multimodal.
+HEADLINE = [
+    "q02_filter_and",
+    "q06_multiway_join",
+    "q11_theta_join",
+    "q13_hash_agg_tpch_q1",
+    "q14_count_distinct",
+    "q19_window_topk_per_group",
+    "q21_window_running_sum",
+    "q22_topk_global",
+    "q28_math_functions",
+    "q30_json_extract",
+    "t_token_count",
+    "d_ngram_jaccard_pairs",
+    "s_brute_force_top1",
+    "m02_linear_inference",
+    "mm_binary_stats",
+    "st_tumbling_hour_counts",
+]
+
+
+def execute(df) -> None:
+    """Force full computation without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="sparkflow_bench")
+    registry = load_all()
+
+    # warm the JVM/codegen/catalog outside the measured window
+    execute(registry["q13_hash_agg_tpch_q1"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        execute(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,1 +1,63 @@
-"""Multimodal column query surface — filled by sparkflow_spark.multimodal (M3)."""
+"""Multimodal query surface: binary payload stats are oracle-checked
+(sha256/octet_length are bit-identical cross-engine); the mapInPandas
+featurizer/frame-sampler are engine-defined → rows-only + numpy-oracle
+pytest coverage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark import multimodal
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import register
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def mm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Blob size + sha256 through the modality-struct convention."""
+    t = Tables(spark, sf)
+    wrapped = multimodal.attach_binary_payload(t.documents)
+    return (
+        multimodal.binary_stats(wrapped)
+        .select("doc_id", "n_bytes", "content_sha")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # deterministic fake; numpy oracle in tests
+    tags=("multimodal", "udf"),
+)
+def mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas featurizer over binary payloads (fake decode, real
+    plumbing); emits doc_id + 8-dim feature vector."""
+    t = Tables(spark, sf)
+    wrapped = multimodal.attach_binary_payload(t.documents).select(
+        "doc_id", F.col("media.content").alias("content")
+    )
+    return multimodal.extract_features(wrapped).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # deterministic fake; python oracle in tests
+    tags=("multimodal", "udf"),
+)
+def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling fan-out shape: one row per sampled chunk."""
+    t = Tables(spark, sf)
+    wrapped = multimodal.attach_binary_payload(t.documents).select(
+        "doc_id", F.col("media.content").alias("content")
+    )
+    return multimodal.sample_frames(wrapped, n_frames=4).orderBy("doc_id", "frame_idx")

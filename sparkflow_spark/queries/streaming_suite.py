@@ -1,1 +1,86 @@
-"""Streaming query surface — filled by sparkflow_spark.streaming (M4)."""
+"""Streaming query surface — Q37/Q38/Q39 with batch-equivalence oracles.
+
+Each query actually runs a Structured Streaming job (AvailableNow →
+memory sink) inside the callable and returns the final result; the
+DuckDB oracle is the equivalent batch aggregation, so the check proves
+stream-batch equivalence, not just "it ran".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.queries import register
+from sparkflow_spark.streaming import (
+    running_user_counts,
+    session_counts_batch,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "st_tumbling_hour_counts",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, COUNT(*) AS c
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def st_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_counts(spark, sf, "1 hour")
+
+
+@register(
+    "st_sliding_counts",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR AS TIMESTAMP) AS w,
+               COUNT(*) AS c
+        FROM events CROSS JOIN range(2) r(k)
+        GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def st_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """2h windows sliding by 1h: every event belongs to exactly 2
+    windows (starts at trunc(ts) and trunc(ts)-1h) — the oracle
+    enumerates them with a range join."""
+    return sliding_counts(spark, sf, "2 hours", "1 hour")
+
+
+@register(
+    "st_session_counts",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS c
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+)
+def st_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows; oracle reconstructs sessions with the
+    classic gaps-and-islands SQL."""
+    return session_counts_batch(spark, sf, "30 minutes")
+
+
+@register(
+    "st_stateful_user_counts",
+    oracle="SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id ORDER BY user_id",
+    tags=("streaming", "stateful"),
+)
+def st_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    return running_user_counts(spark, sf)

@@ -1,0 +1,112 @@
+"""Event-time windowed aggregations over a file-source stream."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.catalog import table_path
+from sparkflow_spark.session import ensure_runtime_configs
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's file stream source requires a *directory*; the fixtures
+    are single parquet files. Stage a stable symlink directory per
+    source file (a production stream reads a landing directory anyway —
+    this adapter exists only for the single-file fixtures)."""
+    if os.path.isdir(path):
+        return path
+    digest = hashlib.sha1(path.encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", "sparkflow_stream_src", digest)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str, watermark: str | None = "2 hours") -> DataFrame:
+    """``readStream`` over the events parquet with event-time ``ts``.
+
+    File sources need an explicit schema; we take it from the batch
+    reader (which also tells us whether ts arrived as raw nanos — see
+    catalog nanosAsLong note) and convert to a proper timestamp.
+    """
+    ensure_runtime_configs(spark)
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(batch_schema).parquet(_as_stream_dir(path))
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if watermark is not None:
+        sdf = sdf.withWatermark("ts", watermark)
+    return sdf
+
+
+def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the final result as a batch DataFrame."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def tumbling_counts(
+    spark: SparkSession, sf_dir: str, duration: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window counts (Q37). Complete mode so the
+    final memory table holds every window — equal to the batch GROUP BY
+    date_trunc."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", duration).alias("win")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = run_stream_to_memory(agg, "complete")
+    return out.select(F.col("win.start").alias("w"), "c").orderBy("w")
+
+
+def sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) window counts (Q38): each event lands in
+    duration/slide windows."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", duration, slide).alias("win")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = run_stream_to_memory(agg, "complete")
+    return out.select(F.col("win.start").alias("w"), "c").orderBy("w")
+
+
+def session_counts_batch(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) as a *batch* query —
+    ``session_window`` is the same operator Catalyst uses in streaming;
+    batch mode lets the oracle check every session including the
+    still-open tail ones that streaming append mode would hold back.
+    Streaming-mode session windows are exercised in tests.
+    """
+    from sparkflow_spark.catalog import cached_table
+
+    ev = cached_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("user_id", F.col("win.start").alias("session_start"), "c")
+        .orderBy("user_id", "session_start")
+    )

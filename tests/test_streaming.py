@@ -1,0 +1,121 @@
+"""Streaming behavioral tests (Q37-Q39 t1): watermark late-data policy
+and stream/batch equivalence on crafted inputs. The sf-fixture
+equivalences are covered by the oracle suite (streaming_suite)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from sparkflow_spark.streaming import session_counts_batch
+from sparkflow_spark.streaming.windows import run_stream_to_memory
+
+
+def _write_parquet(df, path):
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_late_row_beyond_watermark_dropped(spark, tmp_path):
+    """A row older than (max event time - watermark) arriving in a later
+    micro-batch must not update its window (Q38 late-data policy)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    ts = F.to_timestamp(F.col("t"))
+    batch1 = spark.createDataFrame(
+        [("2024-01-01 10:05:00",), ("2024-01-01 10:10:00,",), ("2024-01-01 12:00:00",)],
+        ["t"],
+    ).select(ts.alias("ts"))
+    batch2 = spark.createDataFrame(
+        # 10:20 is > 1h older than the 12:00 max seen in batch1 → late
+        [("2024-01-01 10:20:00",), ("2024-01-01 12:30:00",)],
+        ["t"],
+    ).select(ts.alias("ts"))
+
+    f1 = str(tmp_path / "f1")
+    f2 = str(tmp_path / "f2")
+    _write_parquet(batch1, f1)
+    _write_parquet(batch2, f2)
+    # stage into the source dir with increasing mtimes so the file
+    # source sees two ordered micro-batches (maxFilesPerTrigger=1)
+    import glob
+    import shutil
+
+    for i, d in enumerate([f1, f2]):
+        part = glob.glob(d + "/part-*.parquet")[0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    sdf = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = "late_test"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["win"].start.strftime("%H:%M"): r["c"]
+        for r in spark.table(name).groupBy("win").agg(F.max("c").alias("c")).collect()
+    }
+    # 10:00 window counts only the 2 on-time rows; the late 10:20 row is
+    # dropped, the fresh 12:30 row lands in its window
+    assert got.get("10:00") == 2, got
+    assert got.get("12:30") == 1 or got.get("12:00", 0) >= 1, got
+
+
+def test_streaming_session_window_append_emits_closed_sessions(spark, tmp_path):
+    """Streaming session windows (append mode — the only mode Spark
+    allows for them): a session emits exactly once, after the watermark
+    passes its close. Crafted 2-batch stream: batch2's 20:00 row pushes
+    the watermark past user 1's 10:00-10:10 session."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ts = F.to_timestamp(F.col("t"))
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00")], ["user_id", "t"]
+    ).select("user_id", ts.alias("ts"))
+    b2 = spark.createDataFrame([(2, "2024-01-01 20:00:00")], ["user_id", "t"]).select(
+        "user_id", ts.alias("ts")
+    )
+    for i, df in enumerate([b1, b2]):
+        d = str(tmp_path / f"b{i}")
+        _write_parquet(df, d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    agg = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = agg.writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("sess_test").collect()
+    got = {(r["user_id"], r["win"].start.strftime("%H:%M"), r["c"]) for r in rows}
+    # user 1's session closed (watermark 19:00 > 10:40 session end) → emitted;
+    # user 2's session still open at end of stream → withheld by append mode
+    assert (1, "10:00", 2) in got, got
+    assert all(u != 2 for u, _, _ in got), got

@@ -1,0 +1,166 @@
+"""t1 behavioral oracles for the engine-specific (non-SQL-expressible)
+operators: approx sketches, sampling, MinHash/SimHash mirrors, ANN
+recall, multimodal fake featurizer, vector functions vs numpy."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_q15_approx_count_distinct_within_5pct(spark, oracle_sf_dir):
+    approx = REGISTRY["q15_approx_count_distinct"].fn(spark, oracle_sf_dir).first()["u"]
+    exact = REGISTRY["q14_count_distinct"].fn(spark, oracle_sf_dir).first()["u"]
+    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
+
+
+def test_q33_sampling_binomial_bounds_and_determinism(spark, oracle_sf_dir):
+    q = REGISTRY["q33_sampling"].fn
+    n1 = q(spark, oracle_sf_dir).count()
+    n2 = q(spark, oracle_sf_dir).count()
+    assert n1 == n2, "same seed must give identical sample"
+    total = Tables(spark, oracle_sf_dir).lineitem.count()
+    p = 0.1
+    sd = math.sqrt(total * p * (1 - p))
+    assert abs(n1 - total * p) < 6 * sd, (n1, total)
+
+
+def test_minhash_est_jaccard_tracks_exact(spark, oracle_sf_dir):
+    """MinHash estimate within 0.25 of exact Jaccard on every candidate
+    pair it surfaces at est >= 0.5 (64 hashes → se ≈ 0.0625)."""
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in REGISTRY["d_minhash_pairs"].fn(spark, oracle_sf_dir).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): float(r["j"])
+        for r in REGISTRY["d_ngram_jaccard_pairs"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert est, "minhash should surface candidate pairs"
+    hits = sum(1 for p in est if p in exact)
+    assert hits / len(est) >= 0.8, f"{hits}/{len(est)} minhash pairs confirmed by exact jaccard"
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) <= 0.25, (pair, e, exact[pair])
+
+
+def test_minhash_recall_of_exact_near_dups(spark, oracle_sf_dir):
+    exact_hi = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["d_ngram_jaccard_pairs"].fn(spark, oracle_sf_dir).collect()
+        if float(r["j"]) >= 0.7
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["d_minhash_pairs"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert exact_hi, "fixture should contain high-jaccard near-dups"
+    recall = len(exact_hi & cand) / len(exact_hi)
+    assert recall >= 0.9, f"minhash recall {recall} on {len(exact_hi)} true pairs"
+
+
+def test_simhash_python_mirror(spark, sf_dir):
+    """Spark simhash64 pairs verified against hamming distance computed
+    in python over the Spark-produced hashes (structure check: pairs
+    reported at <=3 really are <=3 apart, none duplicated)."""
+    rows = REGISTRY["d_simhash_pairs"].fn(spark, sf_dir).collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
+        assert r["id_a"] < r["id_b"]
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, oracle_sf_dir):
+    brute = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_brute_force_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    ann = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_lsh_ann_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(ann) == set(brute)
+    recall = sum(1 for p in brute if ann.get(p) == brute[p]) / len(brute)
+    assert recall >= 0.8, f"ANN top-1 recall {recall}"
+
+
+def test_vector_functions_vs_numpy(spark):
+    from sparkflow_spark.functions.vector import cosine_similarity, dot, l2_norm, normalize
+
+    a = [1.0, -2.0, 3.0, 0.5]
+    b = [0.0, 4.0, -1.0, 2.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    row = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+        normalize("a").alias("u"),
+    ).first()
+    na, nb = np.array(a), np.array(b)
+    assert row["d"] == pytest.approx(float(na @ nb))
+    assert row["n"] == pytest.approx(float(np.linalg.norm(na)))
+    assert row["c"] == pytest.approx(float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb))))
+    assert np.allclose(row["u"], na / np.linalg.norm(na))
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    zrow = zero.select(cosine_similarity("a", "b").alias("c"), normalize("a").alias("u")).first()
+    assert zrow["c"] is None  # NULL-safe on zero norm
+    assert zrow["u"] == [0.0, 0.0]
+
+
+def test_multimodal_featurizer_numpy_oracle(spark, sf_dir):
+    from sparkflow_spark.multimodal import fake_featurize_bytes
+
+    rows = REGISTRY["mm_feature_extract"].fn(spark, sf_dir).limit(20).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in Tables(spark, sf_dir).documents.select("doc_id", "text").limit(200).collect()
+    }
+    checked = 0
+    for r in rows:
+        if r["doc_id"] in texts:
+            expect = fake_featurize_bytes(texts[r["doc_id"]].encode())
+            assert r["features"] == pytest.approx(expect)
+            checked += 1
+    assert checked > 0
+
+
+def test_multimodal_frame_sampler_python_oracle(spark, sf_dir):
+    rows = REGISTRY["mm_frame_sample"].fn(spark, sf_dir).filter(F.col("doc_id") == 0).collect()
+    text = (
+        Tables(spark, sf_dir).documents.filter(F.col("doc_id") == 0).first()["text"].encode()
+    )
+    step = max(len(text) // 4, 1)
+    for r in rows:
+        chunk = text[r["frame_idx"] * step : (r["frame_idx"] + 1) * step]
+        assert r["frame_sha"] == hashlib.sha256(chunk).hexdigest()
+
+
+def test_decode_image_stub_raises():
+    from sparkflow_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(None)
+
+
+def test_lang_id_accuracy(spark, sf_dir):
+    """Heuristic language-ID against the fixture's lang ground truth.
+    The marker sets are tiny, so demand better-than-chance, not SOTA."""
+    df = REGISTRY["t_quality_langid"].fn(spark, sf_dir)
+    truth = Tables(spark, sf_dir).documents.select("doc_id", "lang")
+    joined = df.join(truth, "doc_id")
+    langs = {r["lang"] for r in truth.select("lang").distinct().collect()}
+    known = joined.filter(F.col("lang").isin(*[l for l in langs if l in ("en", "de", "fr", "es", "it")]))
+    n = known.count()
+    if n == 0:
+        pytest.skip("no overlapping languages in fixture")
+    acc = known.filter(F.col("lang_pred") == F.col("lang")).count() / n
+    assert acc > 1.0 / max(len(langs), 2), f"lang-id accuracy {acc} not above chance"
