@@ -1,0 +1,88 @@
+"""Composite relational operators Spark lacks as built-ins.
+
+Each is a *composition* of DataFrame primitives (SURVEY.md custom-
+operator policy: composition first, Pandas-UDF only when semantics
+demand it), so Catalyst still owns the physical plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for every left row, attach the value columns of the
+    most recent right row with right.on <= left.on within the same
+    ``by`` group (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics; ties resolve to the right row).
+
+    Implementation: tag + union both sides, one window pass per group
+    ordered by (on, side) with ``last(..., ignorenulls=True)`` carrying
+    right values forward, then filter back to left rows.
+
+    Scale shape: ONE shuffle on the ``by`` key and a sorted single pass
+    — the same cost as any window aggregate, with no range-join blowup
+    and no per-group driver logic. Skewed groups fall under AQE like
+    any other window partition.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with an explicit value list (never let the engine scan for
+    distinct pivot values at scale — that is an extra full pass)."""
+    return df.groupBy(group_col).pivot(pivot_col, values).agg(agg)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via row_number + WindowGroupLimit (each map task
+    pre-prunes to k rows per group before the shuffle — see SCALE.md)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn("_rnk", F.row_number().over(w)).filter(F.col("_rnk") <= k).drop("_rnk")

@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from sparkflow_spark.queries import (  # noqa: F401
         relational,
+        relational_ext,
         functions_suite,
         textops,
         dedup_suite,

@@ -1,0 +1,376 @@
+"""Extended relational surface: union-all, pivot, rank-family windows,
+string/date function families, statistical aggregates, exact
+percentiles, string-agg, explode/unnest, array ops, SQL façade with
+CTEs, as-of join, offset/fetch, from_json."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkflow_spark import operators
+from sparkflow_spark.catalog import Tables, register_views
+from sparkflow_spark.functions.text import tokens, word_shingles
+from sparkflow_spark.queries import register
+from sparkflow_spark.queries.relational import dec2
+
+
+def dec4(col):
+    return F.round(col, 4).cast(T.DecimalType(18, 4))
+
+
+@register(
+    "q41_union_all_agg",
+    oracle="""
+        SELECT k, COUNT(*) AS c FROM (
+            SELECT c_nationkey AS k FROM customer
+            UNION ALL
+            SELECT s_nationkey FROM supplier) t
+        GROUP BY k ORDER BY k
+    """,
+    tags=("relational", "setop"),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .unionAll(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "q42_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("relational", "pivot"),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list (no discovery pass — SCALE.md);
+    absent cells normalized to 0 to match conditional-agg semantics."""
+    t = Tables(spark, sf)
+    out = operators.pivot_agg(
+        t.orders, "o_orderpriority", "o_orderstatus", ["F", "O", "P"], F.count(F.lit(1))
+    )
+    return out.na.fill(0).orderBy("o_orderpriority")
+
+
+@register(
+    "q43_rank_family",
+    oracle="""
+        SELECT o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS tile,
+               CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DECIMAL(18,4)) AS pr,
+               CAST(ROUND(CUME_DIST() OVER w, 4) AS DECIMAL(18,4)) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    tags=("relational", "window"),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("tile"),
+            dec4(F.percent_rank().over(w)).alias("pr"),
+            dec4(F.cume_dist().over(w)).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q44_string_functions2",
+    oracle="""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '.') AS rp,
+               CAST(strpos(p_type, 'a') AS INT) AS pos,
+               translate(p_name, 'aeiou', 'AEIOU') AS tr,
+               reverse(p_brand) AS rev,
+               substring(p_name, 1, 3) AS l3
+        FROM part ORDER BY p_partkey
+    """,
+    tags=("relational", "functions"),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("lp"),
+            F.rpad("p_brand", 12, ".").alias("rp"),
+            F.instr(F.col("p_type"), "a").alias("pos"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+            F.reverse("p_brand").alias("rev"),
+            F.substring("p_name", 1, 3).alias("l3"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q45_date_functions2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(isodow(o_orderdate) AS INT) AS dow,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(last_day(o_orderdate) AS DATE) AS eom,
+               CAST(datediff('day', DATE '1995-06-15', o_orderdate) AS INT) AS dd
+        FROM orders ORDER BY o_orderkey
+    """,
+    tags=("relational", "functions"),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """ISO day-of-week bridges the dialect split (Spark weekday()=0 for
+    Monday; DuckDB isodow=1 for Monday)."""
+    t = Tables(spark, sf)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.quarter("o_orderdate").alias("q"),
+            (F.weekday("o_orderdate") + 1).alias("dow"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+            F.last_day("o_orderdate").alias("eom"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-06-15").cast("date")).alias("dd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q46_stats_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(stddev_samp(l_quantity), 2) AS DECIMAL(18,2)) AS sd,
+               CAST(ROUND(var_samp(l_quantity), 2) AS DECIMAL(18,2)) AS vr,
+               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS cr,
+               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DECIMAL(18,4)) AS cv
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates — bounded-magnitude combos only (corr is
+    normalized; covar over small-scale columns) so cross-engine float
+    accumulation differences stay below the rounding grain."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            dec2(F.stddev_samp("l_quantity")).alias("sd"),
+            dec2(F.var_samp("l_quantity")).alias("vr"),
+            dec4(F.corr("l_quantity", "l_extendedprice")).alias("cr"),
+            dec4(F.covar_samp("l_quantity", "l_discount")).alias("cv"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q47_median_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(median(l_quantity), 2) AS DECIMAL(18,2)) AS med,
+               CAST(ROUND(quantile_cont(l_quantity, 0.75), 2) AS DECIMAL(18,2)) AS p75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median / continuous percentile (both engines interpolate)."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            dec2(F.median("l_quantity")).alias("med"),
+            dec2(F.percentile("l_quantity", 0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q48_string_agg",
+    oracle="""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("relational", "agg"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed engine, so determinism comes from array_sort before the
+    join — the portable form of ORDER BY inside an aggregate."""
+    t = Tables(spark, sf)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "q49_explode_top_shingles",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3 THEN
+                            list_transform(range(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END) AS shingle
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                         x -> x != '') AS toks
+                      FROM documents))
+        )
+        SELECT shingle, COUNT(*) AS df FROM sh
+        GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20
+    """,
+    tags=("relational", "explode", "text"),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """explode/unnest + document-frequency top-k (the skew-diagnosis
+    query you run before capping shingles in dedup)."""
+    t = Tables(spark, sf)
+    return (
+        t.documents.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), k=3)).alias("shingle")
+        )
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
+
+
+@register(
+    "q50_array_ops",
+    oracle="""
+        SELECT doc_id,
+               list_sort(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x != ''))[1] AS first_sorted,
+               CAST(len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                  x -> x != ''))) AS INT) AS n_distinct,
+               list_max(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    x -> x != '')) AS max_tok
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("relational", "array"),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    toks = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    return (
+        t.documents.select(
+            "doc_id",
+            F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_max(toks).alias("max_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CTE_SQL = """
+    WITH rev AS (
+        SELECT c_nationkey AS nk, SUM(o_totalprice) AS total
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT n_name, CAST(ROUND(total, 2) AS DECIMAL(18,2)) AS rev
+    FROM rev JOIN nation ON nk = n_nationkey
+    ORDER BY n_name
+"""
+
+
+@register("q51_sql_facade_cte", oracle=_CTE_SQL, tags=("relational", "sql"))
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL façade: the IDENTICAL SQL text runs through spark.sql on
+    registered views and through DuckDB — dialect-portable by
+    construction (SURVEY.md §7 design stance)."""
+    register_views(spark, sf)
+    return spark.sql(_CTE_SQL)
+
+
+@register(
+    "q52_asof_join",
+    oracle="""
+        SELECT e.event_id,
+               CAST(date_trunc('second',
+                    (SELECT MAX(s.ts) FROM events s
+                     WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                       AND s.ts <= e.ts)) AS TIMESTAMP) AS signup_ts
+        FROM events e WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id
+    """,
+    tags=("relational", "asof"),
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior
+    signup timestamp (truncated to seconds — the fixtures' ns precision
+    exceeds Spark's µs). Single shuffle on user_id; see operators.asof_join."""
+    t = Tables(spark, sf)
+    purchases = t.events.filter(F.col("event_type") == "purchase")
+    signups = t.events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    joined = operators.asof_join(
+        purchases, signups, on="ts", by=["user_id"], value_cols=["signup_ts"], suffix=""
+    )
+    return joined.select(
+        "event_id", F.date_trunc("second", "signup_ts").alias("signup_ts")
+    ).orderBy("event_id")
+
+
+@register(
+    "q53_offset_fetch",
+    oracle="""
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 10
+    """,
+    tags=("relational", "sort"),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", dec2(F.col("o_totalprice")).alias("tp"))
+    )
+
+
+@register(
+    "q54_from_json",
+    oracle="""
+        SELECT event_id, CAST(props->>'$.k' AS INT) AS k2
+        FROM events ORDER BY event_id
+    """,
+    tags=("relational", "json"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-full JSON parse (from_json → typed struct), vs q30's
+    path-extraction — both must agree with the oracle."""
+    t = Tables(spark, sf)
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return t.events.select("event_id", parsed.getField("k").alias("k2")).orderBy("event_id")
