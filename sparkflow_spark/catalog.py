@@ -78,6 +78,19 @@ def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
+def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality of a fixture dir (list<float> carries no
+    length in the schema, so probe one row — memoized per session+dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _DIM_CACHE:
+        row = cached_table(spark, sf_dir, "embeddings").select("embedding").first()
+        _DIM_CACHE[key] = len(row[0])
+    return _DIM_CACHE[key]
+
+
 class Tables:
     """Attribute-style lazy access to the fixture tables of one sf_dir."""
 

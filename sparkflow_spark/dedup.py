@@ -30,7 +30,9 @@ from sparkflow_spark.functions.text import (
     content_hash,
     fingerprint,
     hamming64,
+    shingles_from_tokens,
     simhash64,
+    with_tokens,
     word_shingles,
 )
 from sparkflow_spark.functions.vector import cosine_similarity
@@ -80,12 +82,18 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash signatures over word shingles."""
-    return df.select(
+    """(id, sig: array<bigint>) MinHash signatures over word shingles.
+
+    Two-stage projection (tokens → shingles → signature) so each stage's
+    array is materialized once per row — see shingles_from_tokens's
+    performance contract.
+    """
+    staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
+        "_shingles", shingles_from_tokens("_toks", shingle_k)
+    )
+    return staged.select(
         F.col(id_col),
-        _minhash_signature(word_shingles(F.col(text_col), k=shingle_k), num_hashes, seed).alias(
-            "sig"
-        ),
+        _minhash_signature(F.col("_shingles"), num_hashes, seed).alias("sig"),
     )
 
 
@@ -214,9 +222,11 @@ def ngram_jaccard_pairs(
     classic skew guard: without it one stop-shingle creates an O(n²)
     bucket at scale.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("shingle")
-    ).distinct()
+    sh = (
+        with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col)
+        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", shingle_k)).alias("shingle"))
+        .distinct()
+    )
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -225,22 +235,25 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # set sizes as a window (no extra aggregate branch), then persist:
+    # the inverted index is referenced by BOTH join sides, and Catalyst
+    # does not reuse alias-renamed subplans — without the persist the
+    # explode+distinct chain executes twice. At larger scale pair this
+    # with max_shingle_freq (bounds the index) and DISK_ONLY if needed.
+    sh = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ).persist()
 
-    a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(F.broadcast(na), on="id_a")
-        .join(F.broadcast(nb), on="id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
@@ -261,11 +274,20 @@ def embedding_near_duplicates(
     Brute force is O(n²) within the join — only sane under a blocking
     key or for candidate verification. Kept as the exactness oracle.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("_na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2_norm(vec_col).alias("_nb")
+    )
+    den = F.col("_na") * F.col("_nb")
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
+        .select(
+            "id_a", "id_b", F.when(den != 0, dot("va", "vb") / den).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )

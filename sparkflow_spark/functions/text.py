@@ -69,15 +69,41 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
     )
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles → array<string> (distinct), for Jaccard/MinHash."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+def lower_tokens(text: Column | str) -> Column:
+    return F.transform(tokens(text), lambda t: F.lower(t))
+
+
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token array column.
+
+    Performance contract: ``toks`` must be a plain column reference (a
+    projected array), not a nested expression — this expression
+    references it O(n) times, and Catalyst re-evaluates non-trivial
+    subexpressions per reference (measured 12× slowdown when the
+    tokenizer was inlined here). Use :func:`with_tokens` to stage it.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles → array<string> (distinct), for Jaccard/MinHash.
+
+    Convenience form inlining the tokenizer; hot paths should project
+    tokens first (``with_tokens``) and call ``shingles_from_tokens``.
+    """
+    return shingles_from_tokens(lower_tokens(text), k)
+
+
+def with_tokens(df, text_col: str = "text", out_col: str = "_toks"):
+    """Stage lowercased tokens as a real column so downstream
+    shingle/hash expressions evaluate the tokenizer once per row."""
+    return df.withColumn(out_col, lower_tokens(text_col))
 
 
 _PUNCT_CLASS = r"[.,;:!?]"
@@ -162,11 +188,13 @@ def simhash64(text: Column | str) -> Column:
     counter array with ``aggregate``; sign of each counter sets the bit.
     Near-duplicate docs differ in few bits (hamming distance).
     """
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    # hash once per token (a transform), THEN fold: inside the fold the
+    # lambda var h is a bound value, so the 64 bit-probes below read it
+    # rather than re-running xxhash64 64× per token
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(F.lower(t)))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def add_token(acc, t):
-        h = F.xxhash64(t)
+    def add_hash(acc, h):
         # bit positions are plan-time Python ints (shiftright requires int)
         bitvec = F.array(
             *[
@@ -176,7 +204,7 @@ def simhash64(text: Column | str) -> Column:
         )
         return F.zip_with(acc, bitvec, lambda a, b: a + b)
 
-    counters = F.aggregate(toks, zero, add_token)
+    counters = F.aggregate(hashes, zero, add_hash)
     # Assemble sign bits MSB→LSB by Horner's method (acc*2 + bit) over the
     # low 63 bits (max acc fits a long, so this is ANSI-overflow-safe),
     # then OR in the top bit as the long's sign bit.

@@ -79,6 +79,30 @@ def pivot_agg(
     return df.groupBy(group_col).pivot(pivot_col, values).agg(agg)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-buster join: spread a hot key across ``salt`` sub-keys.
+
+    The big (skewed) side gets a random salt per row; the small side is
+    replicated ``salt``× with every salt value, so each (key, salt)
+    bucket holds ~1/salt of the hot key's rows. Result is identical to
+    a plain join (the salt is join-internal). Prefer AQE skew-join when
+    it fires; salting is the explicit tool for when it does not (e.g.
+    pre-AQE stages, or aggregations-then-join patterns).
+    """
+    salted_big = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -114,17 +114,17 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-              >= 0.9
+              >= 0.4
         ORDER BY id_a, id_b
     """,
     tags=("dedup", "vector"),
 )
 def d_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (≥0.9), ids only — double math on
+    """Embedding cosine near-dup pairs (≥0.4 — the fixtures have no planted near-dups; max pair cosine ≈0.51), ids only — double math on
     both engines keeps the comparison stable away from the threshold."""
     t = Tables(spark, sf)
     return (
-        dedup.embedding_near_duplicates(t.embeddings, threshold=0.9)
+        dedup.embedding_near_duplicates(t.embeddings, threshold=0.4)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )

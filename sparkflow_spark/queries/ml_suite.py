@@ -17,7 +17,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkflow_spark.catalog import Tables
+from sparkflow_spark.catalog import Tables, embedding_dim
 from sparkflow_spark.ml import DistributedDL, DistributedDLModel, build_network
 from sparkflow_spark.queries import register
 from sparkflow_spark.queries.relational import dec2
@@ -47,7 +47,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-weight linear model through the full DistributedDLModel
     inference path (pandas_udf, Arrow batches, declared schema)."""
     t = Tables(spark, sf)
-    dim = len(t.embeddings.select("embedding").first()[0])
+    dim = embedding_dim(spark, sf)
     model = DistributedDLModel(
         inputCol="embedding",
         predictionCol="_p",
@@ -56,6 +56,42 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         model.transform(t.embeddings)
+        .select("vec_id", dec2(F.col("_p")).alias("pred"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "m03_persistence_roundtrip",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * ((((i - 1) % 5) - 2) / 10.0)))
+                    + {_B}, 2) AS DECIMAL(18,2)) AS pred
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("ml", "persistence"),
+)
+def m03(spark: SparkSession, sf: str) -> DataFrame:
+    """Model → save → load → transform must equal direct inference
+    (reference tests/dl_runner.py:97-141's save/load coverage, but
+    oracle-checked: the LOADED model's output hash-matches the same
+    DuckDB linear-algebra oracle as m02)."""
+    import tempfile
+
+    t = Tables(spark, sf)
+    dim = embedding_dim(spark, sf)
+    model = DistributedDLModel(
+        inputCol="embedding",
+        predictionCol="_p",
+        networkSpec=build_network([dim, 1], activations=["linear"]),
+        modelWeights=json.dumps([[[w] for w in _weights(dim)], [_B]]),
+    )
+    path = tempfile.mkdtemp(prefix="sparkflow_m03_") + "/model"
+    model.save(path)
+    loaded = DistributedDLModel.load(path)
+    return (
+        loaded.transform(t.embeddings)
         .select("vec_id", dec2(F.col("_p")).alias("pred"))
         .orderBy("vec_id")
     )
@@ -74,7 +110,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
     df = t.embeddings.select(
         "vec_id", "embedding", (F.col("label") % 2).cast("double").alias("y")
     )
-    dim = len(t.embeddings.select("embedding").first()[0])
+    dim = embedding_dim(spark, sf)
     est = DistributedDL(
         inputCol="embedding",
         labelCol="y",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark import operators
 from sparkflow_spark.catalog import Tables, register_views
-from sparkflow_spark.functions.text import tokens, word_shingles
+from sparkflow_spark.functions.text import shingles_from_tokens, tokens, with_tokens
 from sparkflow_spark.queries import register
 from sparkflow_spark.queries.relational import dec2
 
@@ -251,9 +251,8 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     query you run before capping shingles in dedup)."""
     t = Tables(spark, sf)
     return (
-        t.documents.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), k=3)).alias("shingle")
-        )
+        with_tokens(t.documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
         .distinct()
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -56,11 +56,21 @@ def s_brute(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape: probes broadcast against the corpus scan, cosine as a
     JVM higher-order expression, per-probe top-1 via window group-limit.
     """
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
     t = Tables(spark, sf)
-    p = _probes(t).select("probe_id", F.col("embedding").alias("_pvec"))
+    p = _probes(t).select(
+        "probe_id", F.col("embedding").alias("_pvec"), l2_norm("embedding").alias("_pn")
+    )
+    c = t.embeddings.select("vec_id", "embedding", l2_norm("embedding").alias("_cn"))
+    den = F.col("_pn") * F.col("_cn")
     scored = (
-        t.embeddings.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", cosine_similarity("_pvec", "embedding").alias("cosine"))
+        c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.when(den != 0, dot("_pvec", "embedding") / den).alias("cosine"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

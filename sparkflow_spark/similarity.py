@@ -39,12 +39,19 @@ def brute_force_topk(
     window group-limit, so each task emits ≤ k rows per probe.
     Output: (probe_id, vec_id, cosine, rnk), rnk = 1..k.
     """
-    p = probes.select(F.col(probe_id), F.col(vec_col).alias("_pvec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    # norms staged per side BEFORE the join: each is computed n+p times
+    # instead of n·p times inside the pair expression
+    p = probes.select(
+        F.col(probe_id), F.col(vec_col).alias("_pvec"), l2_norm(vec_col).alias("_pnorm")
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("_cvec"), l2_norm(vec_col).alias("_cnorm")
+    )
+    den = F.col("_pnorm") * F.col("_cnorm")
     scored = c.join(F.broadcast(p)).select(
         probe_id,
         corpus_id,
-        cosine_similarity("_pvec", "_cvec").alias("cosine"),
+        F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (

@@ -1,0 +1,142 @@
+"""Sources/sinks + composite operators: partition pruning evidence,
+bucketed shuffle-free joins, salted-join equivalence, asof/pivot/top-k
+unit behavior, plus hypothesis property tests for the function library."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sparkflow_spark import operators, sources
+from sparkflow_spark.catalog import Tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    t = Tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_year")
+    df = t.orders.withColumn("yr", F.year("o_orderdate"))
+    sources.write_partitioned(df, out, ["yr"])
+    back = sources.read_parquet(spark, out)
+    assert back.count() == t.orders.count()
+    pruned = back.filter(F.col("yr") == 1995)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == df.filter(F.col("yr") == 1995).count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with NO
+    Exchange (the pay-once pre-shuffle strategy, see sources module)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        t = Tables(spark, sf_dir)
+        sources.write_bucketed(t.orders, "b_orders", ["o_custkey"], 4)
+        sources.write_bucketed(
+            t.customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", ["o_custkey"], 4
+        )
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed big side: one hot key
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, k) for k in range(2, 50)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(0, 50)], ["k", "name"])
+    plain = {(r["k"], r["v"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in operators.salted_join(big, small, "k", salt=8).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)], ["sym", "t", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 6), ("B", 2), ("B", 9)], ["sym", "t"]
+    )
+    got = {
+        (r["sym"], r["t"]): r["px_asof"]
+        for r in operators.asof_join(
+            trades, quotes, on="t", by=["sym"], value_cols=["px"]
+        ).collect()
+    }
+    assert got == {
+        ("A", 0): None,   # before any quote
+        ("A", 1): 10.0,   # tie → right row matches (<= semantics)
+        ("A", 6): 11.0,
+        ("B", 2): None,
+        ("B", 9): 20.0,
+    }
+
+
+def test_top_k_per_group(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    top = operators.top_k_per_group(
+        t.orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+    )
+    counts = top.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+
+
+# ---------------------------------------------------------------------------
+# Property-based: function library vs numpy/python oracles
+# ---------------------------------------------------------------------------
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=16))
+def test_prop_l2_norm_matches_numpy(xs):
+    spark = _prop_spark()
+    from sparkflow_spark.functions.vector import l2_norm
+
+    row = spark.createDataFrame([(xs,)], "a: array<double>").select(l2_norm("a")).first()
+    assert row[0] == pytest.approx(float(np.linalg.norm(np.array(xs))), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+def test_prop_token_count_matches_python(text):
+    # printable ASCII only: Java's \s and python's str.split() disagree
+    # on exotic Unicode whitespace (e.g. U+00A0)
+    spark = _prop_spark()
+    from sparkflow_spark.functions.text import token_count
+
+    got = spark.createDataFrame([(text,)], "t: string").select(token_count("t")).first()[0]
+    assert got == len(text.split())
+
+
+_PROP_SPARK = None
+
+
+def _prop_spark():
+    global _PROP_SPARK
+    if _PROP_SPARK is None:
+        from sparkflow_spark.session import build_session
+
+        _PROP_SPARK = build_session(app_name="prop_tests", master="local[2]")
+    return _PROP_SPARK
