@@ -262,6 +262,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components by min-label propagation over an edge list.
+
+    Returns (node, component) where component = min node id reachable.
+    Each iteration is one join + aggregate (label = min of own and
+    neighbors' labels); converges in O(diameter) rounds — near-dup
+    graphs are overwhelmingly tiny cliques, so 2-3 rounds in practice.
+
+    Scale notes: lineage is truncated with localCheckpoint every few
+    rounds (iterative plans otherwise grow unboundedly); the per-round
+    convergence check is a count() — one cheap action. This is the
+    simplified form of the map-reduce CC algorithms (small-star/
+    large-star); swap in GraphFrames at cluster scale if available.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-duplicate component.
+
+    ``pairs`` is any candidate-pair DataFrame (minhash/simhash/jaccard/
+    embedding); rows not in any pair survive untouched via the anti-join.
+    """
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
     from sparkflow_spark.queries import (  # noqa: F401
         relational,
         relational_ext,
+        tpch_suite,
         functions_suite,
         textops,
         dedup_suite,

@@ -106,6 +106,67 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d_near_dedup_keep",
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                            list_transform(range(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> x != '') AS toks
+                    FROM documents)
+            ) base, UNNEST(base.shingles) AS u(shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a
+        ),
+        rep AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM rep WHERE node != component)
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "iterative"),
+)
+def d_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dedup: exact-Jaccard pairs (≥0.5) → connected
+    components (min-label propagation) → keep min-id representative per
+    component. The oracle replays the whole pipeline in SQL, closing the
+    transitive reachability with a recursive CTE — so the ITERATIVE
+    Spark algorithm's fixpoint is hash-checked, not just its pieces."""
+    t = Tables(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=None
+    )
+    return dedup.near_dedup(t.documents, pairs).select("doc_id").orderBy("doc_id")
+
+
+@register(
     "d_embedding_near_dup",
     oracle="""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -140,3 +140,29 @@ def _prop_spark():
 
         _PROP_SPARK = build_session(app_name="prop_tests", master="local[2]")
     return _PROP_SPARK
+
+
+def test_connected_components_vs_union_find(spark):
+    from sparkflow_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 1), (7, 8), (8, 9), (9, 7)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in [(1, 2), (2, 3), (5, 6), (10, 1), (7, 8), (8, 9), (9, 7)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in parent:
+        groups.setdefault(find(n), set()).add(n)
+    expected = {n: min(g) for g in groups.values() for n in g}
+    assert comp == expected
