@@ -57,8 +57,11 @@ def main() -> int:
     spark = build_session(app_name="sparkflow_bench")
     registry = load_all()
 
-    # warm the JVM/codegen/catalog outside the measured window
+    # warm the JVM/codegen/catalog AND the Arrow python-worker pool
+    # outside the measured window (warm-session semantics per BASELINE.md;
+    # workers are reused across queries, so startup is a one-time cost)
     execute(registry["q13_hash_agg_tpch_q1"].fn(spark, sf_dir))
+    execute(registry["q40_pandas_udf_scalar"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -105,6 +105,34 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q40_grouped_map_applyinpandas",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(value / AVG(value) OVER (PARTITION BY event_type), 4)
+                 AS DECIMAL(18,4)) AS v_norm
+        FROM events ORDER BY event_id
+    """,
+    tags=("functions", "udf", "udtf"),
+)
+def q40c(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDTF-ish surface, SURVEY.md §2a
+    note): per event_type, normalize value by the group mean inside a
+    pandas function — oracle is the equivalent window expression."""
+    t = Tables(spark, sf)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        return pd.DataFrame({"event_id": pdf["event_id"], "v_norm": pdf["value"] / m})
+
+    out = t.events.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        normalize, schema="event_id long, v_norm double"
+    )
+    return out.select(
+        "event_id", F.round("v_norm", 4).cast(T.DecimalType(18, 4)).alias("v_norm")
+    ).orderBy("event_id")
+
+
+@register(
     "q40_grouped_agg_pandas_udf",
     oracle="""
         SELECT event_type, CAST(ROUND(AVG(value), 2) AS DECIMAL(18,2)) AS av

@@ -17,6 +17,7 @@ from sparkflow_spark.streaming import (
     sliding_counts,
     tumbling_counts,
 )
+from sparkflow_spark.streaming.windows import stream_stream_join
 
 
 @register(
@@ -75,6 +76,24 @@ def st_session(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based session windows; oracle reconstructs sessions with the
     classic gaps-and-islands SQL."""
     return session_counts_batch(spark, sf, "30 minutes")
+
+
+@register(
+    "st_stream_stream_join",
+    oracle="""
+        SELECT l.event_id AS l_id, r.event_id AS r_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'signup'
+         AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 2 HOUR
+        ORDER BY l_id, r_id
+    """,
+    tags=("streaming", "join"),
+)
+def st_ss_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream range join (purchases ⋈ signups within 2h) — the
+    streaming result must equal the batch join."""
+    return stream_stream_join(spark, sf)
 
 
 @register(

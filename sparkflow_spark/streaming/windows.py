@@ -92,6 +92,47 @@ def sliding_counts(
     return out.select(F.col("win.start").alias("w"), "c").orderBy("w")
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "signup",
+    within: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each left event matches right events of the same user that happened
+    in (left.ts - within, left.ts]. Watermarks on BOTH sides bound the
+    join state (Spark buffers only rows inside the watermark horizon —
+    this is what makes stream-stream joins feasible at scale).
+
+    Inner joins in append mode emit every match once both sides arrive,
+    so with AvailableNow over a static source the result equals the
+    batch join — the t2 oracle.
+    """
+    left = (
+        stream_events(spark, sf_dir, watermark="3 hours")
+        .filter(F.col("event_type") == left_type)
+        .select(F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
+    )
+    right = (
+        stream_events(spark, sf_dir, watermark="3 hours")
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    joined = left.join(right, cond, "inner").select("l_id", "r_id")
+    out = run_stream_to_memory(joined, "append")
+    return out.orderBy("l_id", "r_id")
+
+
 def session_counts_batch(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the scale properties documented in
+SCALE.md must stay true as queries evolve — pushdown reaching the scan,
+broadcast hints taking effect, partial aggregation, window group limits,
+global top-k without a global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkflow_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_filter_and")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThan(l_quantity" in pushed and "LessThan(l_discount" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_scan_project")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "r_regionkey" in read and "r_name" in read
+    # nothing else from the table
+    assert read.count(":") <= 3  # struct<r_regionkey:int,r_name:string>
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_broadcast_inner_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q13_hash_agg_tpch_q1")
+    # two HashAggregates split by an Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    exch = plan.find("Exchange")
+    assert exch != -1
+
+
+def test_window_topk_prunes_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_window_topk_per_group")
+    # WindowGroupLimit below AND above the exchange (partial top-k)
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_for_in_subquery(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q09_left_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_no_cartesian_in_theta_join(spark, sf_dir):
+    """q11's equi component must be the join key (no BNLJ/cartesian)."""
+    plan = plan_of(spark, sf_dir, "q11_theta_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
