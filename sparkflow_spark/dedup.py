@@ -222,11 +222,24 @@ def ngram_jaccard_pairs(
     classic skew guard: without it one stop-shingle creates an O(n²)
     bucket at scale.
     """
-    sh = (
-        with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col)
-        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", shingle_k)).alias("shingle"))
-        .distinct()
+    # Candidate generation is ZERO-shuffle: shingles_from_tokens emits a
+    # per-doc array_distinct array, so (id, shingle) is already unique —
+    # no dedup shuffle needed — and the doc's set size is just
+    # size(array), computed BEFORE the explode (no window, no groupBy).
+    staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
+        "_sh", shingles_from_tokens("_toks", shingle_k)
     )
+    sh = staged.select(
+        F.col(id_col),
+        F.size("_sh").alias("n"),
+        F.explode("_sh").alias("shingle"),
+    )
+    # ONE shuffle, keyed on the join key: spreads the (possibly
+    # single-file) input across the cluster AND co-partitions both
+    # self-join sides and the frequency-cap groupBy — the cached
+    # partitioning satisfies their distribution requirements, so no
+    # further exchange is planned.
+    sh = sh.repartition(F.col("shingle"))
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -235,14 +248,11 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
-    # set sizes as a window (no extra aggregate branch), then persist:
-    # the inverted index is referenced by BOTH join sides, and Catalyst
-    # does not reuse alias-renamed subplans — without the persist the
-    # explode+distinct chain executes twice. At larger scale pair this
-    # with max_shingle_freq (bounds the index) and DISK_ONLY if needed.
-    sh = sh.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    ).persist()
+    # persist: the inverted index is referenced by BOTH join sides, and
+    # Catalyst does not reuse alias-renamed subplans — without this the
+    # tokenize+shingle chain executes twice. At larger scale pair with
+    # max_shingle_freq (bounds the index) and DISK_ONLY if needed.
+    sh = sh.persist()
 
     a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"), F.col("n").alias("nb"))

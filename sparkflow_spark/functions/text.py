@@ -74,19 +74,26 @@ def lower_tokens(text: Column | str) -> Column:
 
 
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
-    """k-word shingles from an ALREADY-MATERIALIZED token array column.
+    """k-word shingles over a token array → array<string> (distinct).
 
-    Performance contract: ``toks`` must be a plain column reference (a
-    projected array), not a nested expression — this expression
-    references it O(n) times, and Catalyst re-evaluates non-trivial
-    subexpressions per reference (measured 12× slowdown when the
-    tokenizer was inlined here). Use :func:`with_tokens` to stage it.
+    Formulation matters: built as a zip_with fold over k SHIFTED SLICES
+    of the array, so ``toks`` is referenced only O(k) times. The naive
+    ``transform(sequence(0,n-k), i -> slice(toks, i+1, k))`` references
+    ``toks`` inside a per-element lambda — and Catalyst's CollapseProject
+    re-inlines projected columns into their references, so if ``toks``
+    is a tokenizer expression the tokenizer runs O(n) times per row
+    (measured 12-25× slowdown). The O(k)-reference form stays fast even
+    when projections collapse.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+    m = F.greatest(n - (k - 1), F.lit(1))  # number of shingles when n >= k
+    # slices[j] = tokens shifted by j: zip element i of each slice gives
+    # (t_i, t_{i+1}, ..., t_{i+k-1})
+    acc = F.slice(toks, k, m)
+    for j in range(k - 1, 0, -1):
+        acc = F.zip_with(F.slice(toks, j, m), acc, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
 

@@ -133,6 +133,72 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q40_python_udtf_lateral",
+    oracle="""
+        SELECT doc_id, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x != '')) AS tok
+            FROM documents) t
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("functions", "udtf"),
+)
+def q40d(spark: SparkSession, sf: str) -> DataFrame:
+    """A real Python UDTF (Spark ≥3.5 table function) used via LATERAL
+    join in SQL — one row out per token; docs with zero tokens produce
+    no rows on both engines."""
+    from sparkflow_spark.catalog import register_views
+
+    @F.udtf(returnType="tok: string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text:
+                for t in text.split():
+                    yield (t,)
+
+    register_views(spark, sf)
+    spark.udtf.register("split_tokens", SplitTokens)
+    return spark.sql(
+        """
+        SELECT doc_id, COUNT(*) AS c
+        FROM documents, LATERAL split_tokens(text)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+
+
+@register(
+    "q40_map_in_arrow",
+    oracle="""
+        SELECT event_id, CAST(ROUND(value * 3, 2) AS DECIMAL(18,2)) AS v3
+        FROM events ORDER BY event_id
+    """,
+    tags=("functions", "udf", "arrow"),
+)
+def q40e(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python exchange — RecordBatches
+    in/out, no pandas conversion. Used when the Python side is itself
+    Arrow-native (pyarrow compute, polars, DuckDB-in-worker)."""
+    import pyarrow as pa
+
+    t = Tables(spark, sf)
+
+    def triple(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            import pyarrow.compute as pc
+
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("event_id").combine_chunks(), pc.multiply(tbl.column("value").combine_chunks(), 3.0)],
+                names=["event_id", "v3"],
+            )
+
+    out = t.events.select("event_id", "value").mapInArrow(triple, schema="event_id long, v3 double")
+    return out.select("event_id", dec2(F.col("v3")).alias("v3")).orderBy("event_id")
+
+
+@register(
     "q40_grouped_agg_pandas_udf",
     oracle="""
         SELECT event_type, CAST(ROUND(AVG(value), 2) AS DECIMAL(18,2)) AS av
