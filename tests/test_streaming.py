@@ -119,3 +119,39 @@ def test_streaming_session_window_append_emits_closed_sessions(spark, tmp_path):
     # user 2's session still open at end of stream → withheld by append mode
     assert (1, "10:00", 2) in got, got
     assert all(u != 2 for u, _, _ in got), got
+
+
+def test_checkpoint_no_reprocessing_on_restart(spark, tmp_path):
+    """File-sink exactly-once: restarting a finished query against the
+    same checkpoint must not re-emit rows (the recovery contract any
+    production stream relies on)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS LONG) AS k")
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+
+    for i, part in enumerate(sorted(glob.glob(str(tmp_path / "stage") + "/part-*.parquet"))):
+        shutil.copy(part, os.path.join(src, f"f{i}.parquet"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, k long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 100
+    run_once()  # restart on same checkpoint: nothing new to process
+    assert spark.read.parquet(sink).count() == 100, "restart must not duplicate rows"
