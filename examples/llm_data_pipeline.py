@@ -1,0 +1,58 @@
+"""End-to-end training-data pipeline over the documents/embeddings
+fixtures: quality filter → exact dedup → near-dedup (MinHash candidates
+→ connected components) → language stats → nearest-neighbor probe.
+
+This is the north-star composition the engine exists for; every stage
+is a DataFrame op that scales by partitioning (see SCALE.md).
+
+Run: python examples/llm_data_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from sparkflow_spark import dedup, similarity
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.functions.text import detect_lang, quality_score, token_count
+from sparkflow_spark.session import build_session
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01"):
+    spark = build_session(app_name="llm_data_pipeline", master="local[8]")
+    t = Tables(spark, sf_dir)
+
+    scored = t.documents.select(
+        "doc_id", "text",
+        quality_score("text").alias("quality"),
+        detect_lang("text").alias("lang_pred"),
+        token_count("text").alias("n_tokens"),
+    )
+    kept_quality = scored.filter(F.col("quality") >= 0.5)
+    print(f"quality filter: {t.documents.count()} -> {kept_quality.count()} docs")
+
+    exact = dedup.exact_dedup(kept_quality)
+    print(f"exact dedup: -> {exact.count()} docs")
+
+    pairs = dedup.minhash_candidate_pairs(exact, num_hashes=64, bands=16).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    final = dedup.near_dedup(exact, pairs)
+    print(f"near dedup ({pairs.count()} candidate pairs): -> {final.count()} docs")
+
+    final.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("lang_pred").show()
+
+    probes = t.embeddings.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    similarity.brute_force_topk(t.embeddings, probes, k=3).show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

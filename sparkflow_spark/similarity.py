@@ -21,7 +21,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from sparkflow_spark.functions.vector import cosine_similarity, dot
+from sparkflow_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(

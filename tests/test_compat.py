@@ -1,0 +1,47 @@
+"""Reference-API compatibility shim (sparkflow_spark.compat)."""
+
+import warnings
+
+import pytest
+from pyspark.ml.linalg import Vectors
+
+from sparkflow_spark.compat import (
+    PysparkPipelineWrapper,
+    SparkAsyncDL,
+    SparkAsyncDLModel,
+)
+from sparkflow_spark.ml import DistributedDLModel
+
+
+def test_compat_estimator_trains(spark):
+    df = spark.createDataFrame(
+        [
+            (0.0, Vectors.dense([0.0, 0.0])),
+            (0.0, Vectors.dense([1.0, 1.0])),
+            (1.0, Vectors.dense([1.0, 0.0])),
+            (1.0, Vectors.dense([0.0, 1.0])),
+        ],
+        ["label", "features"],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        est = SparkAsyncDL(
+            layers=[2, 8, 1], activations=["tanh", "sigmoid"], loss="bce",
+            inputCol="features", labelCol="label", predictionCol="predicted",
+            tfOptimizer="adam", tfLearningRate=0.1, iters=2, localIters=300,
+            partitions=1, tfInput="x:0", tfLabel="y:0",  # TF-1 args: ignored+warned
+        )
+    assert any("TF-1-specific" in str(w.message) for w in caught)
+    rows = est.fit(df).transform(df).collect()
+    errors = sum(1 for r in rows if (r["predicted"] > 0.5) != (r["label"] > 0.5))
+    assert errors <= 1
+
+
+def test_compat_requires_layers():
+    with pytest.raises(TypeError, match="layers"):
+        SparkAsyncDL(tensorflowGraph="{}", inputCol="features")
+
+
+def test_compat_aliases():
+    assert SparkAsyncDLModel is DistributedDLModel
+    assert PysparkPipelineWrapper.unwrap("anything") == "anything"
