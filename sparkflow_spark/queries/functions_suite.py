@@ -199,6 +199,39 @@ def q40e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q40_cogroup_applyinpandas",
+    oracle="""
+        SELECT COALESCE(e.k, o.k) AS k,
+               COALESCE(e.n_events, 0) AS n_events,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+          ON e.k = o.k
+        ORDER BY k
+    """,
+    tags=("functions", "udf", "cogroup"),
+)
+def q40f(spark: SparkSession, sf: str) -> DataFrame:
+    """cogroup().applyInPandas — the custom two-sided grouped operator:
+    events and orders cogrouped on their key, merged per-key in pandas.
+    Oracle is the equivalent FULL JOIN of group counts."""
+    t = Tables(spark, sf)
+    ev = t.events.select(F.col("user_id").alias("k"))
+    od = t.orders.select(F.col("o_custkey").alias("k"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [key], "n_events": [len(left)], "n_orders": [len(right)]}
+        )
+
+    out = ev.groupBy("k").cogroup(od.groupBy("k")).applyInPandas(
+        merge, schema="k long, n_events long, n_orders long"
+    )
+    return out.orderBy("k")
+
+
+@register(
     "q40_grouped_agg_pandas_udf",
     oracle="""
         SELECT event_type, CAST(ROUND(AVG(value), 2) AS DECIMAL(18,2)) AS av
