@@ -82,6 +82,26 @@ def s_brute(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "s_ivf_ann_top1",
+    oracle=None,  # ANN recall vs brute force asserted in tests
+    tags=("similarity", "ivf"),
+)
+def s_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-1 for the same probes (k-means cells, 6 of 16
+    probed)."""
+    t = Tables(spark, sf)
+    top = similarity.ivf_topk(
+        t.embeddings, _probes(t), k=2, n_centroids=16, n_probe=6
+    )
+    return (
+        top.filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id")
+        .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
+        .orderBy("probe_id")
+    )
+
+
+@register(
     "s_lsh_ann_top1",
     oracle=None,  # ANN recall vs brute force asserted in tests
     tags=("similarity", "lsh"),

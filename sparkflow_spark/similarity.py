@@ -61,6 +61,77 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → each corpus
+    vector lands in one cell; each probe scans only its ``n_probe``
+    nearest cells with exact cosine re-rank.
+
+    Scale shape: the quantizer trains once (MLlib KMeans — itself a
+    distributed fit); cell assignment is one model pass; the search
+    join touches n_probe/n_centroids of the corpus per probe. Centroids
+    are O(n_centroids·dim) — broadcast-sized by construction. This is
+    the composition FAISS-style IVF maps to on Spark.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    feats = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("_fv"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(
+        corpus_id, F.col(vec_col).alias("_cvec"), l2_norm(vec_col).alias("_cn"), "_cell"
+    )
+    centroids = np.stack(model.clusterCenters())  # O(n_centroids·dim): driver-safe
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pyspark can't resolve the local `pd` alias
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(v):
+        out = []
+        for arr in v:
+            x = np.asarray(arr, dtype=np.float64)
+            d = ((centroids - x) ** 2).sum(axis=1)
+            out.append(np.argsort(d)[:n_probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    p = probes.select(
+        F.col(probe_id),
+        F.col(vec_col).alias("_pvec"),
+        l2_norm(vec_col).alias("_pn"),
+        F.explode(nearest_cells(F.col(vec_col))).alias("_cell"),
+    )
+    den = F.col("_pn") * F.col("_cn")
+    scored = assigned.join(F.broadcast(p), on="_cell").select(
+        probe_id,
+        corpus_id,
+        F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy(probe_id, "rnk")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim)).tolist()

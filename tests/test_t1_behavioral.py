@@ -164,3 +164,17 @@ def test_lang_id_accuracy(spark, sf_dir):
         pytest.skip("no overlapping languages in fixture")
     acc = known.filter(F.col("lang_pred") == F.col("lang")).count() / n
     assert acc > 1.0 / max(len(langs), 2), f"lang-id accuracy {acc} not above chance"
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, oracle_sf_dir):
+    brute = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_brute_force_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    ivf = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_ivf_ann_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(ivf) == set(brute)
+    recall = sum(1 for p in brute if ivf.get(p) == brute[p]) / len(brute)
+    assert recall >= 0.7, f"IVF top-1 recall {recall}"
