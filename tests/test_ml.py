@@ -212,3 +212,21 @@ def test_mlp_gradients_numerically():
         mlp.weights[wi][idx] = orig
         num = (lp - lm) / (2 * eps)
         assert grads[wi][idx] == pytest.approx(num, rel=1e-4, abs=1e-6)
+
+
+def test_partition_shuffles(spark):
+    """shufflePerIter re-mixes rows between epochs (mirrors the
+    reference's partitionShuffles case, reference tests/dl_runner.py:255-272)."""
+    rng = np.random.default_rng(99)
+    rows = [(1.0, Vectors.dense(rng.normal(0, 1, 6))) for _ in range(100)]
+    rows += [(0.0, Vectors.dense(rng.normal(2, 1, 6))) for _ in range(100)]
+    df = spark.createDataFrame(rows, ["label", "features"])
+    est = xor_estimator(
+        networkSpec=build_network([6, 8, 1], activations=["tanh", "sigmoid"], loss="bce"),
+        iters=3,
+        localIters=30,
+        partitions=4,
+        shufflePerIter=True,
+    )
+    model = est.fit(df)
+    assert_beats_random(model, df.limit(40))
