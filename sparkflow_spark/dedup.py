@@ -24,18 +24,15 @@ with AQE handling bucket skew.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 from sparkflow_spark.functions.text import (
-    content_hash,
     fingerprint,
     hamming64,
     shingles_from_tokens,
     simhash64,
     with_tokens,
-    word_shingles,
 )
-from sparkflow_spark.functions.vector import cosine_similarity
 
 # Large Mersenne prime for the (a*x + b) mod p universal-hash family.
 _MERSENNE_P = (1 << 61) - 1

@@ -8,7 +8,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.functions.vector import dot, l2_norm
+from sparkflow_spark.functions.vector import dot
 from sparkflow_spark.queries import register
 from sparkflow_spark.queries.relational import dec2
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from sparkflow_spark.functions.vector import cosine_similarity
 
 from sparkflow_spark import similarity
 from sparkflow_spark.catalog import Tables

@@ -18,7 +18,6 @@ from sparkflow_spark.functions.text import (
     token_count,
 )
 from sparkflow_spark.queries import register
-from sparkflow_spark.queries.relational import dec2
 
 
 @register(
