@@ -22,7 +22,7 @@ from sparkflow_spark.queries.relational import dec2
     tags=("functions", "array"),
 )
 def q31a(spark: SparkSession, sf: str) -> DataFrame:
-    """Array size invariants per label (embedding dim is fixed → s = c·16)."""
+    """Array size invariants per label (embedding dim is fixed → s = c·dim)."""
     t = Tables(spark, sf)
     return (
         t.embeddings.groupBy("label")
