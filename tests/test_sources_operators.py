@@ -166,3 +166,27 @@ def test_connected_components_vs_union_find(spark):
         groups.setdefault(find(n), set()).add(n)
     expected = {n: min(g) for g in groups.values() for n in g}
     assert comp == expected
+
+
+def test_csv_json_readers_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["id", "s", "v"])
+    csv_path = str(tmp_path / "csv")
+    json_path = str(tmp_path / "json")
+    df.coalesce(1).write.option("header", "true").csv(csv_path)
+    df.coalesce(1).write.json(json_path)
+
+    back_schema = sources.read_csv(spark, csv_path, schema="id int, s string, v double")
+    assert {tuple(r) for r in back_schema.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+    back_infer = sources.read_csv(spark, csv_path, infer_schema=True)
+    assert back_infer.count() == 2 and dict(back_infer.dtypes)["id"] == "int"
+    back_json = sources.read_json(spark, json_path, schema="id long, s string, v double")
+    assert {tuple(r) for r in back_json.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+
+
+def test_char_ngrams(spark):
+    from sparkflow_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame([("Hello",), ("ab",)], ["t"])
+    rows = df.select(char_ngrams("t", n=3).alias("g")).collect()
+    assert rows[0]["g"] == ["hel", "ell", "llo"]
+    assert rows[1]["g"] == ["ab"]  # shorter than n → whole string
