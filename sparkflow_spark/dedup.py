@@ -223,7 +223,13 @@ def ngram_jaccard_pairs(
     # per-doc array_distinct array, so (id, shingle) is already unique —
     # no dedup shuffle needed — and the doc's set size is just
     # size(array), computed BEFORE the explode (no window, no groupBy).
-    staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
+    # spread the raw docs first (tiny shuffle) so the expensive
+    # tokenize+shingle expressions run on every core, not on however few
+    # partitions the input files happen to have
+    docs = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    staged = with_tokens(docs, text_col).withColumn(
         "_sh", shingles_from_tokens("_toks", shingle_k)
     )
     sh = staged.select(
@@ -231,11 +237,9 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("n"),
         F.explode("_sh").alias("shingle"),
     )
-    # ONE shuffle, keyed on the join key: spreads the (possibly
-    # single-file) input across the cluster AND co-partitions both
-    # self-join sides and the frequency-cap groupBy — the cached
-    # partitioning satisfies their distribution requirements, so no
-    # further exchange is planned.
+    # shuffle keyed on the join key: co-partitions both self-join sides
+    # and the frequency-cap groupBy — the cached partitioning satisfies
+    # their distribution requirements, so no further exchange is planned.
     sh = sh.repartition(F.col("shingle"))
     if max_shingle_freq is not None:
         rare = (
