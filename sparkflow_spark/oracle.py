@@ -41,15 +41,19 @@ def _canon_value(v) -> str:
 
     if v is None:
         return "<NULL>"
+    # STRICT canonicalization — exactly as unforgiving as the driver's.
+    # Round 1 lesson (VERDICT.md "What's wrong" #2): collapsing Decimal to
+    # float and rounding to 9 digits made this mirror *more lenient* than
+    # the driver, masking 11 real hash mismatches. A Decimal must survive
+    # verbatim ("244999.90" stays scale-2) and floats must keep full repr
+    # so any cross-engine type/format drift fails HERE before it fails
+    # in CORRECTNESS_r{N}.json.
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
-        v = round(v, 9)
-        if v == int(v) and abs(v) < 2**53:
-            return str(int(v))
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return pd.Timestamp(v).isoformat()
     try:

@@ -55,7 +55,7 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b,
-               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DECIMAL(18,3)) AS j
+               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DOUBLE) AS j
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
@@ -74,7 +74,7 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(F.col("jaccard"), 3).cast("decimal(18,3)").alias("j"),
+        F.round(F.col("jaccard"), 3).cast("double").alias("j"),
     ).orderBy("id_a", "id_b")
 
 

@@ -21,10 +21,13 @@ from sparkflow_spark.queries import register
 def dec2(col):
     """Stabilize an aggregated double for cross-engine hashing.
 
-    Contract rule from SURVEY.md §2c: CAST(ROUND(x, 2) AS DECIMAL(18,2))
-    on both engines.
+    Contract rule (revised in round 2): CAST(ROUND(x, 2) AS DOUBLE) on
+    both engines. DECIMAL is wrong here: Spark canonicalizes a scale-2
+    decimal as "244999.90" while DuckDB's DECIMAL reaches pandas as
+    float64 "244999.9" — the driver hashes the strings, so every decimal
+    aggregate hash-mismatched in round 1 (VERDICT.md "What's wrong" #1).
     """
-    return F.round(col, 2).cast(T.DecimalType(18, 2))
+    return F.round(col, 2).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +140,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     "q06_multiway_join",
     oracle="""
         SELECT c_name, o_orderkey,
-               CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+               CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS tp
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -288,8 +291,8 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     "q13_hash_agg_tpch_q1",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
-               CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(18,2)) AS sq,
-               CAST(ROUND(AVG(l_extendedprice), 2) AS DECIMAL(18,2)) AS ap
+               CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sq,
+               CAST(ROUND(AVG(l_extendedprice), 2) AS DOUBLE) AS ap
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -456,7 +459,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ROUND(SUM(l_quantity) OVER (
                     PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                 AS DECIMAL(18,2)) AS rq
+                 AS DOUBLE) AS rq
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber
     """,
@@ -488,7 +491,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q22_topk_global",
     oracle="""
-        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS tp
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
     """,
     tags=("relational", "sort"),
@@ -636,7 +639,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                ABS(l_discount - 0.05) > 0.01 AS far,
                CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
-               CAST(ROUND(SQRT(l_extendedprice), 2) AS DECIMAL(18,2)) AS sq
+               CAST(ROUND(SQRT(l_extendedprice), 2) AS DOUBLE) AS sq
         FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
     tags=("relational", "functions"),

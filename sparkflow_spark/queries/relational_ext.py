@@ -17,7 +17,8 @@ from sparkflow_spark.queries.relational import dec2
 
 
 def dec4(col):
-    return F.round(col, 4).cast(T.DecimalType(18, 4))
+    # DOUBLE, not DECIMAL — see dec2's docstring (driver canonicalization).
+    return F.round(col, 4).cast("double")
 
 
 @register(
@@ -46,9 +47,9 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "q42_pivot",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     tags=("relational", "pivot"),
@@ -70,8 +71,8 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
                RANK() OVER w AS rnk,
                DENSE_RANK() OVER w AS drnk,
                NTILE(4) OVER w AS tile,
-               CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DECIMAL(18,4)) AS pr,
-               CAST(ROUND(CUME_DIST() OVER w, 4) AS DECIMAL(18,4)) AS cd
+               CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DOUBLE) AS pr,
+               CAST(ROUND(CUME_DIST() OVER w, 4) AS DOUBLE) AS cd
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey
@@ -158,10 +159,10 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     "q46_stats_agg",
     oracle="""
         SELECT l_returnflag,
-               CAST(ROUND(stddev_samp(l_quantity), 2) AS DECIMAL(18,2)) AS sd,
-               CAST(ROUND(var_samp(l_quantity), 2) AS DECIMAL(18,2)) AS vr,
-               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS cr,
-               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DECIMAL(18,4)) AS cv
+               CAST(ROUND(stddev_samp(l_quantity), 2) AS DOUBLE) AS sd,
+               CAST(ROUND(var_samp(l_quantity), 2) AS DOUBLE) AS vr,
+               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS cr,
+               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) AS cv
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("relational", "agg", "stats"),
@@ -187,8 +188,8 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     "q47_median_percentile",
     oracle="""
         SELECT l_returnflag,
-               CAST(ROUND(median(l_quantity), 2) AS DECIMAL(18,2)) AS med,
-               CAST(ROUND(quantile_cont(l_quantity, 0.75), 2) AS DECIMAL(18,2)) AS p75
+               CAST(ROUND(median(l_quantity), 2) AS DOUBLE) AS med,
+               CAST(ROUND(quantile_cont(l_quantity, 0.75), 2) AS DOUBLE) AS p75
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("relational", "agg", "stats"),
@@ -295,7 +296,7 @@ _CTE_SQL = """
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_nationkey
     )
-    SELECT n_name, CAST(ROUND(total, 2) AS DECIMAL(18,2)) AS rev
+    SELECT n_name, CAST(ROUND(total, 2) AS DOUBLE) AS rev
     FROM rev JOIN nation ON nk = n_nationkey
     ORDER BY n_name
 """
@@ -343,7 +344,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q53_offset_fetch",
     oracle="""
-        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS tp
         FROM orders ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10 OFFSET 10
     """,
