@@ -168,9 +168,22 @@ def lang_scores(text: Column | str) -> Column:
 
 
 def detect_lang(text: Column | str, default: str = "en") -> Column:
-    """argmax over lang_scores; ties/no-hits → default."""
+    """argmax over lang_scores; no hits → default; a hit-count tie that
+    includes ``default`` resolves to ``default`` (r2 verdict #3 — the old
+    struct order let the lexicographically greatest code win a tie, so
+    'it' beat 'en'); a tie among non-default languages resolves to the
+    greatest code, which is at least deterministic."""
     scores = lang_scores(text)
-    best = F.array_max(F.transform(scores, lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang"))))
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                (s["lang"] == F.lit(default)).cast("int").alias("is_default"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
 
 

@@ -91,11 +91,20 @@ def salted_join(
 
     The big (skewed) side gets a random salt per row; the small side is
     replicated ``salt``× with every salt value, so each (key, salt)
-    bucket holds ~1/salt of the hot key's rows. Result is identical to
-    a plain join (the salt is join-internal). Prefer AQE skew-join when
-    it fires; salting is the explicit tool for when it does not (e.g.
-    pre-AQE stages, or aggregations-then-join patterns).
+    bucket holds ~1/salt of the hot key's rows. For ``inner`` and
+    ``left`` (big side preserved) the result is identical to a plain
+    join — the salt is join-internal. Other join types are REJECTED:
+    replication breaks right/full outer (each unmatched small-side row
+    would surface ``salt`` times) and inverts semi/anti semantics
+    (r2 verdict #4). Prefer AQE skew-join when it fires; salting is the
+    explicit tool for when it does not (e.g. pre-AQE stages, or
+    aggregations-then-join patterns).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (big side preserved); got {how!r}. "
+            "Replicating the small side salt× breaks right/full-outer and semi/anti joins."
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

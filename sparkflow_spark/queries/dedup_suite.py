@@ -31,10 +31,24 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(t.documents).select("doc_id").orderBy("doc_id")
 
 
-@register(
-    "d_ngram_jaccard_pairs",
-    oracle="""
-        WITH sh AS (
+# Document-frequency cap for the CHECKED jaccard paths. This is the
+# 100 TB skew guard (one boilerplate shingle in >N docs would otherwise
+# create an O(n²) join bucket) and it is part of the verified contract:
+# the oracle applies the identical cap, so the hash check covers the
+# capped semantics — not the uncapped configuration the guard exists to
+# avoid (r2 verdict: the checked path must be the scale-safe path).
+# At sf0.1 the fixtures genuinely exceed it (max shingle df = 25), so
+# the cap is exercised, not vacuous.
+_SHINGLE_FREQ_CAP = 20
+
+# Shared oracle CTE prelude: tokenize → 3-shingles → distinct inverted
+# index (sh), full per-doc set sizes (sizes — computed BEFORE the cap,
+# mirroring F.size on the un-capped array), capped index (sh_capped —
+# shingles in more than _SHINGLE_FREQ_CAP docs are dropped from candidate
+# generation and intersection counting, exactly like the Spark side's
+# left-semi join against the rare-shingle set).
+_JACCARD_CTES = f"""
+        sh AS (
             SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
                        CASE WHEN len(toks) >= 3 THEN
@@ -49,13 +63,25 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
             ) base, UNNEST(base.shingles) AS u(shingle)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sh_capped AS (
+            SELECT sh.doc_id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) <= {_SHINGLE_FREQ_CAP}) ok USING (shingle)
+        ),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sh_capped a
+            JOIN sh_capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
+        )"""
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH {_JACCARD_CTES}
         SELECT id_a, id_b,
-               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DOUBLE) AS j
+               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DOUBLE) + 0.0 AS j
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
@@ -65,11 +91,12 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "join"),
 )
 def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 — inverted-index join,
-    matched shingle-for-shingle by the DuckDB oracle."""
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.5 with the doc-frequency
+    skew cap — inverted-index join, matched shingle-for-shingle (and
+    cap-for-cap) by the DuckDB oracle."""
     t = Tables(spark, sf)
     pairs = dedup.ngram_jaccard_pairs(
-        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=None
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=_SHINGLE_FREQ_CAP
     )
     return pairs.select(
         "id_a",
@@ -107,27 +134,8 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d_near_dedup_keep",
-    oracle="""
-        WITH RECURSIVE sh AS (
-            SELECT DISTINCT doc_id, shingle FROM (
-                SELECT doc_id,
-                       CASE WHEN len(toks) >= 3 THEN
-                            list_transform(range(1, len(toks) - 1),
-                                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-                       ELSE [array_to_string(toks, ' ')] END AS shingles
-                FROM (
-                    SELECT doc_id,
-                           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                       x -> x != '') AS toks
-                    FROM documents)
-            ) base, UNNEST(base.shingles) AS u(shingle)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
         pairs AS (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
@@ -161,7 +169,7 @@ def d_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Spark algorithm's fixpoint is hash-checked, not just its pieces."""
     t = Tables(spark, sf)
     pairs = dedup.ngram_jaccard_pairs(
-        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=None
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=_SHINGLE_FREQ_CAP
     )
     return dedup.near_dedup(t.documents, pairs).select("doc_id").orderBy("doc_id")
 
@@ -186,6 +194,39 @@ def d_embedding(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     return (
         dedup.embedding_near_duplicates(t.embeddings, threshold=0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "d_embedding_near_dup_ann",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "vector", "ann"),
+)
+def d_embedding_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path for embedding near-dup, hash-checked against the
+    same brute-force oracle as d_embedding: multi-probe LSH candidate
+    generation (linear in n) + exact cosine verification. Precision is
+    exact by construction (every candidate is verified); recall at the
+    0.4 threshold with 16 tables × 8 planes × hamming-2 probing is
+    ≈0.9996 per pair, and the fixed seed makes the run deterministic —
+    the pair set equals brute force on the fixtures, so the oracle is a
+    true differential, not a lucky sample."""
+    t = Tables(spark, sf)
+    return (
+        dedup.embedding_near_duplicates_ann(
+            t.embeddings, threshold=0.4, num_planes=8, num_tables=16, probe_hamming=2
+        )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )

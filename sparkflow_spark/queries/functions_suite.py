@@ -40,7 +40,7 @@ def q31a(spark: SparkSession, sf: str) -> DataFrame:
         SELECT vec_id,
                CAST(ROUND(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 2)
-                 AS DOUBLE) AS nrm2
+                 AS DOUBLE) + 0.0 AS nrm2
         FROM embeddings ORDER BY vec_id
     """,
     tags=("functions", "array", "vector"),
@@ -83,7 +83,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q40_pandas_udf_scalar",
     oracle="""
-        SELECT event_id, CAST(ROUND(value * 2, 2) AS DOUBLE) AS v2
+        SELECT event_id, CAST(ROUND(value * 2, 2) AS DOUBLE) + 0.0 AS v2
         FROM events ORDER BY event_id
     """,
     tags=("functions", "udf"),
@@ -109,7 +109,7 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(ROUND(value / AVG(value) OVER (PARTITION BY event_type), 4)
-                 AS DOUBLE) AS v_norm
+                 AS DOUBLE) + 0.0 AS v_norm
         FROM events ORDER BY event_id
     """,
     tags=("functions", "udf", "udtf"),
@@ -128,7 +128,7 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
         normalize, schema="event_id long, v_norm double"
     )
     return out.select(
-        "event_id", F.round("v_norm", 4).cast("double").alias("v_norm")
+        "event_id", (F.round("v_norm", 4).cast("double") + F.lit(0.0)).alias("v_norm")
     ).orderBy("event_id")
 
 
@@ -171,7 +171,7 @@ def q40d(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q40_map_in_arrow",
     oracle="""
-        SELECT event_id, CAST(ROUND(value * 3, 2) AS DOUBLE) AS v3
+        SELECT event_id, CAST(ROUND(value * 3, 2) AS DOUBLE) + 0.0 AS v3
         FROM events ORDER BY event_id
     """,
     tags=("functions", "udf", "arrow"),
@@ -234,7 +234,7 @@ def q40f(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q40_grouped_agg_pandas_udf",
     oracle="""
-        SELECT event_type, CAST(ROUND(AVG(value), 2) AS DOUBLE) AS av
+        SELECT event_type, CAST(ROUND(AVG(value), 2) AS DOUBLE) + 0.0 AS av
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("functions", "udf", "agg"),

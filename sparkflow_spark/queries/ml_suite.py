@@ -38,7 +38,7 @@ def _weights(dim: int) -> list[float]:
         SELECT vec_id,
                CAST(ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
                     i -> CAST(embedding[i] AS DOUBLE) * ((((i - 1) % 5) - 2) / 10.0)))
-                    + {_B}, 2) AS DOUBLE) AS pred
+                    + {_B}, 2) AS DOUBLE) + 0.0 AS pred
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "inference"),
@@ -67,7 +67,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
         SELECT vec_id,
                CAST(ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
                     i -> CAST(embedding[i] AS DOUBLE) * ((((i - 1) % 5) - 2) / 10.0)))
-                    + {_B}, 2) AS DOUBLE) AS pred
+                    + {_B}, 2) AS DOUBLE) + 0.0 AS pred
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "persistence"),

@@ -17,8 +17,9 @@ from sparkflow_spark.queries.relational import dec2
 
 
 def dec4(col):
-    # DOUBLE, not DECIMAL — see dec2's docstring (driver canonicalization).
-    return F.round(col, 4).cast("double")
+    # DOUBLE, not DECIMAL, and `+ 0.0` to normalize IEEE signed zero —
+    # see dec2's docstring (driver canonicalization rules).
+    return F.round(col, 4).cast("double") + F.lit(0.0)
 
 
 @register(
@@ -71,8 +72,8 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
                RANK() OVER w AS rnk,
                DENSE_RANK() OVER w AS drnk,
                NTILE(4) OVER w AS tile,
-               CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DOUBLE) AS pr,
-               CAST(ROUND(CUME_DIST() OVER w, 4) AS DOUBLE) AS cd
+               CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DOUBLE) + 0.0 AS pr,
+               CAST(ROUND(CUME_DIST() OVER w, 4) AS DOUBLE) + 0.0 AS cd
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey
@@ -159,10 +160,10 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     "q46_stats_agg",
     oracle="""
         SELECT l_returnflag,
-               CAST(ROUND(stddev_samp(l_quantity), 2) AS DOUBLE) AS sd,
-               CAST(ROUND(var_samp(l_quantity), 2) AS DOUBLE) AS vr,
-               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS cr,
-               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) AS cv
+               CAST(ROUND(stddev_samp(l_quantity), 2) AS DOUBLE) + 0.0 AS sd,
+               CAST(ROUND(var_samp(l_quantity), 2) AS DOUBLE) + 0.0 AS vr,
+               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) + 0.0 AS cr,
+               CAST(ROUND(covar_samp(l_quantity, l_discount), 4) AS DOUBLE) + 0.0 AS cv
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("relational", "agg", "stats"),
@@ -188,8 +189,8 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     "q47_median_percentile",
     oracle="""
         SELECT l_returnflag,
-               CAST(ROUND(median(l_quantity), 2) AS DOUBLE) AS med,
-               CAST(ROUND(quantile_cont(l_quantity, 0.75), 2) AS DOUBLE) AS p75
+               CAST(ROUND(median(l_quantity), 2) AS DOUBLE) + 0.0 AS med,
+               CAST(ROUND(quantile_cont(l_quantity, 0.75), 2) AS DOUBLE) + 0.0 AS p75
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("relational", "agg", "stats"),
@@ -296,7 +297,7 @@ _CTE_SQL = """
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_nationkey
     )
-    SELECT n_name, CAST(ROUND(total, 2) AS DOUBLE) AS rev
+    SELECT n_name, CAST(ROUND(total, 2) AS DOUBLE) + 0.0 AS rev
     FROM rev JOIN nation ON nk = n_nationkey
     ORDER BY n_name
 """
@@ -344,7 +345,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q53_offset_fetch",
     oracle="""
-        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS tp
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) + 0.0 AS tp
         FROM orders ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10 OFFSET 10
     """,

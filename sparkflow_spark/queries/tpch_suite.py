@@ -31,13 +31,13 @@ _sql_query(
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
-           CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) AS avg_qty,
-           CAST(ROUND(AVG(l_extendedprice), 2) AS DOUBLE) AS avg_price,
-           CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+           CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) + 0.0 AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) + 0.0 AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) + 0.0 AS sum_disc_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) + 0.0 AS sum_charge,
+           CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) + 0.0 AS avg_qty,
+           CAST(ROUND(AVG(l_extendedprice), 2) AS DOUBLE) + 0.0 AS avg_price,
+           CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) + 0.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -51,7 +51,7 @@ _sql_query(
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) + 0.0 AS revenue,
            CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -70,7 +70,7 @@ _sql_query(
     "tpch_q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) + 0.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -89,7 +89,7 @@ _sql_query(
 _sql_query(
     "tpch_q6_forecast_revenue",
     """
-    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE) + 0.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -103,8 +103,8 @@ _sql_query(
     "tpch_q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
-           CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal, n_name
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) + 0.0 AS revenue,
+           CAST(ROUND(c_acctbal, 2) AS DOUBLE) + 0.0 AS acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

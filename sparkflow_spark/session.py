@@ -42,6 +42,55 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# SparkContext ids that already had the package zip shipped to executors.
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``sparkflow_spark`` importable on executor Python workers.
+
+    cloudpickle serializes module-level functions (the ML inference
+    pandas_udf, the stateful-streaming update function) by REFERENCE, so
+    every executor worker must be able to ``import sparkflow_spark``.
+    When the driving process runs from the repo directory that works by
+    accident (cwd is on sys.path and local-mode workers inherit it); a
+    driver process launched anywhere else gets
+    ``ModuleNotFoundError: sparkflow_spark`` inside read_udfs. Shipping
+    a zip of the package via ``addPyFile`` fixes it for every
+    deployment — local mode, cluster executors, and externally built
+    sessions alike. Idempotent per SparkContext; the zip is rebuilt at
+    most once per driver process.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    import sparkflow_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(sparkflow_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"sparkflow_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # e.g. a session mode that forbids adding files mid-flight; the
+        # import-by-reference paths will still work wherever the package
+        # is on the workers' PYTHONPATH.
+        pass
+    _SHIPPED.add(id(sc))
+
+
 def ensure_runtime_configs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session.
 
@@ -54,6 +103,7 @@ def ensure_runtime_configs(spark: SparkSession) -> SparkSession:
             # A config may be static in some deployments; never fail the
             # query path over a tuning knob.
             pass
+    ship_package(spark)
     return spark
 
 

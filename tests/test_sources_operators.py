@@ -190,3 +190,14 @@ def test_char_ngrams(spark):
     rows = df.select(char_ngrams("t", n=3).alias("g")).collect()
     assert rows[0]["g"] == ["hel", "ell", "llo"]
     assert rows[1]["g"] == ["ab"]  # shorter than n → whole string
+
+def test_salted_join_rejects_unsupported_how(spark):
+    """Replicating the small side salt-times breaks right/full-outer and
+    semi/anti joins — salted_join must refuse them (r2 verdict #4)."""
+    import pytest
+
+    big = spark.createDataFrame([(1, 1)], ["k", "v"])
+    small = spark.createDataFrame([(1, "d")], ["k", "name"])
+    for how in ("right", "full", "left_semi", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            operators.salted_join(big, small, "k", how=how)

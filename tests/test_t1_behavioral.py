@@ -178,3 +178,58 @@ def test_ivf_ann_recall_vs_brute_force(spark, oracle_sf_dir):
     assert set(ivf) == set(brute)
     recall = sum(1 for p in brute if ivf.get(p) == brute[p]) / len(brute)
     assert recall >= 0.7, f"IVF top-1 recall {recall}"
+
+def test_minhash_ansi_safe(spark, sf_dir):
+    """The (a*x+b) mod p family must not overflow int64 under ANSI mode
+    (Spark 4's default on a bare session): p = 2^31-1 with pre-reduced
+    base hashes keeps every product < 2^62. Round-1's p = 2^61-1 threw
+    ARITHMETIC_OVERFLOW here (r2 verdict #2)."""
+    from sparkflow_spark import dedup
+    from sparkflow_spark.catalog import Tables
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        docs = Tables(spark, sf_dir).documents.limit(50)
+        rows = dedup.minhash_candidate_pairs(docs, num_hashes=16, bands=4).collect()
+        for r in rows:
+            assert 0.0 <= r["est_jaccard"] <= 1.0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_detect_lang_tie_goes_to_default(spark):
+    """A hit-count tie that includes the default language resolves to the
+    default, not the lexicographically greatest code (r2 verdict #3)."""
+    from sparkflow_spark.functions.text import detect_lang
+
+    df = spark.createDataFrame(
+        [
+            ("the il",),          # en=1, it=1 tie -> default 'en'
+            ("que",),             # fr=1, es=1 tie, no default -> greatest code 'fr'
+            ("xyz qwerty",),      # no hits -> default
+            ("il che di x",),     # it=3 outright
+        ],
+        ["text"],
+    )
+    got = [r["lang"] for r in df.select(detect_lang("text").alias("lang")).collect()]
+    assert got == ["en", "fr", "en", "it"]
+
+
+def test_embedding_ann_matches_brute_force(spark, oracle_sf_dir):
+    """The LSH ANN near-dup path (exact-verified candidates) returns the
+    identical pair set as the O(n^2) brute-force oracle path on the
+    fixtures — recall loss would show as missing pairs."""
+    from sparkflow_spark import dedup
+    from sparkflow_spark.catalog import Tables
+
+    emb = Tables(spark, oracle_sf_dir).embeddings
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(emb, threshold=0.4).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates_ann(emb, threshold=0.4).collect()
+    }
+    assert ann == brute
