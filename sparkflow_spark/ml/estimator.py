@@ -102,6 +102,12 @@ class DistributedDL(
                          typeConverter=TypeConverters.toBoolean)
     verbose = Param(Params._dummy(), "verbose", "print loss per epoch",
                     typeConverter=TypeConverters.toBoolean)
+    miniStochasticIters = Param(
+        Params._dummy(), "miniStochasticIters",
+        "sampled-minibatch steps per local pass (-1 = off): each step trains on a "
+        "uniform without-replacement sample of miniBatchSize rows (reference "
+        "HogwildSparkModel.py:62-67, ml_util.py:104-127 third branch)",
+        typeConverter=TypeConverters.toInt)
 
     @keyword_only
     def __init__(
@@ -115,21 +121,39 @@ class DistributedDL(
         iters: int = 10,
         localIters: int = 10,
         miniBatchSize: int = -1,
+        miniStochasticIters: int = -1,
         partitions: int = -1,
         shufflePerIter: bool = False,
         optimizerOptions: str = "{}",
         unsupervised: bool = False,
         seed: int = 42,
         verbose: bool = False,
+        lossCallback=None,
     ):
         super().__init__()
         self._setDefault(
             inputCol="features", labelCol="label", predictionCol="predicted",
             networkSpec="", tfOptimizer="adam", tfLearningRate=0.01, iters=10,
-            localIters=10, miniBatchSize=-1, partitions=-1, shufflePerIter=False,
-            optimizerOptions="{}", unsupervised=False, seed=42, verbose=False,
+            localIters=10, miniBatchSize=-1, miniStochasticIters=-1, partitions=-1,
+            shufflePerIter=False, optimizerOptions="{}", unsupervised=False, seed=42,
+            verbose=False,
         )
-        self._set(**self._input_kwargs)
+        kwargs = dict(self._input_kwargs)
+        # a callable is not Param-serializable — held as a plain attribute
+        # (the reference's loss_callback is likewise constructor-only
+        # state, HogwildSparkModel.py:117,141); persistence skips it.
+        self._loss_callback = kwargs.pop("lossCallback", None)
+        self._set(**kwargs)
+
+    def setLossCallback(self, fn) -> "DistributedDL":
+        """``fn(loss, epoch, partition_id)`` — called on the driver after
+        each epoch with every partition's end-of-epoch training loss
+        (reference HogwildSparkModel.py:94-100 called it per iteration
+        per partition; here partitions report once per epoch, which is
+        the same observability at the synchronization granularity this
+        trainer actually has)."""
+        self._loss_callback = fn
+        return self
 
     def _fit(self, dataset: DataFrame) -> "DistributedDLModel":
         spec = json.loads(self.getOrDefault(self.networkSpec))
@@ -139,6 +163,7 @@ class DistributedDL(
         epochs = self.getOrDefault(self.iters)
         local_iters = self.getOrDefault(self.localIters)
         batch = self.getOrDefault(self.miniBatchSize)
+        msi = self.getOrDefault(self.miniStochasticIters)
         parts = self.getOrDefault(self.partitions)
         shuffle = self.getOrDefault(self.shufflePerIter)
         unsup = self.getOrDefault(self.unsupervised)
@@ -190,16 +215,30 @@ class DistributedDL(
                 X = np.vstack(Xs)
                 Y = X if unsup else np.concatenate(Ys).reshape(-1, 1)
                 rng = np.random.default_rng(epoch_seed)
+                drop_rng = rng if local.dropout is not None else None
                 n = X.shape[0]
                 for _ in range(local_iters):
-                    if batch <= 0 or batch >= n:
-                        local.set_weights(opt.apply(local.weights, local.gradients(X, Y)))
+                    if msi >= 1:
+                        # sampled-minibatch mode: msi independent uniform
+                        # without-replacement samples per pass (reference
+                        # HogwildSparkModel.py:62-67 via ml_util.py's
+                        # np.random.choice branch, ml_util.py:121-127);
+                        # batch<=0 degrades to full-batch per reference
+                        # handle_feed_dict's mini_batch_size<=0 rule.
+                        size = min(batch, n) if batch >= 1 else n
+                        for _ in range(msi):
+                            idx = rng.choice(n, size=size, replace=False)
+                            local.set_weights(
+                                opt.apply(local.weights, local.gradients(X[idx], Y[idx], drop_rng))
+                            )
+                    elif batch <= 0 or batch >= n:
+                        local.set_weights(opt.apply(local.weights, local.gradients(X, Y, drop_rng)))
                     else:
                         order = rng.permutation(n)  # in-partition shuffle
                         for s in range(0, n, batch):
                             idx = order[s : s + batch]
                             local.set_weights(
-                                opt.apply(local.weights, local.gradients(X[idx], Y[idx]))
+                                opt.apply(local.weights, local.gradients(X[idx], Y[idx], drop_rng))
                             )
                 yield pd.DataFrame(
                     {"n": [n], "loss": [local.loss_value(X, Y)], "w": [local.weights_to_json()]}
@@ -217,6 +256,10 @@ class DistributedDL(
                 ws = [np.asarray(w) * (r["n"] / total) for w in json.loads(r["w"])]
                 acc = ws if acc is None else [a + w for a, w in zip(acc, ws)]
             weights = acc
+            cb = getattr(self, "_loss_callback", None)
+            if cb is not None:
+                for pid, r in enumerate(parts_out):
+                    cb(r["loss"], epoch, pid)
             if verbose:
                 mean_loss = sum(r["loss"] * r["n"] for r in parts_out) / total
                 print(f"[DistributedDL] epoch {epoch + 1}/{epochs} loss={mean_loss:.6f}")
@@ -269,9 +312,18 @@ class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsR
             # model rebuilt once per python worker, cached across batches
             local = MLP(json.loads(spec_json))
             local.weights_from_json(weights_json)
+            # keep_dropout → dropout stays ACTIVE at inference (the
+            # reference's toKeepDropout, ml_util.py:70-72) with a fixed
+            # seed so predictions are reproducible; default is
+            # deterministic eval-mode forward (dropout off).
+            rng = (
+                np.random.default_rng(int(local.spec.get("seed", 42)))
+                if local.keep_dropout and local.dropout is not None
+                else None
+            )
             for s in it:
                 X = np.vstack(s.to_numpy())
-                P = local.forward(X)
+                P = local.forward(X, rng)
                 if out_dim == 1:
                     yield pd.Series(P[:, 0])
                 else:

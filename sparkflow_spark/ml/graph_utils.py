@@ -15,13 +15,24 @@ def build_network(
     activations: list[str] | None = None,
     loss: str = "mse",
     seed: int = 42,
+    dropout: float | list[float] | None = None,
+    keep_dropout: bool = False,
 ) -> str:
     """JSON network spec for :class:`~sparkflow_spark.ml.nn.MLP` —
     the analogue of the reference's MetaGraphDef→JSON export
-    (reference graph_utils.py:6-15)."""
+    (reference graph_utils.py:6-15).
+
+    ``dropout``: rate (or per-hidden-layer list) for inverted dropout at
+    training; disabled at inference unless ``keep_dropout`` (the
+    reference's tfDropout / toKeepDropout pair, reference
+    ml_util.py:70-72, tensorflow_async.py:57-58)."""
     spec: dict = {"layers": list(layers), "loss": loss, "seed": seed}
     if activations is not None:
         spec["activations"] = list(activations)
+    if dropout is not None:
+        spec["dropout"] = dropout
+    if keep_dropout:
+        spec["keep_dropout"] = True
     return json.dumps(spec)
 
 

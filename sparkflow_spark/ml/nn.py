@@ -34,8 +34,19 @@ class MLP:
     """Fully-connected net defined by ``spec``:
 
     ``{"layers": [in, h1, ..., out], "activations": ["relu", ...],
-    "loss": "mse"|"bce", "seed": 42}``
+    "loss": "mse"|"bce", "seed": 42, "dropout": 0.2,
+    "keep_dropout": false}``
     (len(activations) == len(layers) - 1).
+
+    ``dropout``: inverted dropout on HIDDEN layer outputs — a float
+    (same rate for every hidden layer) or a list of one rate per hidden
+    layer. Active only when an rng is passed to forward()/gradients()
+    (training); plain forward() is deterministic eval — mirroring the
+    reference's tfDropout placeholder fed 0.0 at inference
+    (reference ml_util.py:70-72). ``keep_dropout`` mirrors the
+    reference's toKeepDropout: inference keeps dropout active
+    (MC-dropout style; the model layer passes a seeded rng so results
+    stay reproducible).
     """
 
     def __init__(self, spec: dict):
@@ -52,6 +63,18 @@ class MLP:
         self.loss = spec.get("loss", "mse")
         if self.loss not in LOSSES:
             raise ValueError(f"unknown loss {self.loss!r}")
+        n_hidden = len(layers) - 2
+        drop = spec.get("dropout")
+        if drop is None:
+            self.dropout: list[float] | None = None
+        else:
+            rates = [float(drop)] * n_hidden if isinstance(drop, (int, float)) else [float(r) for r in drop]
+            if len(rates) != n_hidden:
+                raise ValueError(f"dropout needs one rate per hidden layer ({n_hidden})")
+            if any(not (0.0 <= r < 1.0) for r in rates):
+                raise ValueError("dropout rates must be in [0, 1)")
+            self.dropout = rates if any(r > 0 for r in rates) else None
+        self.keep_dropout = bool(spec.get("keep_dropout", False))
         self.weights = self._init_weights(int(spec.get("seed", 42)))
 
     def _init_weights(self, seed: int) -> list[np.ndarray]:
@@ -78,12 +101,27 @@ class MLP:
         self.set_weights([np.asarray(w) for w in json.loads(s)])
 
     # -- forward / backward --------------------------------------------
-    def forward(self, X: np.ndarray) -> np.ndarray:
+    def _mask(self, i: int, shape, rng) -> np.ndarray | None:
+        """Inverted-dropout mask for hidden layer i, or None."""
+        if rng is None or self.dropout is None or i >= len(self.layers) - 2:
+            return None
+        rate = self.dropout[i]
+        if rate <= 0.0:
+            return None
+        keep = 1.0 - rate
+        return (rng.random(shape) < keep).astype(np.float64) / keep
+
+    def forward(self, X: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+        """Eval-mode forward (deterministic) unless ``rng`` is given, in
+        which case dropout masks are sampled (training / keep_dropout)."""
         a = X
         for i in range(len(self.layers) - 1):
             W, b = self.weights[2 * i], self.weights[2 * i + 1]
             z = a @ W + b
             a = _ACTIVATIONS[self.activations[i]][0](z)
+            m = self._mask(i, a.shape, rng)
+            if m is not None:
+                a = a * m
         return a
 
     def loss_value(self, X: np.ndarray, Y: np.ndarray) -> float:
@@ -93,16 +131,25 @@ class MLP:
             return float(-np.mean(Y * np.log(p) + (1 - Y) * np.log(1 - p)))
         return float(np.mean((P - Y) ** 2))
 
-    def gradients(self, X: np.ndarray, Y: np.ndarray) -> list[np.ndarray]:
-        """Backprop; returns grads aligned with self.weights."""
-        zs, as_ = [], [X]
+    def gradients(
+        self, X: np.ndarray, Y: np.ndarray, rng: np.random.Generator | None = None
+    ) -> list[np.ndarray]:
+        """Backprop; returns grads aligned with self.weights. ``rng``
+        activates dropout (masks are sampled in the forward pass and
+        reused exactly in the backward pass)."""
+        zs, raw, as_ = [], [X], [X]  # raw = pre-dropout activations (for dact)
+        masks: list[np.ndarray | None] = []
         a = X
         for i in range(len(self.layers) - 1):
             W, b = self.weights[2 * i], self.weights[2 * i + 1]
             z = a @ W + b
-            a = _ACTIVATIONS[self.activations[i]][0](z)
+            r = _ACTIVATIONS[self.activations[i]][0](z)
+            m = self._mask(i, r.shape, rng)
+            a = r * m if m is not None else r
             zs.append(z)
+            raw.append(r)
             as_.append(a)
+            masks.append(m)
         n = X.shape[0]
         P = as_[-1]
         if self.loss == "bce":
@@ -113,7 +160,9 @@ class MLP:
         grads: list[np.ndarray] = [np.zeros_like(w) for w in self.weights]
         for i in reversed(range(len(self.layers) - 1)):
             act, dact = _ACTIVATIONS[self.activations[i]]
-            dZ = dA * dact(zs[i], as_[i + 1])
+            if masks[i] is not None:  # d(r·m)/dr = m
+                dA = dA * masks[i]
+            dZ = dA * dact(zs[i], raw[i + 1])
             grads[2 * i] = as_[i].T @ dZ
             grads[2 * i + 1] = dZ.sum(axis=0)
             dA = dZ @ self.weights[2 * i].T

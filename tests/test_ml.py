@@ -230,3 +230,91 @@ def test_partition_shuffles(spark):
     )
     model = est.fit(df)
     assert_beats_random(model, df.limit(40))
+
+def test_dropout_trains_and_infers_deterministically(spark):
+    """Dropout regularizes training but inference is eval-mode (masks
+    off) — deterministic and still solves XOR (reference tfDropout fed
+    0.0 at predict time, reference ml_util.py:70-72)."""
+    df = xor_df(spark)
+    est = xor_estimator(
+        networkSpec=build_network(
+            [2, 16, 1], activations=["tanh", "sigmoid"], loss="bce", dropout=0.1
+        ),
+        localIters=400,
+    )
+    model = est.fit(df)
+    assert_beats_random(model, df)
+    a = [r["predicted"] for r in model.transform(df).collect()]
+    b = [r["predicted"] for r in model.transform(df).collect()]
+    assert a == b, "eval-mode inference must be deterministic"
+
+
+def test_keep_dropout_inference_applies_masks(spark):
+    """toKeepDropout semantics: masks stay active at inference, so
+    predictions differ from the eval-mode forward of the same weights
+    (reference ml_util.py:70: dropout_v = 1.0 when to_keep_dropout)."""
+    spec_keep = json.loads(build_network([2, 32, 1], dropout=0.5, keep_dropout=True))
+    spec_eval = {**spec_keep, "keep_dropout": False}
+    w = MLP(spec_keep).weights_to_json()
+    df = xor_df(spark)
+    kept = DistributedDLModel(
+        inputCol="features", predictionCol="predicted",
+        networkSpec=json.dumps(spec_keep), modelWeights=w,
+    ).transform(df).collect()
+    plain = DistributedDLModel(
+        inputCol="features", predictionCol="predicted",
+        networkSpec=json.dumps(spec_eval), modelWeights=w,
+    ).transform(df).collect()
+    assert [r["predicted"] for r in kept] != [r["predicted"] for r in plain]
+
+
+def test_mlp_dropout_gradients_numerically():
+    """Backprop through fixed dropout masks matches finite differences:
+    re-seeding the rng identically per evaluation freezes the masks, so
+    the loss is differentiable and the usual central-difference check
+    applies to the masked network."""
+    spec = {"layers": [3, 5, 1], "activations": ["tanh", "linear"],
+            "loss": "mse", "seed": 7, "dropout": 0.4}
+    net = MLP(spec)
+    rng_x = np.random.default_rng(0)
+    X = rng_x.normal(size=(6, 3))
+    Y = rng_x.normal(size=(6, 1))
+    grads = net.gradients(X, Y, np.random.default_rng(123))
+    eps = 1e-6
+    for wi in range(len(net.weights)):
+        flat = net.weights[wi].ravel()
+        for j in range(min(flat.size, 4)):
+            orig = flat[j]
+            flat[j] = orig + eps
+            lp = _frozen_loss(net, X, Y)
+            flat[j] = orig - eps
+            lm = _frozen_loss(net, X, Y)
+            flat[j] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = grads[wi].ravel()[j]
+            assert abs(num - ana) < 1e-5, (wi, j, num, ana)
+
+
+def _frozen_loss(net, X, Y):
+    """Loss under the same masks gradients() sampled (rng reseeded)."""
+    P = net.forward(X, np.random.default_rng(123))
+    return float(np.mean((P - Y) ** 2))
+
+
+def test_mini_stochastic_iters_trains(spark):
+    df = xor_df(spark)
+    est = xor_estimator(miniStochasticIters=5, miniBatchSize=3, localIters=200)
+    model = est.fit(df)
+    assert_beats_random(model, df)
+
+
+def test_loss_callback_invoked_per_epoch_per_partition(spark):
+    seen = []
+    df = xor_df(spark)
+    est = xor_estimator(iters=3, localIters=50,
+                        lossCallback=lambda loss, epoch, pid: seen.append((loss, epoch, pid)))
+    est.fit(df)
+    assert [(e, p) for _, e, p in seen] == [(0, 0), (1, 0), (2, 0)]
+    assert all(isinstance(l, float) and l >= 0 for l, _, _ in seen)
+    # loss should broadly decrease across epochs on this separable toy
+    assert seen[-1][0] <= seen[0][0]
