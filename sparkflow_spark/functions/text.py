@@ -98,6 +98,39 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """k-word shingles as 64-bit hashes → array<bigint> (distinct).
+
+    The dedup kernels (Jaccard inverted index, MinHash) never need the
+    shingle TEXT — only set membership. Hashing each token once
+    (xxhash64) and folding k consecutive token hashes with
+    ``xxhash64(long, long)`` skips building the concat strings entirely:
+    the exploded join/shuffle key becomes a fixed 8-byte long instead of
+    a ~25-byte string, array_distinct compares longs, and the codegen'd
+    expression is materially smaller. Same O(k)-reference shifted-slice
+    shape as :func:`shingles_from_tokens` (see its performance
+    contract). Collisions (~n²/2⁶⁴ per document pair) are the standard
+    hashed-shingle trade every production dedup pipeline makes; results
+    are identical to string shingles unless two distinct shingles of the
+    same document pair collide.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    # one interpreted pass: HOF lambdas don't codegen, so every extra
+    # transform is a full array materialization — hash directly
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    acc = F.slice(th, k, m)
+    for j in range(k - 1, 0, -1):
+        acc = F.zip_with(F.slice(th, j, m), acc, lambda x, y: F.xxhash64(x, y))
+    # short docs (n < k): one shingle = fold of all token hashes, the
+    # hashed analogue of shingles_from_tokens' concat_ws fallback
+    short = F.aggregate(
+        F.reverse(th), F.xxhash64(F.lit("")), lambda a, h: F.xxhash64(h, a)
+    )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(short))
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles → array<string> (distinct), for Jaccard/MinHash.
 

@@ -77,7 +77,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st.u").alias("uid"),
         F.col("st.e").alias("et"),
         F.col("mp").getItem("a").alias("mv"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -100,7 +100,6 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
     return (
         t.events.select("event_id", dec2(double_it(F.col("value"))).alias("v2"))
-        .orderBy("event_id")
     )
 
 
@@ -129,7 +128,7 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         "event_id", (F.round("v_norm", 4).cast("double") + F.lit(0.0)).alias("v_norm")
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -195,7 +194,7 @@ def q40e(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     out = t.events.select("event_id", "value").mapInArrow(triple, schema="event_id long, v3 double")
-    return out.select("event_id", dec2(F.col("v3")).alias("v3")).orderBy("event_id")
+    return out.select("event_id", dec2(F.col("v3")).alias("v3"))
 
 
 @register(

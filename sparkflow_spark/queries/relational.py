@@ -70,7 +70,6 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.lineitem.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
         .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -112,7 +111,6 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.customer.filter(F.col("c_name").isNotNull())
         .select("c_custkey", F.coalesce("c_name", F.lit("?")).alias("n"))
-        .orderBy("c_custkey")
     )
 
 
@@ -189,7 +187,6 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.customer.join(t.orders, cond, "left")
         .select("c_custkey", "o_orderkey")
-        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_last())
     )
 
 
@@ -270,7 +267,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     cond = (F.col("c.c_acctbal") > F.col("s.s_acctbal")) & (
         F.col("c.c_nationkey") == F.col("s.s_nationkey")
     )
-    return s.join(c, cond).select("s.s_suppkey", "c.c_custkey").orderBy("s_suppkey", "c_custkey")
+    return s.join(c, cond).select("s.s_suppkey", "c.c_custkey")
 
 
 @register(
@@ -384,7 +381,6 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
         t.orders.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 3)
-        .orderBy(F.col("c").desc(), "o_custkey")
     )
 
 
@@ -436,7 +432,6 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 2)
-        .orderBy("o_custkey", "rnk")
     )
 
 
@@ -456,7 +451,6 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         t.orders.select("o_orderkey", "o_custkey", F.lag("o_orderkey").over(w).alias("prev"))
-        .orderBy(F.col("o_custkey"), F.col("o_orderkey").asc_nulls_last())
     )
 
 
@@ -487,7 +481,6 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
         t.lineitem.select(
             "l_orderkey", "l_linenumber", dec2(F.sum("l_quantity").over(w)).alias("rq")
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -599,7 +592,6 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
             F.length("p_type").cast("bigint").alias("lt"),
             F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("ct"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -620,7 +612,6 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").alias("y"),
             F.month("o_orderdate").alias("m"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -662,7 +653,6 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             F.floor("l_quantity").alias("fq"),
             dec2(F.sqrt("l_extendedprice")).alias("sq"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -687,7 +677,6 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise("lo")
             .alias("band"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -708,7 +697,6 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         t.events.select(
             "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
         )
-        .orderBy("event_id")
     )
 
 

@@ -92,7 +92,6 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
             dec4(F.percent_rank().over(w)).alias("pr"),
             dec4(F.cume_dist().over(w)).alias("cd"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -122,7 +121,6 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
             F.reverse("p_brand").alias("rev"),
             F.substring("p_name", 1, 3).alias("l3"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -152,7 +150,6 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
             F.last_day("o_orderdate").alias("eom"),
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-06-15").cast("date")).alias("dd"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -339,7 +336,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
     return joined.select(
         "event_id", F.date_trunc("second", "signup_ts").alias("signup_ts")
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -374,4 +371,4 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     path-extraction — both must agree with the oracle."""
     t = Tables(spark, sf)
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
-    return t.events.select("event_id", parsed.getField("k").alias("k2")).orderBy("event_id")
+    return t.events.select("event_id", parsed.getField("k").alias("k2"))

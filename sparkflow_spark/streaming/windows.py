@@ -47,19 +47,39 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str | None = "2 h
     return sdf
 
 
-def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_memory(
+    sdf: DataFrame, output_mode: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the final result as a batch DataFrame."""
+    memory sink; return the final result as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored afterwards): a streaming query's shuffle
+    width fixes its STATE STORE count for the life of the checkpoint, so
+    it should be sized to expected key cardinality and state volume —
+    not inherited from the batch-oriented session default. (At real
+    scale you raise it before first start; it cannot change across
+    restarts without a new checkpoint.) Each state store instance costs
+    per-batch init/commit, so oversizing hurts latency directly.
+    """
+    spark = sdf.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_counts(
