@@ -35,9 +35,17 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string>, empties dropped."""
-    parts = F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
-    return F.filter(parts, lambda t: t != "")
+    """Whitespace tokenization → array<string>, empties dropped.
+
+    ``split(trim(x), '\\s+')`` can only produce an empty token when the
+    trimmed text is itself empty (the regex consumes whole whitespace
+    runs, and trim removes the edges), so the empties-drop is a cheap
+    codegen'd length guard — NOT a per-token HOF ``filter`` pass, which
+    is interpreted and was a measurable fraction of tokenizer cost."""
+    c = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
 
 
 def token_count(text: Column | str) -> Column:
@@ -70,7 +78,12 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
 
 
 def lower_tokens(text: Column | str) -> Column:
-    return F.transform(tokens(text), lambda t: F.lower(t))
+    """Lowercased whitespace tokens. Lowercases the WHOLE text before
+    splitting: one codegen'd string op instead of an interpreted
+    per-token HOF pass (``\\s+`` boundaries are case-invariant, so the
+    result is identical)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return tokens(F.lower(c))
 
 
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
@@ -160,7 +173,7 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -189,7 +202,7 @@ def quality_score(text: Column | str) -> Column:
 
 def lang_scores(text: Column | str) -> Column:
     """Map<lang, hits> of characteristic-marker hits."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
     entries = [
         F.struct(
             F.lit(lang).alias("lang"),
@@ -243,8 +256,9 @@ def simhash64(text: Column | str) -> Column:
     """
     # hash once per token (a transform), THEN fold: inside the fold the
     # lambda var h is a bound value, so the 64 bit-probes below read it
-    # rather than re-running xxhash64 64× per token
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(F.lower(t)))
+    # rather than re-running xxhash64 64× per token; lower() runs on the
+    # whole text (codegen) instead of per token (interpreted HOF pass)
+    hashes = F.transform(lower_tokens(text), lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
     def add_hash(acc, h):
