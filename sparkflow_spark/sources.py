@@ -53,6 +53,52 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning story as parquet (both are
+    columnar with min/max stats; .explain shows PushedFilters)."""
+    ensure_runtime_configs(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """Line-oriented text source → (value: string), or whole-file when
+    ``whole_text`` — the raw-document ingest path of an LLM data
+    pipeline (one doc per line/file, downstream ops are the textops/
+    dedup operators)."""
+    ensure_runtime_configs(spark)
+    return spark.read.text(path, wholetext=whole_text)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, path_glob: str | None = None
+) -> DataFrame:
+    """``binaryFile`` source → (path, modificationTime, length,
+    content: binary) — the multimodal ingest path: images/audio/video
+    land as opaque binary columns with typed metadata, feeding
+    ``sparkflow_spark.multimodal``'s mapInPandas decoders. Filters on
+    path/length push down; content bytes are only read for surviving
+    rows."""
+    ensure_runtime_configs(spark)
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

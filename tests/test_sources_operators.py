@@ -201,3 +201,40 @@ def test_salted_join_rejects_unsupported_how(spark):
     for how in ("right", "full", "left_semi", "left_anti", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             operators.salted_join(big, small, "k", how=how)
+
+def test_orc_text_binary_sources_roundtrip(spark, tmp_path):
+    """ORC writer/reader roundtrip, line-text ingest, and the binaryFile
+    multimodal ingest path (path/length metadata + raw bytes)."""
+    from sparkflow_spark import sources
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -2.0)], "id int, s string, v double")
+    orc_path = str(tmp_path / "orc")
+    sources.write_orc(df, orc_path)
+    back = sources.read_orc(spark, orc_path)
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", -2.0)}
+
+    txt_dir = tmp_path / "docs"
+    txt_dir.mkdir()
+    (txt_dir / "a.txt").write_text("doc one\ndoc two\n")
+    lines = sources.read_text(spark, str(txt_dir))
+    assert sorted(r["value"] for r in lines.collect()) == ["doc one", "doc two"]
+    whole = sources.read_text(spark, str(txt_dir), whole_text=True)
+    assert whole.count() == 1
+
+    bin_dir = tmp_path / "blobs"
+    bin_dir.mkdir()
+    payload = bytes(range(16))
+    (bin_dir / "x.bin").write_bytes(payload)
+    (bin_dir / "skip.dat").write_bytes(b"nope")
+    blobs = sources.read_binary_files(spark, str(bin_dir), path_glob="*.bin")
+    rows = blobs.collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 16 and bytes(rows[0]["content"]) == payload
+
+    csv_out = str(tmp_path / "csv_out")
+    sources.write_csv(df, csv_out)
+    again = sources.read_csv(spark, csv_out, schema="id int, s string, v double")
+    assert again.count() == 2
+    json_out = str(tmp_path / "json_out")
+    sources.write_json(df, json_out)
+    assert sources.read_json(spark, json_out, schema="id long, s string, v double").count() == 2
