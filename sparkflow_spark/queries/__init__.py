@@ -92,13 +92,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d_ngram_jaccard_pairs",
     "d_near_dedup_keep",
     "d_embedding_near_dup_ann",
-    # text analysis (Q36)
+    # text analysis (Q36) + the end-to-end cleaning pipeline
     "q36_lang_stats",
     "t_token_count",
-    "t_fingerprint",
-    # streaming (Q37–Q39)
+    "p_clean_corpus",
+    # streaming (Q37–Q39 + streaming dedup); st_sliding_counts sits just
+    # past the window (closest sibling of tumbling, mirror-checked)
     "st_tumbling_hour_counts",
-    "st_sliding_counts",
+    "st_stream_dedup",
     "st_session_counts",
     "st_stream_stream_join",
     "st_stateful_user_counts",

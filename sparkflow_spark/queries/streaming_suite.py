@@ -8,6 +8,7 @@ stream-batch equivalence, not just "it ran".
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark.queries import register
@@ -103,3 +104,32 @@ def st_ss_join(spark: SparkSession, sf: str) -> DataFrame:
 )
 def st_stateful(spark: SparkSession, sf: str) -> DataFrame:
     return running_user_counts(spark, sf)
+
+
+@register(
+    "st_stream_dedup",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS c FROM (
+            SELECT DISTINCT user_id, event_type FROM events
+        ) GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming deduplication — the streaming leg of the dedup family:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) keeps
+    state bounded by the event-time watermark instead of growing
+    forever (the classic streaming-dedup failure mode); with AvailableNow
+    over a static source every duplicate falls inside the horizon, so
+    the result equals batch DISTINCT — the oracle."""
+    from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
+
+    sdf = stream_events(spark, sf, watermark="24 hours")
+    deduped = sdf.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_stream_to_memory(deduped, "append")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

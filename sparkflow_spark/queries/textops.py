@@ -84,6 +84,104 @@ def t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_quality_components",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                        'are','was','it','that','this','with','for',
+                                        'as','on','at','by','be'], x))) AS BIGINT)
+                 AS stop_hits,
+               CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                    x -> len(x))) AS BIGINT) AS len_sum,
+               CAST(len(string_split_regex(trim(regexp_replace(text,
+                    '([.,;:!?()\\[\\]{}"''])', ' \\1 ', 'g')), '\\s+')) AS BIGINT)
+                 AS n_bpe
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t_quality_components(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-expressible components of the quality score, each t2
+    hash-checked (the composite heuristic stays t1 in
+    t_quality_langid): stopword hits, total token length (the mean's
+    numerator — kept integer-exact; a rounded MEAN hits cross-engine
+    ROUND-at-.xx5 divergence, ADVICE.md r2), BPE-ish sub-word token
+    estimate."""
+    from sparkflow_spark.functions.text import ENGLISH_STOPWORDS, lower_tokens, tokens
+
+    t = Tables(spark, sf)
+    stop_hits = F.size(
+        F.filter(lower_tokens("text"), lambda tok: tok.isin(*ENGLISH_STOPWORDS))
+    ).cast("bigint")
+    len_sum = F.aggregate(
+        tokens("text"), F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
+    )
+    return t.documents.select(
+        "doc_id",
+        stop_hits.alias("stop_hits"),
+        len_sum.alias("len_sum"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+@register(
+    "p_clean_corpus",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+                   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       * 1.0 / length(text) AS pr,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                           'are','was','it','that','this','with','for',
+                                           'as','on','at','by','be'], x))) AS sh
+            FROM documents WHERE length(text) > 0
+        ),
+        kept AS (
+            SELECT doc_id, text FROM scored
+            WHERE n_toks >= 10 AND pr <= 0.10 AND sh >= 1
+        ),
+        dedup AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT doc_id FROM dedup WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def p_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end C4/Gopher-style corpus cleaning, hash-checked: length
+    + punctuation-density + stopword-presence filters, then exact dedup
+    keeping the min-id representative. Every stage is a Catalyst
+    expression over one scan followed by the dedup's (fingerprint, id)
+    shuffle — the document payload crosses the network once.
+    """
+    from sparkflow_spark import dedup as dd
+    from sparkflow_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        lower_tokens,
+        punct_ratio,
+        token_count,
+    )
+
+    t = Tables(spark, sf)
+    stop_hits = F.size(
+        F.filter(lower_tokens("text"), lambda tok: tok.isin(*ENGLISH_STOPWORDS))
+    )
+    kept = t.documents.filter(F.length("text") > 0).filter(
+        (token_count("text") >= 10)
+        & (punct_ratio("text") <= 0.10)
+        & (stop_hits >= 1)
+    )
+    return dd.exact_dedup(kept).select("doc_id")
+
+
+@register(
     "t_quality_langid",
     oracle=None,  # heuristic scores are engine-defined; accuracy checked in tests
     tags=("text", "heuristic"),
