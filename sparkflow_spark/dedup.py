@@ -248,7 +248,15 @@ def ngram_jaccard_pairs(
     # shuffle keyed on the join key: co-partitions both self-join sides
     # and the frequency cap — the cached partitioning satisfies their
     # distribution requirements, so no further exchange is planned.
-    sh = sh.repartition(F.col("shingle"))
+    # Explicit partition count: AQE coalesces repartition-by-column by
+    # BYTES (advisory size), but the downstream window+join is CPU-bound
+    # interpreted-HOF work with high cost per byte — byte-coalescing
+    # collapsed this to 3 partitions on a 32-core box (measured +0.4 s).
+    # Pin parallelism to a cores-proportional floor instead; AQE skew
+    # splitting still applies on top.
+    sh = sh.repartition(
+        max(8, df.sparkSession.sparkContext.defaultParallelism // 4), F.col("shingle")
+    )
     if max_shingle_freq is not None:
         # document-frequency cap as a WINDOW count over the already
         # hash-partitioned index: one sort within each partition, no
