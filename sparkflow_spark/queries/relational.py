@@ -713,6 +713,22 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q33_stratified_sampling",
+    oracle=None,  # engine-specific RNG; per-stratum binomial bounds in tests
+    tags=("relational", "sampling"),
+)
+def q33b(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli
+    fractions, deterministic per seed — the data-pipeline tool for
+    rebalancing a skewed corpus (e.g. downsample the dominant language
+    or source). Partition-local like plain sampling: no shuffle."""
+    t = Tables(spark, sf)
+    return t.orders.sampleBy(
+        "o_orderstatus", fractions={"F": 0.05, "O": 0.2, "P": 1.0}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
     "q34_exact_dedup_count",
     oracle="SELECT COUNT(*) AS c FROM (SELECT DISTINCT text FROM documents) t",
     tags=("relational", "dedup"),

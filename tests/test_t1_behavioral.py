@@ -233,3 +233,24 @@ def test_embedding_ann_matches_brute_force(spark, oracle_sf_dir):
         for r in dedup.embedding_near_duplicates_ann(emb, threshold=0.4).collect()
     }
     assert ann == brute
+
+def test_stratified_sampling_binomial_bounds(spark, oracle_sf_dir):
+    """sampleBy: per-stratum counts within 6 sigma of n_h * f_h, and the
+    f=1.0 stratum is kept whole; same seed → identical sample."""
+    q = REGISTRY["q33_stratified_sampling"].fn
+    s1 = q(spark, oracle_sf_dir).groupBy("o_orderstatus").count().collect()
+    s2 = q(spark, oracle_sf_dir).groupBy("o_orderstatus").count().collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    totals = {
+        r["o_orderstatus"]: r["count"]
+        for r in Tables(spark, oracle_sf_dir).orders.groupBy("o_orderstatus").count().collect()
+    }
+    fractions = {"F": 0.05, "O": 0.2, "P": 1.0}
+    got = {r["o_orderstatus"]: r["count"] for r in s1}
+    for stratum, f in fractions.items():
+        n = totals[stratum]
+        if f == 1.0:
+            assert got.get(stratum) == n
+        else:
+            sd = math.sqrt(n * f * (1 - f))
+            assert abs(got.get(stratum, 0) - n * f) < 6 * sd, (stratum, got.get(stratum), n * f)
