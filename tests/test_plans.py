@@ -70,3 +70,19 @@ def test_no_cartesian_in_theta_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q11_theta_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
+
+def test_ann_near_dup_has_no_cartesian(spark, sf_dir):
+    """The ANN embedding near-dup path must stay linear: bucket
+    equi-joins + per-candidate verification — never the O(n^2)
+    crossJoin of the brute-force oracle path."""
+    plan = plan_of(spark, sf_dir, "d_embedding_near_dup_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clean_corpus_uses_semi_join_dedup(spark, sf_dir):
+    """p_clean_corpus: dedup winners come back via a semi join (payload
+    crosses the network once), and the quality filters stay in the scan
+    stage (no extra shuffle before the dedup agg)."""
+    plan = plan_of(spark, sf_dir, "p_clean_corpus")
+    assert "LeftSemi" in plan
