@@ -66,25 +66,39 @@ def main() -> int:
     # not data processing.
     execute(registry["q13_hash_agg_tpch_q1"].fn(spark, sf_dir))
     execute(registry["q40_pandas_udf_scalar"].fn(spark, sf_dir))
-    execute(registry["st_tumbling_hour_counts"].fn(spark, "/root/testdata/sf0.001"))
+    # smallest available sibling sf dir (fall back to sf_dir itself) so
+    # the warmup contributes engine init, not data processing
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    warm_sf = next(
+        (
+            os.path.join(parent, d)
+            for d in ("sf0.001", "sf0.01")
+            if os.path.isdir(os.path.join(parent, d))
+        ),
+        sf_dir,
+    )
+    execute(registry["st_tumbling_hour_counts"].fn(spark, warm_sf))
 
     # Two passes per query. Pass 1 (cold) pays per-shape one-time costs:
     # Catalyst analysis of the full tree, whole-stage-codegen Janino
     # compilation, broadcast warm-up. Pass 2 (steady state) is the
     # recurring cost of the shape — what a production pipeline that runs
     # the same query shapes repeatedly (or a long job over 100 TB where
-    # compile amortizes over thousands of tasks) actually pays. Headline
-    # value = steady state; cold numbers are reported alongside so the
-    # one-time overhead stays visible rather than hidden.
+    # compile amortizes over thousands of tasks) actually pays.
+    # Headline `value` stays the COLD pass — the same single-pass
+    # methodology as rounds 1-2 and the DuckDB baseline, so totals stay
+    # comparable across rounds; steady-state numbers are reported
+    # alongside under their own keys.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for passno, sink in ((1, cold), (2, timings)):
+    steady: dict[str, float] = {}
+    for passno, sink in ((1, cold), (2, steady)):
         for name in HEADLINE:
             t0 = time.perf_counter()
             execute(registry[name].fn(spark, sf_dir))
             sink[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    timings = cold
+    total = round(sum(cold.values()), 3)
     print(
         json.dumps(
             {
@@ -93,9 +107,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "methodology": "steady_state_2nd_pass",
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_cold": cold,
+                "methodology": "cold_1st_pass (rounds 1-2 comparable); steady-state 2nd pass reported under steady_*",
+                "steady_total": round(sum(steady.values()), 3),
+                "queries_steady": steady,
             }
         )
     )

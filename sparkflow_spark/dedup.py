@@ -385,6 +385,7 @@ def embedding_near_duplicates_ann(
     num_tables: int = 16,
     probe_hamming: int = 2,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via multi-probe random-hyperplane LSH —
     the 100 TB path: candidate generation is LINEAR in n (explode into
@@ -408,7 +409,7 @@ def embedding_near_duplicates_ann(
     num_planes (buckets shrink 2× per plane) before raising num_tables.
     """
     from sparkflow_spark.functions.vector import dot, l2_norm
-    from sparkflow_spark.similarity import _hyperplanes, rh_signature
+    from sparkflow_spark.similarity import _hyperplanes, rh_signatures_batched
 
     if probe_hamming < 0 or probe_hamming > num_planes:
         raise ValueError(f"probe_hamming must be in [0, {num_planes}]")
@@ -416,16 +417,25 @@ def embedding_near_duplicates_ann(
     # all bit masks with ≤ probe_hamming bits set, computed at plan time
     masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe_hamming]
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # one-row probe for the dimensionality (array<float> carries no
+        # length in the schema) — an eager action at plan-construction
+        # time; pass dim explicitly to skip it on expensive derived inputs
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+            )
+        dim = len(head[0])
     tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t)) for t in range(num_tables)]
 
-    ids = df.select(F.col(id_col), F.col(vec_col))
-    sig_structs = F.array(
-        *[F.struct(F.lit(t).alias("tbl"), rh_signature(vec_col, planes).alias("sig"))
-          for t, planes in tables]
-    )
-    sigs = ids.select(F.col(id_col), F.explode(sig_structs).alias("ts")).select(
-        id_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    # one Arrow-batched matmul for all tables' signatures, then
+    # posexplode to (table, signature) rows — see rh_signatures_batched
+    sigs = (
+        df.select(F.col(id_col), rh_signatures_batched(vec_col, tables).alias("_sigs"))
+        .select(id_col, F.posexplode("_sigs").alias("tbl", "sig"))
     )
 
     a = sigs.select(F.col("tbl"), F.col("sig").alias("code"), F.col(id_col).alias("id_a"))

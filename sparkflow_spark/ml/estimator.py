@@ -313,9 +313,13 @@ class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsR
             local = MLP(json.loads(spec_json))
             local.weights_from_json(weights_json)
             # keep_dropout → dropout stays ACTIVE at inference (the
-            # reference's toKeepDropout, ml_util.py:70-72) with a fixed
-            # seed so predictions are reproducible; default is
-            # deterministic eval-mode forward (dropout off).
+            # reference's toKeepDropout, ml_util.py:70-72; MC-dropout).
+            # The seeded rng makes a rerun reproducible only for an
+            # identical partition/Arrow-batch layout — the mask stream
+            # advances across rows, so repartitioning changes per-row
+            # draws (inherent to MC-dropout; the reference's TF rng
+            # behaved the same way). Default is deterministic eval-mode
+            # forward (dropout off).
             rng = (
                 np.random.default_rng(int(local.spec.get("seed", 42)))
                 if local.keep_dropout and local.dropout is not None

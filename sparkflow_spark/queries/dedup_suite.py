@@ -45,8 +45,8 @@ _SHINGLE_FREQ_CAP = 20
 # index (sh), full per-doc set sizes (sizes — computed BEFORE the cap,
 # mirroring F.size on the un-capped array), capped index (sh_capped —
 # shingles in more than _SHINGLE_FREQ_CAP docs are dropped from candidate
-# generation and intersection counting, exactly like the Spark side's
-# left-semi join against the rare-shingle set).
+# generation and intersection counting, mirroring the Spark side's
+# window-count document-frequency filter in ngram_jaccard_pairs).
 _JACCARD_CTES = f"""
         sh AS (
             SELECT DISTINCT doc_id, shingle FROM (

@@ -41,7 +41,8 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     "t_token_count",
     oracle="""
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id
     """,
     tags=("text",),
@@ -94,8 +95,9 @@ def t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
                  AS stop_hits,
                CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
                     x -> len(x))) AS BIGINT) AS len_sum,
-               CAST(len(string_split_regex(trim(regexp_replace(text,
-                    '([.,;:!?()\\[\\]{}"''])', ' \\1 ', 'g')), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(trim(regexp_replace(text,
+                    '([.,;:!?()\\[\\]{}"''])', ' \\1 ', 'g')), '\\s+'),
+                    x -> x != '')) AS BIGINT)
                  AS n_bpe
         FROM documents ORDER BY doc_id
     """,

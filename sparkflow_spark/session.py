@@ -42,8 +42,9 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-# SparkContext ids that already had the package zip shipped to executors.
-_SHIPPED: set[int] = set()
+# Spark application ids that already had the package zip shipped to
+# executors (applicationId, not id(sc): object ids can be reused after GC).
+_SHIPPED: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -62,33 +63,44 @@ def ship_package(spark: SparkSession) -> None:
     most once per driver process.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    key = sc.applicationId
+    if key in _SHIPPED:
         return
     import tempfile
+    import uuid
     import zipfile
 
     import sparkflow_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(sparkflow_spark.__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"sparkflow_spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
-        os.replace(tmp, zpath)
+    # fresh zip per (process, context): a few dozen small files, cheap to
+    # rebuild — never reuse a cached path (pid reuse across container
+    # restarts with a persistent /tmp would ship STALE code to executors,
+    # the exact driver/executor skew this function exists to prevent)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sparkflow_spark_pyfiles_{uuid.uuid4().hex[:12]}.zip"
+    )
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.remove(p))
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
     try:
         sc.addPyFile(zpath)
-    except Exception:
+    except Exception as exc:
         # e.g. a session mode that forbids adding files mid-flight; the
         # import-by-reference paths will still work wherever the package
-        # is on the workers' PYTHONPATH.
-        pass
-    _SHIPPED.add(id(sc))
+        # is on the workers' PYTHONPATH — but say so instead of hiding it.
+        import warnings
+
+        warnings.warn(f"ship_package: addPyFile failed ({exc}); executors must "
+                      "have sparkflow_spark on their own PYTHONPATH", stacklevel=2)
+    _SHIPPED.add(key)
 
 
 def ensure_runtime_configs(spark: SparkSession) -> SparkSession:

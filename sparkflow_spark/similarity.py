@@ -157,6 +157,45 @@ def rh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def rh_signatures_batched(vec_col, tables: list[tuple[int, list[list[float]]]]):
+    """All tables' random-hyperplane signatures in ONE Arrow-batched
+    matmul → ``array<bigint>`` (one packed signature per table).
+
+    The pure-expression :func:`rh_signature` is an interpreted
+    ``aggregate`` per plane — num_tables·num_planes of them per row
+    (128 with the near-dup defaults), which dominates ANN runtime. One
+    ``X @ P`` against the stacked (dim × tables·planes) plane matrix is
+    BLAS-vectorized: measured order-of-magnitude faster, and the right
+    trade under the engine's own rule (drop to pandas_udf only where
+    built-ins can't express the computation efficiently — a 128-wide
+    batched projection is that case). Bit convention matches
+    rh_signature (bit i set iff projection ≥ 0); float summation order
+    differs (BLAS vs left-to-right), which can flip a bit only when a
+    projection is within rounding of 0 — harmless for candidate
+    generation, where every pair is exactly verified afterwards.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    n_planes = len(tables[0][1])
+    n_tables = len(tables)
+    stacked = np.concatenate(
+        [np.asarray(planes, dtype=np.float64).T for _, planes in tables], axis=1
+    )  # dim × (tables·planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    # Series→Series form (no type hints: module-level `from __future__
+    # import annotations` stringifies them — see ivf_topk note)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(s):
+        X = np.vstack(s.to_numpy()).astype(np.float64)
+        bits = (X @ stacked) >= 0
+        packed = bits.reshape(len(X), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(packed))
+
+    return sigs(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -20,6 +20,7 @@ per-key state.
 from sparkflow_spark.streaming.windows import (
     stream_events,
     run_stream_to_memory,
+    streaming_session,
     tumbling_counts,
     sliding_counts,
     session_counts_batch,
@@ -29,6 +30,7 @@ from sparkflow_spark.streaming.stateful import running_user_counts
 __all__ = [
     "stream_events",
     "run_stream_to_memory",
+    "streaming_session",
     "tumbling_counts",
     "sliding_counts",
     "session_counts_batch",

@@ -29,14 +29,47 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
-def stream_events(spark: SparkSession, sf_dir: str, watermark: str | None = "2 hours") -> DataFrame:
+def streaming_session(spark: SparkSession, state_partitions: int | None = 8) -> SparkSession:
+    """A cloned session (same SparkContext, isolated SQL conf) sized for
+    streaming state.
+
+    A streaming query's shuffle width fixes its STATE STORE count for
+    the life of the checkpoint, so it should be set to expected key
+    cardinality and state volume — not inherited from the
+    batch-oriented session default (each state store instance costs
+    per-batch init/commit, so oversizing hurts latency directly; at
+    real scale you size it before first start — it cannot change across
+    restarts without a new checkpoint). The override lives on a
+    ``newSession()`` clone so the caller's conf is never mutated — a
+    set-then-restore on the shared session races with any concurrently
+    running query (round-3 review finding). ``newSession()`` starts
+    from base defaults, so the runtime configs are re-applied.
+    """
+    if state_partitions is None:
+        return ensure_runtime_configs(spark)
+    runner = spark.newSession()
+    ensure_runtime_configs(runner)
+    runner.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return runner
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str | None = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """``readStream`` over the events parquet with event-time ``ts``.
 
     File sources need an explicit schema; we take it from the batch
     reader (which also tells us whether ts arrived as raw nanos — see
-    catalog nanosAsLong note) and convert to a proper timestamp.
+    catalog nanosAsLong note) and convert to a proper timestamp. The
+    returned stream is bound to a :func:`streaming_session` clone so
+    its state-store count follows ``state_partitions``; pass ``None``
+    to stay on the caller's session (e.g. when composing two streams
+    into one query — they must share a session).
     """
-    ensure_runtime_configs(spark)
+    spark = streaming_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
     batch_schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(batch_schema).parquet(_as_stream_dir(path))
@@ -54,31 +87,29 @@ def run_stream_to_memory(
     memory sink; return the final result as a batch DataFrame.
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    stream's lifetime (restored afterwards): a streaming query's shuffle
-    width fixes its STATE STORE count for the life of the checkpoint, so
-    it should be sized to expected key cardinality and state volume —
-    not inherited from the batch-oriented session default. (At real
-    scale you raise it before first start; it cannot change across
-    restarts without a new checkpoint.) Each state store instance costs
-    per-batch init/commit, so oversizing hurts latency directly.
+    stream: a streaming query's shuffle width fixes its STATE STORE
+    count for the life of the checkpoint, so it should be sized to
+    expected key cardinality and state volume — not inherited from the
+    batch-oriented session default. (At real scale you raise it before
+    first start; it cannot change across restarts without a new
+    checkpoint.) Each state store instance costs per-batch init/commit,
+    so oversizing hurts latency directly.
+
+    State sizing happens at PLAN construction via
+    :func:`streaming_session` (the stream must be built under the sized
+    session — a conf applied after the DataFrame exists does not rebind
+    its JVM-side session); this runner only starts the query and waits.
     """
     spark = sdf.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -129,13 +160,16 @@ def stream_stream_join(
     so with AvailableNow over a static source the result equals the
     batch join — the t2 oracle.
     """
+    # both legs must be built under the SAME (sized) session — clone
+    # once here, then stream_events with state_partitions=None
+    runner = streaming_session(spark)
     left = (
-        stream_events(spark, sf_dir, watermark="3 hours")
+        stream_events(runner, sf_dir, watermark="3 hours", state_partitions=None)
         .filter(F.col("event_type") == left_type)
         .select(F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
     )
     right = (
-        stream_events(spark, sf_dir, watermark="3 hours")
+        stream_events(runner, sf_dir, watermark="3 hours", state_partitions=None)
         .filter(F.col("event_type") == right_type)
         .select(
             F.col("user_id").alias("r_user"),

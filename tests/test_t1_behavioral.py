@@ -254,3 +254,17 @@ def test_stratified_sampling_binomial_bounds(spark, oracle_sf_dir):
         else:
             sd = math.sqrt(n * f * (1 - f))
             assert abs(got.get(stratum, 0) - n * f) < 6 * sd, (stratum, got.get(stratum), n * f)
+
+def test_tokens_drop_empties_for_all_whitespace(spark):
+    """Edge whitespace that F.trim does not strip (tab/newline) must not
+    smuggle empty tokens through tokenization (round-3 review finding:
+    trim handles spaces only, while the \\s+ split matches all
+    whitespace)."""
+    from sparkflow_spark.functions.text import token_count, tokens
+
+    df = spark.createDataFrame(
+        [("\thello world ",), ("",), ("  \n ",), ("a\nb\tc",), (None,)], ["text"]
+    )
+    rows = df.select(tokens("text").alias("t"), token_count("text").alias("n")).collect()
+    assert [r["t"] for r in rows] == [["hello", "world"], [], [], ["a", "b", "c"], None]
+    assert [r["n"] for r in rows] == [2, 0, 0, 3, None]
