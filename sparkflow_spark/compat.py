@@ -105,6 +105,76 @@ load_tensorflow_model = load_model
 attach_tensorflow_model_to_pipeline = attach_model_to_pipeline
 
 
+def build_graph(func):
+    """Reference ``graph_utils.build_graph(func)`` took a function that
+    assembles a TF1 graph and exported it as MetaGraphDef JSON
+    (reference graph_utils.py:6-15). There is no TF runtime here to
+    call ``func`` against — declare the network with
+    :func:`sparkflow_spark.ml.graph_utils.build_network` instead."""
+    raise TypeError(
+        "build_graph(func) requires a TensorFlow 1.x runtime, which this "
+        "engine does not embed. Declare the architecture declaratively with "
+        "build_network(layers=[...], activations=[...], loss=..., dropout=...) "
+        "and pass it as networkSpec / to SparkAsyncDL(layers=...)."
+    )
+
+
+class HogwildSparkModel:
+    """The reference's driver-hosted HTTP parameter server
+    (reference HogwildSparkModel.py:103-272). Deliberately NOT rebuilt:
+    a per-iteration driver round-trip from every partition does not
+    survive cluster scale (SURVEY.md §4) — the engine trains with
+    per-epoch partition-local SGD + weighted model averaging instead."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "HogwildSparkModel's per-iteration HTTP parameter server is "
+            "replaced by DistributedDL (synchronous partition-local training "
+            "with sample-weighted averaging). Use DistributedDL / the "
+            "SparkAsyncDL shim; loss observation is available via "
+            "lossCallback(loss, epoch, partition_id)."
+        )
+
+
+class RWLock:
+    """Reader-writer lock with writer priority — same API as the
+    reference's vendored lock (reference RWLock.py:10-65: acquire_read /
+    acquire_write / release), reimplemented on a single Condition. Kept
+    because user code importing it from the reference package should
+    keep working; the engine itself has no shared mutable driver state
+    to guard (that was the parameter server's problem)."""
+
+    def __init__(self):
+        self._cond = __import__("threading").Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def acquire_write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release(self):
+        with self._cond:
+            if self._writer:
+                self._writer = False
+            elif self._readers:
+                self._readers -= 1
+            self._cond.notify_all()
+
+
 class PysparkPipelineWrapper:
     """Reference pipeline_util.py:48-74 equivalent — a no-op: native
     DefaultParams persistence needs no unwrap pass."""
@@ -112,3 +182,16 @@ class PysparkPipelineWrapper:
     @staticmethod
     def unwrap(pipeline_model):
         return pipeline_model
+
+
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+
+
+class PysparkReaderWriter(DefaultParamsReadable, DefaultParamsWritable):
+    """Reference pipeline_util.py:77-127 mixin (dill-pickle a custom
+    stage inside a StopWordsRemover carrier) replaced by Spark's native
+    Param-based persistence: mix this into a custom Estimator/Model and
+    Params round-trip through save/load. Arbitrary non-Param attributes
+    are NOT serialized — store state in Params (the engine's own
+    DistributedDLModel keeps weights as a JSON string Param for exactly
+    this reason)."""

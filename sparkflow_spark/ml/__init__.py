@@ -33,9 +33,13 @@ from sparkflow_spark.ml.loader import load_model, attach_model_to_pipeline
 from sparkflow_spark.ml.graph_utils import (
     build_network,
     build_adam_config,
+    build_adadelta_config,
+    build_adagrad_config,
     build_momentum_config,
     build_rmsprop_config,
+    build_gradient_descent,
     build_gradient_descent_config,
+    generate_config,
 )
 
 __all__ = [
@@ -47,7 +51,11 @@ __all__ = [
     "attach_model_to_pipeline",
     "build_network",
     "build_adam_config",
+    "build_adadelta_config",
+    "build_adagrad_config",
     "build_momentum_config",
     "build_rmsprop_config",
+    "build_gradient_descent",
     "build_gradient_descent_config",
+    "generate_config",
 ]

@@ -41,25 +41,60 @@ def generate_config(**kwargs) -> str:
     return json.dumps(kwargs)
 
 
-def build_adam_config(beta1: float = 0.9, beta2: float = 0.999, epsilon: float = 1e-8) -> str:
-    return generate_config(beta1=beta1, beta2=beta2, epsilon=epsilon)
+# Builder signatures mirror the reference exactly (reference
+# graph_utils.py:22-47) so ported calls don't TypeError: learning_rate
+# rides along in the config JSON (the optimizer factory's lr parameter
+# wins if both are given — same precedence as the reference, where
+# tfLearningRate constructed the optimizer); TF-only knobs
+# (use_locking, centered, use_nesterov, initial_accumulator) are
+# accepted and carried but ignored by the numpy optimizers (**_ sinks).
 
 
-def build_rmsprop_config(decay: float = 0.9, epsilon: float = 1e-8) -> str:
-    return generate_config(decay=decay, epsilon=epsilon)
+def build_adam_config(
+    learning_rate: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,
+    epsilon: float = 1e-8, use_locking: bool = False,
+) -> str:
+    return generate_config(learning_rate=learning_rate, beta1=beta1, beta2=beta2,
+                           epsilon=epsilon, use_locking=use_locking)
 
 
-def build_momentum_config(momentum: float = 0.9) -> str:
-    return generate_config(momentum=momentum)
+def build_rmsprop_config(
+    learning_rate: float = 0.001, decay: float = 0.9, momentum: float = 0.0,
+    epsilon: float = 1e-10, use_locking: bool = False, centered: bool = False,
+) -> str:
+    return generate_config(learning_rate=learning_rate, decay=decay, momentum=momentum,
+                           epsilon=epsilon, use_locking=use_locking, centered=centered)
 
 
-def build_adadelta_config(rho: float = 0.95, epsilon: float = 1e-6) -> str:
-    return generate_config(rho=rho, epsilon=epsilon)
+def build_momentum_config(
+    learning_rate: float = 0.001, momentum: float = 0.9,
+    use_locking: bool = False, use_nesterov: bool = False,
+) -> str:
+    return generate_config(learning_rate=learning_rate, momentum=momentum,
+                           use_locking=use_locking, use_nesterov=use_nesterov)
 
 
-def build_adagrad_config(epsilon: float = 1e-8) -> str:
-    return generate_config(epsilon=epsilon)
+def build_adadelta_config(
+    learning_rate: float = 0.001, rho: float = 0.95, epsilon: float = 1e-8,
+    use_locking: bool = False,
+) -> str:
+    return generate_config(learning_rate=learning_rate, rho=rho, epsilon=epsilon,
+                           use_locking=use_locking)
 
 
-def build_gradient_descent_config() -> str:
-    return generate_config()
+def build_adagrad_config(
+    learning_rate: float = 0.001, initial_accumulator: float = 0.1,
+    use_locking: bool = False,
+) -> str:
+    return generate_config(learning_rate=learning_rate,
+                           initial_accumulator=initial_accumulator,
+                           use_locking=use_locking)
+
+
+def build_gradient_descent(learning_rate: float = 0.001, use_locking: bool = False) -> str:
+    # the reference name has no _config suffix (graph_utils.py:46)
+    return generate_config(learning_rate=learning_rate, use_locking=use_locking)
+
+
+# engine-native alias kept for existing callers
+build_gradient_descent_config = build_gradient_descent

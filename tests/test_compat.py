@@ -75,3 +75,65 @@ def test_compat_maps_dropout_msi_and_callback(spark):
 def test_compat_string_tf_dropout_requires_rate():
     with pytest.raises(TypeError, match="dropout"):
         SparkAsyncDL(layers=[2, 4, 1], tfDropout="keep_prob:0")
+
+def test_compat_optimizer_config_builders_accept_reference_signatures():
+    """Reference graph_utils builders pass learning_rate + TF-only knobs
+    (use_locking etc.); ported calls must not TypeError and the configs
+    must flow through build_optimizer harmlessly."""
+    import json as _json
+
+    from sparkflow_spark.ml import build_optimizer
+    from sparkflow_spark.ml.graph_utils import (
+        build_adadelta_config,
+        build_adagrad_config,
+        build_adam_config,
+        build_gradient_descent,
+        build_momentum_config,
+        build_rmsprop_config,
+    )
+
+    cfgs = {
+        "adam": build_adam_config(learning_rate=0.001, beta1=0.8, use_locking=True),
+        "rmsprop": build_rmsprop_config(learning_rate=0.01, decay=0.8, centered=True),
+        "momentum": build_momentum_config(momentum=0.7, use_nesterov=True),
+        "adadelta": build_adadelta_config(rho=0.9),
+        "adagrad": build_adagrad_config(initial_accumulator=0.2),
+        "gradient_descent": build_gradient_descent(learning_rate=0.5),
+    }
+    for name, cfg in cfgs.items():
+        opt = build_optimizer(name, 0.1, _json.loads(cfg))
+        assert opt.lr == 0.1  # factory lr wins over config learning_rate
+    assert _json.loads(cfgs["adam"])["beta1"] == 0.8
+
+
+def test_compat_reference_surface_names():
+    """Every public reference name resolves: callable, shim, or loud
+    NotImplementedError — never an ImportError."""
+    import threading
+
+    from sparkflow_spark.compat import (
+        HogwildSparkModel,
+        PysparkPipelineWrapper,
+        PysparkReaderWriter,
+        RWLock,
+        build_graph,
+    )
+
+    with pytest.raises(TypeError, match="build_network"):
+        build_graph(lambda: None)
+    with pytest.raises(NotImplementedError, match="DistributedDL"):
+        HogwildSparkModel()
+    assert PysparkPipelineWrapper.unwrap("x") == "x"
+    assert hasattr(PysparkReaderWriter, "load") and hasattr(PysparkReaderWriter, "write")
+
+    lock = RWLock()
+    lock.acquire_read()
+    lock.acquire_read()        # shared readers OK
+    lock.release(); lock.release()
+    lock.acquire_write()       # exclusive writer OK after readers gone
+    acquired = []
+    tr = threading.Thread(target=lambda: (lock.acquire_read(), acquired.append(1), lock.release()))
+    tr.start(); tr.join(timeout=0.2)
+    assert not acquired, "reader must block while writer holds the lock"
+    lock.release(); tr.join(timeout=2)
+    assert acquired, "reader proceeds after writer releases"
