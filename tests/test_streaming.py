@@ -155,3 +155,13 @@ def test_checkpoint_no_reprocessing_on_restart(spark, tmp_path):
     assert first == 100
     run_once()  # restart on same checkpoint: nothing new to process
     assert spark.read.parquet(sink).count() == 100, "restart must not duplicate rows"
+
+def test_streaming_query_does_not_mutate_caller_conf(spark, sf_dir):
+    """State sizing happens on a newSession() clone — the caller's
+    shuffle.partitions must be untouched after a streaming run (the old
+    set-then-restore raced with concurrent queries)."""
+    from sparkflow_spark.queries import load_all
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    load_all()["st_tumbling_hour_counts"].fn(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
