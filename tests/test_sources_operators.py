@@ -238,3 +238,30 @@ def test_orc_text_binary_sources_roundtrip(spark, tmp_path):
     json_out = str(tmp_path / "json_out")
     sources.write_json(df, json_out)
     assert sources.read_json(spark, json_out, schema="id long, s string, v double").count() == 2
+
+def test_binary_file_ingest_feeds_multimodal_ops(spark, tmp_path):
+    """End-to-end multimodal ingest: binaryFile source → blob stats →
+    fake featurizer — the exact plumbing a real image/audio corpus uses
+    (decode stays stubbed; see multimodal.decode_image)."""
+    import hashlib
+
+    from sparkflow_spark import multimodal, sources
+
+    bin_dir = tmp_path / "media"
+    bin_dir.mkdir()
+    payloads = {f"b{i}.img": bytes([i]) * (10 + i) for i in range(3)}
+    for name, blob in payloads.items():
+        (bin_dir / name).write_bytes(blob)
+
+    blobs = sources.read_binary_files(spark, str(bin_dir))
+    stats = multimodal.binary_stats(blobs, content_col="content")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in stats.collect()}
+    for name, blob in payloads.items():
+        assert rows[name]["n_bytes"] == len(blob)
+        assert rows[name]["content_sha"] == hashlib.sha256(blob).hexdigest()
+
+    ided = blobs.select(
+        F.xxhash64("path").alias("doc_id"), "content"
+    )
+    feats = multimodal.extract_features(ided, id_col="doc_id").collect()
+    assert len(feats) == 3 and all(len(r["features"]) == 8 for r in feats)
