@@ -25,6 +25,7 @@ from sparkflow_spark.streaming.windows import (
     sliding_counts,
     session_counts_batch,
 )
+from sparkflow_spark.streaming.sinks import stream_to_partitioned_parquet
 from sparkflow_spark.streaming.stateful import running_user_counts
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "sliding_counts",
     "session_counts_batch",
     "running_user_counts",
+    "stream_to_partitioned_parquet",
 ]

@@ -165,3 +165,30 @@ def test_streaming_query_does_not_mutate_caller_conf(spark, sf_dir):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     load_all()["st_tumbling_hour_counts"].fn(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+def test_foreach_batch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch → partitioned parquet: the streamed rows on disk
+    equal the batch filter, and the batch_id partitioning that makes
+    replays idempotent is present."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.streaming.sinks import stream_to_partitioned_parquet
+    from sparkflow_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "sink")
+    sdf = stream_events(spark, sf_dir, watermark=None).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id")
+    stream_to_partitioned_parquet(sdf, out)
+
+    got = spark.read.parquet(out)
+    assert "batch_id" in got.columns
+    expect = {
+        (r["event_id"], r["user_id"])
+        for r in cached_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+        .collect()
+    }
+    assert {(r["event_id"], r["user_id"]) for r in got.collect()} == expect
