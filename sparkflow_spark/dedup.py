@@ -419,10 +419,12 @@ def embedding_near_duplicates_ann(
 
     if dim is None:
         # one-row probe for the dimensionality (array<float> carries no
-        # length in the schema) — an eager action at plan-construction
-        # time; pass dim explicitly to skip it on expensive derived inputs
-        head = df.select(vec_col).first()
-        if head is None or head[0] is None:
+        # length in the schema), skipping NULL vectors — a NULL in the
+        # physically first row must not read as "empty corpus" (round-3
+        # review #2). Eager action at plan-construction time; pass dim
+        # explicitly to skip it on expensive derived inputs.
+        head = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if head is None:
             spark = df.sparkSession
             return spark.createDataFrame(
                 [], f"id_a {df.schema[id_col].dataType.simpleString()}, "

@@ -49,10 +49,12 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    # null text → null count (not the -1 that size() returns for NULL
-    # arrays under spark.sql.legacy.sizeOfNull; SQL oracles yield NULL)
-    t = tokens(text)
-    return F.when(t.isNotNull(), F.size(t)).cast("bigint")
+    # null text → null count: sizeOfNull=false is pinned in
+    # _RUNTIME_CONFS (the legacy default returns -1 with ANSI off),
+    # which keeps this a single tokenizer evaluation — an isNotNull
+    # CASE guard would embed the trim+split+array_remove tree twice
+    # (no CSE across CASE branches; see shingles_from_tokens).
+    return F.size(tokens(text)).cast("bigint")
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
@@ -60,10 +62,11 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     boundaries, the way a BPE pre-tokenizer segments; ~chars/4 fallback
     intuition replaced by an actual segmentation count."""
     c = F.col(text) if isinstance(text, str) else text
-    # insert breaks around punctuation, then whitespace-split
+    # insert breaks around punctuation, then whitespace-split;
+    # array_remove drops edge empties codegen-side (same reasoning as
+    # tokens())
     seg = F.regexp_replace(c, r"([.,;:!?()\[\]{}\"'])", r" $1 ")
-    parts = F.split(F.trim(seg), r"\s+")
-    return F.size(F.filter(parts, lambda t: t != "")).cast("bigint")
+    return F.size(F.array_remove(F.split(F.trim(seg), r"\s+"), "")).cast("bigint")
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:

@@ -84,11 +84,14 @@ def build_adadelta_config(
 
 def build_adagrad_config(
     learning_rate: float = 0.001, initial_accumulator: float = 0.1,
-    use_locking: bool = False,
+    use_locking: bool = False, epsilon: float = 1e-8,
 ) -> str:
+    # epsilon is an engine extension (the numpy optimizer uses it; the
+    # reference's TF adagrad had none) — trailing so the reference's
+    # positional order is preserved
     return generate_config(learning_rate=learning_rate,
                            initial_accumulator=initial_accumulator,
-                           use_locking=use_locking)
+                           use_locking=use_locking, epsilon=epsilon)
 
 
 def build_gradient_descent(learning_rate: float = 0.001, use_locking: bool = False) -> str:

@@ -35,6 +35,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     # permissive casts aligned with DuckDB's TRY-free behavior for the
     # oracle contract.
     "spark.sql.ansi.enabled": "false",
+    # size(NULL) must be NULL (SQL semantics, what every DuckDB oracle
+    # yields), not the -1 the legacy flag's true default produces when
+    # ANSI is off.
+    "spark.sql.legacy.sizeOfNull": "false",
     # events.parquet stores ts as TIMESTAMP(NANOS) (FIXTURES.md), which
     # Spark's vectorized reader rejects; read as raw nanos and convert in
     # the catalog (ns → µs, Spark's native precision).

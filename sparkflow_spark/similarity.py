@@ -184,11 +184,18 @@ def rh_signatures_batched(vec_col, tables: list[tuple[int, list[list[float]]]]):
     )  # dim × (tables·planes)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
+    dim = stacked.shape[0]
+
     # Series→Series form (no type hints: module-level `from __future__
     # import annotations` stringifies them — see ivf_topk note)
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sigs(s):
-        X = np.vstack(s.to_numpy()).astype(np.float64)
+        # NULL vectors → zero vector → signature 0 per table, matching
+        # the expression path (rh_signature maps NULL projections the
+        # same way); exact verification later drops them via NULL
+        # cosine. Without the guard np.vstack raises on None.
+        arrs = [np.zeros(dim) if a is None else np.asarray(a, dtype=np.float64) for a in s]
+        X = np.vstack(arrs) if arrs else np.zeros((0, dim))
         bits = (X @ stacked) >= 0
         packed = bits.reshape(len(X), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(list(packed))

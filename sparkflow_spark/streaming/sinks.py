@@ -12,7 +12,8 @@ formats — Delta/Iceberg — where batch_id becomes a dedup key.)
 
 from __future__ import annotations
 
-import uuid
+import hashlib
+import os
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
@@ -21,8 +22,8 @@ import pyspark.sql.functions as F
 def stream_to_partitioned_parquet(
     sdf: DataFrame,
     path: str,
-    output_mode: str = "append",
     partition_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     parquet directory, exactly-once under micro-batch replay.
@@ -32,26 +33,39 @@ def stream_to_partitioned_parquet(
     partition — a retried batch replaces, never duplicates. Downstream
     readers see one directory; batch_id behaves like any partition
     column (prunable, droppable).
+
+    Append-mode only by design: under ``complete``/``update`` every
+    batch re-emits rows for keys earlier batches already wrote, and the
+    batch_id layout would retain the stale copies — a MERGE-capable
+    table format keyed on the group columns is the right sink there, so
+    this function pins ``append`` instead of corrupting silently.
+
+    The checkpoint is STABLE per output path (override with
+    ``checkpoint_dir``): replay-idempotence only holds when a restarted
+    run resumes the same offset log and batch ids — a fresh random
+    checkpoint would re-batch the input and leave any partially written
+    old partition in place (round-3 review finding).
     """
+    if checkpoint_dir is None:
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+        checkpoint_dir = os.path.join("/tmp", "sparkflow_sink_ckpt", digest)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id", *(partition_cols or []))
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            # writer-scoped option, not a session-conf set-then-restore
+            # (that pattern races with concurrent writers — the same
+            # reasoning as streaming_session's conf isolation)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", *(partition_cols or []))
+            .parquet(path)
+        )
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .option("checkpointLocation", f"/tmp/sparkflow_sink_ckpt/{uuid.uuid4().hex[:12]}")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -80,20 +80,9 @@ def stream_events(
     return sdf
 
 
-def run_stream_to_memory(
-    sdf: DataFrame, output_mode: str, state_partitions: int | None = 8
-) -> DataFrame:
+def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the final result as a batch DataFrame.
-
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    stream: a streaming query's shuffle width fixes its STATE STORE
-    count for the life of the checkpoint, so it should be sized to
-    expected key cardinality and state volume — not inherited from the
-    batch-oriented session default. (At real scale you raise it before
-    first start; it cannot change across restarts without a new
-    checkpoint.) Each state store instance costs per-batch init/commit,
-    so oversizing hurts latency directly.
 
     State sizing happens at PLAN construction via
     :func:`streaming_session` (the stream must be built under the sized
