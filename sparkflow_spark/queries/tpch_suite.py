@@ -117,3 +117,244 @@ _sql_query(
     LIMIT 20
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Round-3 extension: the remaining TPC-H shapes expressible on the fixture
+# schema subset. The fixtures have no partsupp table and no l_commitdate /
+# l_receiptdate / l_shipmode / p_mfgr / c_phone columns (FIXTURES.md), so
+# Q2/Q11/Q16/Q20 are out of reach and the shapes below substitute existing
+# columns for the missing ones while keeping each query's CHARACTERISTIC
+# plan challenge intact: EXISTS / NOT EXISTS decorrelation (Q4, Q21, Q22),
+# correlated scalar aggregate (Q17), IN-subquery-over-HAVING (Q18),
+# conditional-aggregate market share (Q8, Q12, Q14), CTE + scalar-subquery
+# max (Q15), OR-of-ANDs join pruning (Q19), and bilateral join filtering
+# (Q7). Reference parity: the reference engine presumes full SQL from its
+# host (SURVEY.md §2a); these prove the same workloads on Catalyst.
+# ---------------------------------------------------------------------------
+
+# Q4: order priority checking — correlated EXISTS over lineitem
+# (l_commitdate < l_receiptdate becomes l_shipdate > o_orderdate: still a
+# correlated inequality on the outer row, decorrelated to a semi join).
+_sql_query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# Q7: volume shipping between nation groups (fixture nations are NATION_k;
+# the classic FRANCE/GERMANY pair is empty at sf0.001, so two 3-nation
+# groups keep the bilateral-filter shape populated at every scale).
+_sql_query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) + 0.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8: national market share — conditional aggregate over an 8-table join.
+_sql_query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                      / SUM(volume), 4) AS DOUBLE) + 0.0 AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+# Q12: shipping-mode line counts (l_shipmode absent → o_orderpriority
+# urgency classes; the shape is the two-branch conditional count).
+_sql_query(
+    "tpch_q12_priority_line_counts",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# Q14: promotion effect — ratio of conditional to total revenue.
+_sql_query(
+    "tpch_q14_promo_effect",
+    """
+    SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END)
+                      / SUM(l_extendedprice * (1 - l_discount)), 4)
+                AS DOUBLE) + 0.0 AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+
+# Q15: top supplier — CTE reused twice (join + scalar-subquery MAX).
+_sql_query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) + 0.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+# Q17: small-quantity-order revenue — per-part correlated scalar AVG
+# (p_brand value sets vary across fixture scales, so the stable p_type
+# partitions the part space instead).
+_sql_query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 2) AS DOUBLE) + 0.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'SMALL'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+# Q18: large-volume customers — IN over a HAVING aggregate subquery.
+_sql_query(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) + 0.0 AS totalprice,
+           CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) + 0.0 AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# Q19: discounted revenue — OR-of-ANDs across the part join (classic
+# disjunctive-predicate pushdown shape; p_type replaces p_brand/p_container
+# for scale-stable value domains).
+_sql_query(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+             + 0.0 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type = 'LARGE'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+# Q21: suppliers who kept orders waiting — the hardest decorrelation shape:
+# one EXISTS and one NOT EXISTS, both correlated to the outer lineitem on
+# key equality plus inequalities (receipt/commit dates absent → "this
+# supplier shipped strictly last among multi-supplier 'F' orders").
+_sql_query(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+# Q22: global sales opportunity — anti-join (NOT EXISTS) + uncorrelated
+# scalar AVG subquery (c_phone country codes absent → nationkey mod 10;
+# all fixture customers have orders, so the anti-join excludes only
+# customers with RECENT orders to stay populated).
+_sql_query(
+    "tpch_q22_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) + 0.0 AS totacctbal
+    FROM (
+      SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
