@@ -358,3 +358,55 @@ _sql_query(
     ORDER BY cntrycode
     """,
 )
+
+# Q2: minimum-cost supplier — correlated scalar MIN whose subquery is
+# itself a JOIN (partsupp/ps_supplycost absent → the cheapest supplier of
+# a part is the one with MIN s_acctbal among suppliers that shipped it).
+_sql_query(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(ROUND(s_acctbal, 2) AS DOUBLE) + 0.0 AS acctbal
+    FROM part, supplier, lineitem
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size BETWEEN 10 AND 20
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM supplier s2
+                       JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                       WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+
+# Q9: product-type profit — ps_supplycost absent, so cost is proxied as
+# 60% of retail price × quantity; the shape (5-table join, LIKE filter on
+# p_name, two-level grouping on nation × year) is intact.
+# Contract note: profit mixes signs, so SUM(double) suffers catastrophic
+# cancellation and its low bits depend on accumulation ORDER — ROUND(sum)
+# diverged cross-engine by 0.01 at sf0.01. The contract therefore
+# quantizes per ROW to integer cents with FLOOR(x*100 + 0.5) — pure IEEE
+# ops, bit-identical on both engines for identical inputs — and sums
+# BIGINTs, which is exact and order-independent at any scale.
+_sql_query(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(amount_cents) AS BIGINT) AS sum_profit_cents
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                  AS BIGINT) AS amount_cents
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)

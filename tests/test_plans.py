@@ -86,3 +86,31 @@ def test_clean_corpus_uses_semi_join_dedup(spark, sf_dir):
     stage (no extra shuffle before the dedup agg)."""
     plan = plan_of(spark, sf_dir, "p_clean_corpus")
     assert "LeftSemi" in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
+    """Correlated EXISTS (with a correlated inequality on o_orderdate)
+    must decorrelate to a semi join — never a per-row subquery."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_double_correlation_stays_joins(spark, sf_dir):
+    """EXISTS + NOT EXISTS, both correlated on key equality plus an
+    inequality: the plan must be one semi and one anti join on
+    l_orderkey (shuffle-partitionable at 100 TB), with no nested-loop
+    fallback."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q17_correlated_scalar_agg_decorrelates(spark, sf_dir):
+    """Per-part correlated AVG must become an aggregate-then-join on
+    l_partkey, not a re-executed subquery."""
+    plan = plan_of(spark, sf_dir, "tpch_q17_small_qty_revenue")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
