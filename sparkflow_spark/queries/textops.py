@@ -5,7 +5,7 @@ fingerprinting, language stats)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark.catalog import Tables
 from sparkflow_spark.functions.text import (
@@ -200,5 +200,107 @@ def t_quality(spark: SparkSession, sf: str) -> DataFrame:
             bpe_ish_token_count("text").alias("n_bpe_tokens"),
             simhash64("text").alias("simhash"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p_source_mixture",
+    oracle="""
+        WITH tc AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != '')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, source, n_tok FROM (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tc
+        ) WHERE cum <= 800
+        ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def p_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture sampling: cap each source shard at a token budget,
+    taking documents in deterministic doc_id order until the budget is
+    exhausted (the per-source quota step of an LLM pre-training mixture,
+    e.g. "at most N tokens of each crawl/domain").
+
+    Scale shape: one window partitioned BY SOURCE — embarrassingly
+    parallel across sources, each partition a streaming running sum (no
+    global sort, no driver loop). Skewed mega-sources split further in
+    practice by packing sub-shards into the partition key; fixtures have
+    20 uniform sources so the plain key suffices.
+    """
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = t.documents.select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= 800)
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p_pack_sequences",
+    oracle="""
+        WITH tc AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != '')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, source, n_tok,
+               CAST(FLOOR((cum - n_tok) / 256) AS BIGINT) AS bin_id
+        FROM (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tc
+        )
+        ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def p_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins (256 tokens) by greedy SEQUENTIAL packing within each source
+    shard — bin = the 256-token block where the doc's running token
+    offset starts. Documents longer than the budget spill across blocks
+    but still anchor to a deterministic bin (standard concat-then-chunk
+    packing, as opposed to first-fit, which is order-dependent and not
+    reproducible across partitionings).
+
+    Scale shape: identical to p_source_mixture — per-source windows,
+    parallel across shards, no global coordination; the bin id is a pure
+    expression over the running sum.
+    """
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = t.documents.select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(256)).cast("bigint"),
+        )
+        .select("doc_id", "source", "n_tok", "bin_id")
         .orderBy("doc_id")
     )
