@@ -268,3 +268,62 @@ def test_tokens_drop_empties_for_all_whitespace(spark):
     rows = df.select(tokens("text").alias("t"), token_count("text").alias("n")).collect()
     assert [r["t"] for r in rows] == [["hello", "world"], [], [], ["a", "b", "c"], None]
     assert [r["n"] for r in rows] == [2, 0, 0, 3, None]
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants on constructed docs: bins fill sequentially
+    per source, a doc never lands in a later bin than its running
+    offset, and an oversized doc anchors to the bin where its offset
+    starts (concat-then-chunk semantics)."""
+    from sparkflow_spark.queries import load_all
+
+    rows = [
+        # source A: 100-token doc fills bin 0, next doc starts bin 0
+        # at offset 100 (still < 256), third doc crosses into bin 1
+        (1, "w " * 100, "A"),
+        (2, "w " * 100, "A"),
+        (3, "w " * 100, "A"),
+        # source B: an oversized 600-token doc anchors at bin 0; the
+        # doc after it starts at offset 600 → bin 2
+        (4, "w " * 600, "B"),
+        (5, "w " * 10, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        # satisfy Tables for the one table the query touches
+        out = {
+            r["doc_id"]: (r["n_tok"], r["bin_id"])
+            for r in load_all()["p_pack_sequences"].fn(spark, d).collect()
+        }
+    assert out[1] == (100, 0)
+    assert out[2] == (100, 0)   # starts at offset 100, bin 0
+    assert out[3] == (100, 0)   # starts at offset 200, bin 0 (crosses into 1)
+    assert out[4] == (600, 0)   # oversized doc anchors at its start bin
+    assert out[5] == (10, 2)    # next doc starts at offset 600 → bin 2
+
+
+def test_source_mixture_budget_is_per_source(spark):
+    """Each source's kept token mass never exceeds the budget, and
+    docs are taken in doc_id order (a prefix per source)."""
+    from sparkflow_spark.queries import load_all
+
+    rows = [(i, "w " * 300, "A") for i in range(1, 6)] + [
+        (10 + i, "w " * 300, "B") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        kept = load_all()["p_source_mixture"].fn(spark, d).collect()
+    by_source: dict[str, list[int]] = {}
+    for r in kept:
+        by_source.setdefault(r["source"], []).append(r["doc_id"])
+    # 800-token budget / 300-token docs → exactly the first 2 per source
+    assert sorted(by_source["A"]) == [1, 2]
+    assert sorted(by_source["B"]) == [11, 12]
