@@ -372,3 +372,95 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     return t.events.select("event_id", parsed.getField("k").alias("k2"))
+
+
+@register(
+    "q55_cube_grouping",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS c,
+               CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) + 0.0 AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("relational", "agg"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE with GROUPING() markers — all 2^k grouping sets in one
+    partial+final aggregate pass (each input row expands to its 4
+    grouping-set rows map-side; no per-set rescan). GROUPING()
+    disambiguates "NULL because subtotal" from "NULL in the data",
+    which ROLLUP/q16 alone can't."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("c"),
+            dec2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "c", "sum_qty")
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q56_time_range_window",
+    oracle="""
+        SELECT event_id, user_id, epoch_s,
+               CAST(ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+                 AS DOUBLE) + 0.0 AS rolling_1h
+        FROM (
+            SELECT event_id, user_id, value,
+                   -- FLOOR before CAST: duckdb's double->int CAST rounds
+                   -- half-up, Spark's unix_timestamp truncates sub-seconds
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events
+        )
+    """,
+    tags=("relational", "window"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding TIME-RANGE window in batch: per user, the 1-hour
+    trailing sum of `value` — a RANGE frame over epoch seconds, the
+    batch twin of the streaming sliding window (st_sliding_counts).
+    Unlike a ROWS frame, the frame edge is a value predicate, so ties
+    and gaps in event time are handled identically on any engine.
+
+    Scale: one shuffle on user_id, then a single sort per partition;
+    the frame is evaluated with two moving pointers over the sorted
+    run — O(n) per partition, no per-row rescan.
+    """
+    t = Tables(spark, sf)
+    e = t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("epoch_s"),
+    )
+    # RANGE frames allow exactly one numeric ORDER BY expression (both
+    # engines enforce this) and need no tiebreak: the frame edge is a
+    # VALUE predicate, so rows tied on epoch_s always fall in each
+    # other's frames — per-row sums are well-defined under duplicates.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        dec2(F.sum("value").over(w)).alias("rolling_1h"),
+    )
