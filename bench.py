@@ -107,7 +107,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "methodology": "cold_1st_pass (rounds 1-2 comparable); steady-state 2nd pass reported under steady_*",
+                "methodology": "cold_1st_pass; vs rounds 1-2: streaming ENGINE init (state store/micro-batch exec) is warmed outside the window since r3, so st_tumbling cold excludes ~1s of one-time init r1/r2 included; steady-state 2nd pass under steady_*",
                 "steady_total": round(sum(steady.values()), 3),
                 "queries_steady": steady,
             }

@@ -23,6 +23,8 @@ with AQE handling bucket skew.
 
 from __future__ import annotations
 
+import itertools
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -279,7 +281,13 @@ def ngram_jaccard_pairs(
     # as long as the checkpointed RDD is referenced by the returned
     # DataFrame's plan; ContextCleaner reclaims them when the caller
     # drops the result. eager=False: materializes on first action, so
-    # plan construction stays lazy.
+    # plan construction stays lazy. TRADE-OFF (disclosed, not free):
+    # localCheckpoint TRUNCATES LINEAGE and keeps blocks on executors
+    # only, so an executor lost between materialization and the join's
+    # last read fails the query instead of recomputing — acceptable for
+    # this intra-query intermediate (the query restarts idempotently);
+    # for cross-job reuse prefer reliable checkpoint() to HDFS or an
+    # explicit persist+unpersist lifecycle owned by the caller.
     sh = sh.localCheckpoint(eager=False)
 
     a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n").alias("na"))
@@ -414,8 +422,15 @@ def embedding_near_duplicates_ann(
     if probe_hamming < 0 or probe_hamming > num_planes:
         raise ValueError(f"probe_hamming must be in [0, {num_planes}]")
 
-    # all bit masks with ≤ probe_hamming bits set, computed at plan time
-    masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe_hamming]
+    # all bit masks with ≤ probe_hamming bits set, computed at plan time.
+    # Enumerate by combinations of set-bit POSITIONS — sum(C(planes, r))
+    # steps — never by scanning range(2^planes): the docstring advises
+    # raising num_planes at larger corpora, and at 32 planes a 2^32
+    # range scan is hours of driver CPU before any Spark work.
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for pos in itertools.combinations(range(num_planes), r):
+            masks.append(sum(1 << b for b in pos))
 
     if dim is None:
         # one-row probe for the dimensionality (array<float> carries no

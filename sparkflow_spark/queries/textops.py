@@ -132,7 +132,8 @@ def t_quality_components(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         WITH scored AS (
             SELECT doc_id, text,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')) AS n_toks,
                    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                        * 1.0 / length(text) AS pr,
                    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),

@@ -12,7 +12,6 @@ formats — Delta/Iceberg — where batch_id becomes a dedup key.)
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -40,15 +39,20 @@ def stream_to_partitioned_parquet(
     table format keyed on the group columns is the right sink there, so
     this function pins ``append`` instead of corrupting silently.
 
-    The checkpoint is STABLE per output path (override with
-    ``checkpoint_dir``): replay-idempotence only holds when a restarted
-    run resumes the same offset log and batch ids — a fresh random
-    checkpoint would re-batch the input and leave any partially written
-    old partition in place (round-3 review finding).
+    The checkpoint is STABLE per output path and lives INSIDE it
+    (``path/_checkpoint``, override with ``checkpoint_dir``):
+    replay-idempotence only holds when a restarted run resumes the same
+    offset log and batch ids — a fresh random checkpoint would re-batch
+    the input and leave any partially written old partition in place
+    (round-3 review finding). Co-locating it couples the two lifetimes:
+    deleting the output also resets the offset log (a /tmp checkpoint
+    would survive and make the rerun a silent no-op), and losing the
+    checkpoint alone can't strand stale batches. Underscore-prefixed
+    dirs are invisible to parquet readers, so downstream scans are
+    unaffected.
     """
     if checkpoint_dir is None:
-        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
-        checkpoint_dir = os.path.join("/tmp", "sparkflow_sink_ckpt", digest)
+        checkpoint_dir = os.path.join(path, "_checkpoint")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
