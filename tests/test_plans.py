@@ -114,3 +114,68 @@ def test_tpch_q17_correlated_scalar_agg_decorrelates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q17_small_qty_revenue")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def _with_confs(spark, confs: dict):
+    """Set confs, returning the previous values for restoration."""
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """The 100 TB posture: dims too big to broadcast (threshold off) +
+    a selective dim filter → Spark injects a runtime bloom filter, so
+    the fact side drops non-joining rows BEFORE the shuffle. Thresholds
+    are lowered here because the fixture scan is tiny; at real scale
+    the defaults (10 GB application side) trigger on their own."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = _with_confs(spark, confs)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_join_degrades_to_smj_not_bnlj_without_broadcast(spark, sf_dir):
+    """When dims exceed the broadcast threshold (any real 100 TB run),
+    equi-joins must fall back to sort-merge on the key — never to a
+    nested-loop join."""
+    prev = _with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"})
+    try:
+        plan = plan_of(spark, sf_dir, "q06_multiway_join")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
