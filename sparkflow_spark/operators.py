@@ -119,3 +119,29 @@ def top_k_per_group(
     pre-prunes to k rows per group before the shuffle — see SCALE.md)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn("_rnk", F.row_number().over(w)).filter(F.col("_rnk") <= k).drop("_rnk")
+
+
+def observe_metrics(df: DataFrame, name: str, *metrics: Column):
+    """Attach named aggregate metrics that are computed FOR FREE during
+    the next action on ``df`` — no second pass over the data.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` after an action runs. This is the idiomatic
+    100 TB replacement for the "run the pipeline, then run COUNT/SUM
+    validation queries" pattern, which re-scans the input: Spark's
+    ``Dataset.observe`` accumulates the metric expressions inside the
+    existing job's tasks (constraint: only aggregate expressions over
+    the observed plan's output — no distinct, no subqueries).
+
+    Example::
+
+        kept, obs = observe_metrics(clean_docs, "quality",
+                                    F.count(F.lit(1)).alias("rows"),
+                                    F.sum("n_tok").alias("tokens"))
+        kept.write.parquet(out)        # one job
+        obs.get                        # {'rows': ..., 'tokens': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -464,3 +464,31 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
         "epoch_s",
         dec2(F.sum("value").over(w)).alias("rolling_1h"),
     )
+
+
+@register(
+    "q57_string_distance",
+    oracle="""
+        SELECT c_custkey,
+               CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS d_anchor,
+               CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS d_palin
+        FROM customer
+    """,
+    tags=("relational", "string"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance scalar functions (fuzzy-matching building block —
+    candidate verification for record linkage after a blocking join).
+    Both engines implement the same Wagner-Fischer levenshtein, checked
+    here against an anchor and a per-row derived string. Per-row scalar
+    → scan-bound at any scale."""
+    t = Tables(spark, sf)
+    return t.customer.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+        .cast("int")
+        .alias("d_anchor"),
+        F.levenshtein(F.col("c_name"), F.reverse(F.col("c_name")))
+        .cast("int")
+        .alias("d_palin"),
+    )

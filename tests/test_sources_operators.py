@@ -265,3 +265,29 @@ def test_binary_file_ingest_feeds_multimodal_ops(spark, tmp_path):
     )
     feats = multimodal.extract_features(ided, id_col="doc_id").collect()
     assert len(feats) == 3 and all(len(r["features"]) == 8 for r in feats)
+
+
+def test_observe_metrics_free_telemetry(spark, sf_dir):
+    """Metrics ride the existing job: one action yields both the result
+    and the observed aggregates, matching a direct computation."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.operators import observe_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_chars2")
+    )
+    observed, obs = observe_metrics(
+        docs,
+        "corpus_stats",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_chars2").alias("chars"),
+        F.max("doc_id").alias("max_id"),
+    )
+    n = observed.count()  # the ONE action; metrics accumulate inside it
+    direct = docs.agg(
+        F.count(F.lit(1)), F.sum("n_chars2"), F.max("doc_id")
+    ).first()
+    assert obs.get["rows"] == n == direct[0]
+    assert obs.get["chars"] == direct[1]
+    assert obs.get["max_id"] == direct[2]
