@@ -1,6 +1,8 @@
 """End-to-end training-data pipeline over the documents/embeddings
 fixtures: quality filter → exact dedup → near-dedup (MinHash candidates
-→ connected components) → language stats → nearest-neighbor probe.
+→ connected components) → per-source token-budget mixture → sequence
+packing → language stats → nearest-neighbor probe, with free
+observe() telemetry riding the final action.
 
 This is the north-star composition the engine exists for; every stage
 is a DataFrame op that scales by partitioning (see SCALE.md).
@@ -42,6 +44,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     )
     final = dedup.near_dedup(exact, pairs)
     print(f"near dedup ({pairs.count()} candidate pairs): -> {final.count()} docs")
+
+    # mixture: cap each source shard's token mass, in doc_id order;
+    # packing: assign survivors to fixed 512-token training bins.
+    # Both are per-source running-sum windows — parallel across shards.
+    from pyspark.sql import Window
+
+    from sparkflow_spark.operators import observe_metrics
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mixed = (
+        final.join(t.documents.select("doc_id", "source"), "doc_id")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 2000)
+        .withColumn("bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512)))
+    )
+    packed, obs = observe_metrics(
+        mixed,
+        "corpus",
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("bin_id").alias("max_bin"),  # observe() forbids distinct aggs
+    )
+    n_packed = packed.count()  # one action; telemetry rides it
+    print(f"mixture+packing: -> {n_packed} docs; observed {obs.get}")
 
     final.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
