@@ -11,7 +11,6 @@ Scale notes are attached per query where the plan shape matters at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark.catalog import Tables
