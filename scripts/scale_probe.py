@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Empirical scale probe: do the heavy operators scale linearly in rows?
+
+The bench fixtures stop at sf0.1, so 100 TB behavior is otherwise argued
+from plan shape alone (SCALE.md). This probe adds measurements: it
+synthesizes 4x and 16x row-scaled copies of the sf0.1 tables in /tmp
+(key-shifted unions — foreign keys stay consistent, per-copy documents
+are token-tagged so near-dup structure scales linearly instead of
+quadratically), runs the heavy operators at 1x/4x/16x, and reports
+steady-state wall clock per scale plus the per-row cost ratio. A
+scan-bound or one-shuffle operator should show t(16x)/t(1x) well under
+16 (fixed overhead amortizes) and a flat-or-falling per-row cost; a
+quadratic candidate generator would blow up instead.
+
+It also asserts the plan INVARIANTS that make the scaling argument at
+1000 executors: dimension joins stay broadcast at 16x, dedup candidate
+generation stays non-cartesian, and aggregation keeps a map-side
+partial phase.
+
+Usage: python scripts/scale_probe.py [--scales 1,4,16] [--keep]
+Writes one JSON line per (query, scale) and a summary table to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from sparkflow_spark.catalog import table_path
+from sparkflow_spark.queries import load_all
+from sparkflow_spark.session import build_session
+
+SRC = "/root/testdata/sf0.1"
+WORK = "/tmp/sparkflow_scale"
+
+# Key-shift offsets: one round power-of-ten above the sf0.1 max of each
+# key domain, so shifted copies never collide with the originals.
+CK = 100_000  # c_custkey max ~15k at sf0.1
+OK = 10_000_000  # o_orderkey max ~600k
+DK = 100_000  # doc_id
+EK = 100_000  # vec_id
+UK = 1_000_000  # user_id
+
+PROBES = [
+    "q13_hash_agg_tpch_q1",
+    "q14_count_distinct",
+    "q06_multiway_join",
+    "q21_window_running_sum",
+    "t_token_count",
+    "d_ngram_jaccard_pairs",
+    "s_brute_force_top1",
+    "st_tumbling_hour_counts",
+]
+
+# Tables the probe queries never touch are symlinked, not rewritten.
+COPY_AS_IS = ("region", "nation", "supplier", "part")
+
+
+def _scaled(df, m: int, shift):
+    """Union m key-shifted copies of df. shift(df, i) -> DataFrame."""
+    out = shift(df, 0)
+    for i in range(1, m):
+        out = out.unionByName(shift(df, i))
+    return out
+
+
+def generate(spark, m: int, dest: str) -> None:
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    for name in COPY_AS_IS:
+        os.symlink(table_path(SRC, name), table_path(dest, name))
+    if m == 1:
+        for name in ("customer", "orders", "lineitem", "documents", "embeddings", "events"):
+            os.symlink(table_path(SRC, name), table_path(dest, name))
+        return
+
+    raw = {  # raw reads: events keeps its nanos bigint so copies match the source layout
+        n: spark.read.parquet(table_path(SRC, n))
+        for n in ("customer", "orders", "lineitem", "documents", "embeddings", "events")
+    }
+
+    def w(df, name):
+        df.write.mode("overwrite").parquet(table_path(dest, name))
+
+    w(_scaled(raw["customer"], m, lambda d, i: d.withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(i * CK))), "customer")
+    w(_scaled(raw["orders"], m, lambda d, i: d.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(i * OK)).withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(i * CK))), "orders")
+    w(_scaled(raw["lineitem"], m, lambda d, i: d.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(i * OK))), "lineitem")
+    # Tag every token with the copy index: shingle sets become DISJOINT
+    # across copies, so true near-dup pairs scale linearly with m (a
+    # plain duplication would make every doc match its m-1 clones and
+    # the pair count quadratic in m — a property of the synthetic data,
+    # not the algorithm under test).
+    w(_scaled(raw["documents"], m, lambda d, i: d.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(i * DK)).withColumn(
+        "text", F.regexp_replace("text", r"(\S+)", rf"$1{i}"))), "documents")
+    w(_scaled(raw["embeddings"], m, lambda d, i: d.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(i * EK))), "embeddings")
+    w(_scaled(raw["events"], m, lambda d, i: d.withColumn(
+        "user_id", F.col("user_id") + F.lit(i * UK))), "events")
+
+
+def run_probe(spark, registry, name: str, sf_dir: str) -> dict:
+    fn = registry[name].fn
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # noop sink, NOT count(): count() lets Catalyst prune unused
+        # window/computed columns and would time a different plan.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 3))
+    rows = fn(spark, sf_dir).count()  # untimed sanity (e.g. pair counts linear in m)
+    return {"cold": times[0], "steady": times[1], "rows": rows}
+
+
+def check_invariants(spark, registry, sf_dir: str) -> dict:
+    """Plan-shape assertions at the largest scale."""
+    out = {}
+    plan = registry["q06_multiway_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    out["q06_dim_join_broadcast"] = "BroadcastHashJoin" in plan
+    plan = registry["d_ngram_jaccard_pairs"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    out["dedup_non_cartesian"] = (
+        "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    )
+    plan = registry["q13_hash_agg_tpch_q1"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    out["q13_partial_agg"] = "partial_" in plan or plan.count("HashAggregate") >= 2
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--keep", action="store_true", help="keep generated parquet")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = build_session(app_name="scale_probe")
+    registry = load_all()
+
+    dirs = {}
+    for m in scales:
+        dest = os.path.join(WORK, f"x{m}")
+        print(f"# generating x{m} -> {dest}", file=sys.stderr)
+        generate(spark, m, dest)
+        dirs[m] = dest
+
+    # Warm shared machinery (codegen families, python workers, streaming
+    # engine) so per-scale numbers compare like-for-like.
+    for name in PROBES:
+        registry[name].fn(spark, dirs[scales[0]]).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[int, dict]] = {}
+    for name in PROBES:
+        results[name] = {}
+        for m in scales:
+            r = run_probe(spark, registry, name, dirs[m])
+            results[name][m] = r
+            print(json.dumps({"query": name, "scale": m, **r}))
+
+    inv = check_invariants(spark, registry, dirs[scales[-1]])
+    print(json.dumps({"invariants_at_max_scale": inv}))
+
+    base = scales[0]
+    hdr = f"| query | " + " | ".join(f"x{m} steady (s)" for m in scales) + \
+        f" | t(x{scales[-1]})/t(x{base}) | per-row cost x{scales[-1]} vs x{base} |"
+    print("\n" + hdr)
+    print("|" + "---|" * (len(scales) + 3))
+    for name in PROBES:
+        row = results[name]
+        ratio = row[scales[-1]]["steady"] / max(row[base]["steady"], 1e-9)
+        per_row = ratio / (scales[-1] / base)
+        cells = " | ".join(f"{row[m]['steady']:.2f}" for m in scales)
+        print(f"| {name} | {cells} | {ratio:.1f}x | {per_row:.2f}x |")
+
+    if not args.keep:
+        shutil.rmtree(WORK, ignore_errors=True)
+    return 0 if all(inv.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

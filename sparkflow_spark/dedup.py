@@ -217,6 +217,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
+    index_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -254,11 +255,23 @@ def ngram_jaccard_pairs(
     # BYTES (advisory size), but the downstream window+join is CPU-bound
     # interpreted-HOF work with high cost per byte — byte-coalescing
     # collapsed this to 3 partitions on a 32-core box (measured +0.4 s).
-    # Pin parallelism to a cores-proportional floor instead; AQE skew
-    # splitting still applies on top.
-    sh = sh.repartition(
-        max(8, df.sparkSession.sparkContext.defaultParallelism // 4), F.col("shingle")
-    )
+    # Size the width to the DATA, not the cores: the scale probe
+    # (scripts/scale_probe.py) showed any fixed width goes superlinear
+    # once the exploded index outgrows it (within-partition window sort
+    # + interpreted pair-expansion dominate: 16x data at width 8 ran
+    # 17.7 s vs 7.6 s at width 128), while over-splitting small inputs
+    # pays per-partition overhead (width 32 at 1x: +10%). The work here
+    # is CPU-bound per index ROW, so AQE's byte-advisory coalescing
+    # reasons with the wrong unit — it collapsed this stage to 3
+    # partitions on a 32-core box (measured +0.4 s). Default: one
+    # partition per ~64 KiB of (compressed) input text — ≈128k index
+    # rows, the empirical sweet spot at both probe scales — from the
+    # plan-time sizeInBytes estimate (free: parquet footer stats; no
+    # job runs). Callers beyond the 16384 cap size it explicitly.
+    if index_partitions is None:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        index_partitions = max(8, min(16384, size >> 16))
+    sh = sh.repartition(index_partitions, F.col("shingle"))
     if max_shingle_freq is not None:
         # CAPPED (scale) path: per-shingle pair expansion instead of a
         # self-join. The cap is a WINDOW count (streamed sort within the
