@@ -101,6 +101,18 @@ def main() -> int:
     else:
         names = names[:50]
 
+    # Fixture-drift tripwire: under the engine's configs events.ts must be
+    # LTZ timestamp or every withWatermark query dies (round-3 regression).
+    from sparkflow_spark.catalog import load_table
+    from sparkflow_spark.session import ensure_runtime_configs
+
+    ts_dtype = dict(load_table(ensure_runtime_configs(spark), sf_dir, "events").dtypes)["ts"]
+    if ts_dtype != "timestamp":
+        print(f"TRIPWIRE: events.ts reads as {ts_dtype!r}, expected 'timestamp' — "
+              "fixture drift; see catalog.normalize_event_time / "
+              "tests/test_fixture_contract.py")
+        return 3
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

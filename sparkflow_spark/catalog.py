@@ -44,16 +44,37 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local ``timestamp`` (LTZ).
+
+    The fixtures have shipped ``ts`` in three shapes across regenerations:
+
+    - ``bigint`` — raw nanos, when TIMESTAMP(NANOS) files are read under
+      ``spark.sql.legacy.parquet.nanosAsLong``;
+    - ``timestamp_ntz`` — parquet timestamp[µs] isAdjustedToUTC=false read
+      with NTZ inference on (the current on-disk shape; see FIXTURES.md);
+    - ``timestamp`` — already the target type.
+
+    Streaming ``withWatermark`` requires TIMESTAMP (LTZ), so every events
+    read funnels through here. With the UTC session timezone the NTZ→LTZ
+    cast is value-preserving (same wall-clock instant).
+    """
+    import pyspark.sql.functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as raw nanos (see session nanosAsLong note); present
-        # it as a proper timestamp at Spark's µs precision.
-        import pyspark.sql.functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_time(df)
     return df
 
 

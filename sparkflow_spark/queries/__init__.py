@@ -86,7 +86,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q32_struct_map_access",
     "q40_pandas_udf_scalar",
     "q40_grouped_map_applyinpandas",
-    "q40_python_udtf_lateral",
     # dedup family (Q34/Q35)
     "q34_exact_dedup_count",
     "d_ngram_jaccard_pairs",
@@ -96,9 +95,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q36_lang_stats",
     "t_token_count",
     "p_clean_corpus",
-    # streaming (Q37–Q39 + streaming dedup); st_sliding_counts sits just
-    # past the window (closest sibling of tumbling, mirror-checked)
+    # streaming (Q37–Q39 + streaming dedup) — all four watermark queries
+    # have driver records; q40_python_udtf_lateral (two sibling UDF rows
+    # already in-window) moved past 50 to make room for st_sliding_counts
     "st_tumbling_hour_counts",
+    "st_sliding_counts",
     "st_stream_dedup",
     "st_session_counts",
     "st_stream_stream_join",

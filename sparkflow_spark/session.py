@@ -39,10 +39,20 @@ _RUNTIME_CONFS: dict[str, str] = {
     # yields), not the -1 the legacy flag's true default produces when
     # ANSI is off.
     "spark.sql.legacy.sizeOfNull": "false",
-    # events.parquet stores ts as TIMESTAMP(NANOS) (FIXTURES.md), which
+    # Historical fixture shapes stored ts as TIMESTAMP(NANOS), which
     # Spark's vectorized reader rejects; read as raw nanos and convert in
-    # the catalog (ns → µs, Spark's native precision).
+    # the catalog (ns → µs, Spark's native precision). Harmless when the
+    # file is already µs.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Current fixtures store ts as parquet timestamp[µs]
+    # isAdjustedToUTC=false, which Spark 4.x would otherwise infer as
+    # TIMESTAMP_NTZ — a type withWatermark rejects
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Read as session-local
+    # TIMESTAMP instead; with the UTC session timezone above the wall
+    # clock values are identical. The catalog additionally casts
+    # defensively (normalize_event_time) so externally built sessions
+    # that ignore this conf still work.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

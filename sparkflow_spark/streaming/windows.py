@@ -9,7 +9,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkflow_spark.catalog import table_path
+from sparkflow_spark.catalog import normalize_event_time, table_path
 from sparkflow_spark.session import ensure_runtime_configs
 
 
@@ -73,8 +73,9 @@ def stream_events(
     path = table_path(sf_dir, "events")
     batch_schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(batch_schema).parquet(_as_stream_dir(path))
-    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Handle every ts arrival shape the fixtures have shipped (bigint
+    # nanos / timestamp_ntz / timestamp) — withWatermark requires LTZ.
+    sdf = normalize_event_time(sdf)
     if watermark is not None:
         sdf = sdf.withWatermark("ts", watermark)
     return sdf
