@@ -81,6 +81,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     similarity.brute_force_topk(t.embeddings, probes, k=3).show()
+
+    # streaming leg: the same dedup idea applied to a live event feed —
+    # dropDuplicatesWithinWatermark keeps state bounded by event time
+    # (a real ingest pipeline dedups the firehose BEFORE the batch
+    # corpus ever forms; AvailableNow over the static fixture makes the
+    # demo deterministic)
+    from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
+
+    sdf = stream_events(spark, sf_dir, watermark="24 hours")
+    deduped = sdf.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    n_unique = run_stream_to_memory(deduped, "append").count()
+    print(f"streaming dedup: event feed -> {n_unique} unique (user, event_type) pairs")
     spark.stop()
 
 

@@ -27,7 +27,7 @@ Reference → new engine mapping:
   (the entire shim disappears, SURVEY.md §3 EP3).
 """
 
-from sparkflow_spark.ml.nn import MLP, build_optimizer
+from sparkflow_spark.ml.nn import MLP, ConvNet, build_optimizer, make_network
 from sparkflow_spark.ml.estimator import DistributedDL, DistributedDLModel
 from sparkflow_spark.ml.loader import load_model, attach_model_to_pipeline
 from sparkflow_spark.ml.graph_utils import (
@@ -44,6 +44,8 @@ from sparkflow_spark.ml.graph_utils import (
 
 __all__ = [
     "MLP",
+    "ConvNet",
+    "make_network",
     "build_optimizer",
     "DistributedDL",
     "DistributedDLModel",

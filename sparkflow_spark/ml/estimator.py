@@ -46,7 +46,7 @@ from pyspark.ml.param.shared import HasInputCol, HasLabelCol, HasPredictionCol, 
 from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 
-from sparkflow_spark.ml.nn import MLP, build_optimizer
+from sparkflow_spark.ml.nn import build_optimizer, make_network
 
 
 class _DLParams(HasInputCol, HasPredictionCol):
@@ -180,7 +180,7 @@ class DistributedDL(
         if parts > 0:
             train_df = train_df.coalesce(parts)
 
-        model = MLP({**spec, "seed": seed})
+        model = make_network({**spec, "seed": seed})
         weights = model.get_weights()
         sc = dataset.sparkSession.sparkContext
 
@@ -201,7 +201,7 @@ class DistributedDL(
             epoch_seed = seed + epoch * 1000
 
             def train_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                local = MLP(json.loads(spec_json))
+                local = make_network(json.loads(spec_json))
                 local.set_weights([np.asarray(w) for w in json.loads(bc.value)])
                 opt = build_optimizer(opt_name, lr, opt_options)
                 Xs, Ys = [], []
@@ -304,13 +304,15 @@ class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsR
         spec_json = self.getOrDefault(self.networkSpec)
         weights_json = self.getOrDefault(self.modelWeights)
         spec = json.loads(spec_json)
-        out_dim = spec["layers"][-1]
+        # output dim from the net itself (MLP: layers[-1]; ConvNet:
+        # dense[-1]) — the protocol attribute covers both
+        out_dim = make_network(spec).layers[-1]
         ret_type = T.DoubleType() if out_dim == 1 else T.ArrayType(T.DoubleType())
 
         @F.pandas_udf(ret_type)
         def infer(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             # model rebuilt once per python worker, cached across batches
-            local = MLP(json.loads(spec_json))
+            local = make_network(json.loads(spec_json))
             local.weights_from_json(weights_json)
             # keep_dropout → dropout stays ACTIVE at inference (the
             # reference's toKeepDropout, ml_util.py:70-72; MC-dropout).

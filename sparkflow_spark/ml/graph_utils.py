@@ -36,6 +36,34 @@ def build_network(
     return json.dumps(spec)
 
 
+def build_conv_network(
+    input_shape: list[int],
+    conv: list[dict],
+    dense: list[int],
+    dense_activations: list[str] | None = None,
+    loss: str = "softmax_ce",
+    seed: int = 42,
+) -> str:
+    """JSON spec for :class:`~sparkflow_spark.ml.nn.ConvNet` — the
+    declarative counterpart of the reference's conv graph assembly
+    (reference examples/cnn_example.py:10-23: conv2d→maxpool stacks into
+    a dense softmax head).
+
+    ``conv``: list of ``{"filters": F, "kernel": K, "pool": P,
+    "activation": "relu"}`` dicts (valid padding, stride 1, pool = P×P
+    non-overlapping max)."""
+    spec: dict = {
+        "input_shape": list(input_shape),
+        "conv": [dict(l) for l in conv],
+        "dense": list(dense),
+        "loss": loss,
+        "seed": seed,
+    }
+    if dense_activations is not None:
+        spec["dense_activations"] = list(dense_activations)
+    return json.dumps(spec)
+
+
 def generate_config(**kwargs) -> str:
     """kwargs → JSON (reference graph_utils.py:18-22)."""
     return json.dumps(kwargs)
