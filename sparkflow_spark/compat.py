@@ -41,9 +41,20 @@ from sparkflow_spark.ml.loader import attach_model_to_pipeline, load_model
 _TF_ONLY_ARGS = ("tensorflowGraph", "tfInput", "tfLabel", "tfOutput", "acquireLock", "port")
 
 
-def SparkAsyncDL(layers=None, activations=None, loss="mse", dropout=None, **kwargs) -> DistributedDL:
+def SparkAsyncDL(
+    layers=None,
+    activations=None,
+    loss=None,  # default: "mse" for MLP specs, "softmax_ce" for conv specs
+    dropout=None,
+    input_shape=None,
+    conv=None,
+    dense=None,
+    **kwargs,
+) -> DistributedDL:
     """Reference-named constructor. Provide ``layers`` (+ optional
-    ``activations``/``loss``/``dropout``) in place of a TF graph.
+    ``activations``/``loss``/``dropout``) in place of a TF graph — or,
+    for convolutional graphs (reference examples/cnn_example.py:10-23),
+    ``input_shape=[h,w,c], conv=[{filters,kernel,pool},...], dense=[...]``.
 
     Behavioral reference args that ARE mapped (not dropped):
     - ``tfDropout``/``toKeepDropout`` → dropout in the network spec
@@ -66,12 +77,14 @@ def SparkAsyncDL(layers=None, activations=None, loss="mse", dropout=None, **kwar
     to_keep = bool(kwargs.pop("toKeepDropout", None) or False)
     cb = kwargs.pop("loss_callback", None) or kwargs.pop("lossCallback", None)
     part_shuffles = kwargs.pop("partitionShuffles", None)
-    if layers is None:
+    if layers is None and (input_shape is None or conv is None or dense is None):
         raise TypeError(
-            "SparkAsyncDL compatibility shim needs `layers=[...]` (a network "
+            "SparkAsyncDL compatibility shim needs `layers=[...]` (an MLP "
+            "spec) or `input_shape=[h,w,c], conv=[...], dense=[...]` (a conv "
             "spec) — TensorFlow-1 graph arguments "
             f"({', '.join(dropped) or 'tensorflowGraph'}) cannot be executed "
-            "in this engine; see sparkflow_spark.ml.graph_utils.build_network"
+            "in this engine; see sparkflow_spark.ml.graph_utils.build_network "
+            "/ build_conv_network"
         )
     if dropped:
         warnings.warn(
@@ -92,12 +105,20 @@ def SparkAsyncDL(layers=None, activations=None, loss="mse", dropout=None, **kwar
     kwargs.setdefault("shufflePerIter", bool(kwargs.pop("shufflePerIter", False)))
     if cb is not None:
         kwargs["lossCallback"] = cb
-    return DistributedDL(
-        networkSpec=build_network(
-            layers, activations=activations, loss=loss, dropout=dropout, keep_dropout=to_keep
-        ),
-        **kwargs,
-    )
+    if layers is None:
+        from sparkflow_spark.ml.graph_utils import build_conv_network
+
+        if dropout is not None:
+            raise TypeError("dropout is not supported on the conv spec (MLP specs only)")
+        spec = build_conv_network(
+            input_shape, conv, dense, loss=loss or "softmax_ce"
+        )
+    else:
+        spec = build_network(
+            layers, activations=activations, loss=loss or "mse",
+            dropout=dropout, keep_dropout=to_keep,
+        )
+    return DistributedDL(networkSpec=spec, **kwargs)
 
 
 SparkAsyncDLModel = DistributedDLModel

@@ -25,14 +25,19 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
+import pandas as pd
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from sparkflow_spark.functions.text import (
+    bind,
     fingerprint,
     hamming64,
+    lower_tokens,
     shingle_hashes_from_tokens,
-    simhash64,
+    simhash64,  # noqa: F401 — re-exported; definitional twin of simhash64_fast
     with_tokens,
 )
 
@@ -57,25 +62,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, on=id_col, how="left_semi")
 
 
-def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """array<bigint> of K minhashes over a shingle array — pure Catalyst.
-
-    Universal hash family h_i(x) = (a_i * xxhash64(x) + b_i) mod p with
-    deterministic (a_i, b_i) derived from ``seed`` via a splitmix-style
-    recurrence (computed in Python at plan time — no RNG on executors).
-    """
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    sig = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)))
-        )
-        for a, b in coeffs
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
     ]
-    return F.array(*sig)
+
+
+def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """array<bigint> of K minhashes over a shingle array.
+
+    Universal hash family h_i(x) = (a_i * xxhash64(x) + b_i) mod p with
+    deterministic (a_i, b_i) derived from ``seed`` (computed in Python
+    at plan time — no RNG on executors). The base xxhash64 runs
+    JVM-side (shared hash space with the jaccard shingle index); the
+    K-way min runs as ONE Arrow-batched numpy broadcast per row instead
+    of K interpreted HOF passes — HOF lambdas don't participate in
+    whole-stage codegen, and K=64 interpreted array traversals measured
+    ~4× slower than the (m,1)*(1,K) numpy path (same trade the LSH-ANN
+    signature matmul makes, similarity.py). int64 is overflow-safe:
+    a, x < 2³¹ ⇒ a·x + b < 2⁶² + 2³¹.
+    """
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    A = np.asarray([c[0] for c in coeffs], dtype=np.int64)
+    B = np.asarray([c[1] for c in coeffs], dtype=np.int64)
+    k = num_hashes
+
+    @F.pandas_udf("array<bigint>")
+    def sig(base: pd.Series) -> pd.Series:
+        out = []
+        for h in base:
+            if h is None:
+                out.append(None)
+                continue
+            h = np.asarray(h, dtype=np.int64)
+            if h.size == 0:
+                out.append([None] * k)  # array_min semantics on empty
+                continue
+            out.append(((h[:, None] * A[None, :] + B[None, :]) % _MERSENNE_P).min(axis=0))
+        return pd.Series(out)
+
+    return sig(F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))))
 
 
 def minhash_signatures(
@@ -145,6 +175,11 @@ def minhash_candidate_pairs(
         )
         .select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+    # materialize once: the self-join below references this subplan
+    # twice, and the signature pandas_udf never canonicalizes equal
+    # across references — without this the K-minhash stage runs per
+    # side (see simhash_near_duplicates for the identical pattern)
+    bucketed = bucketed.localCheckpoint(eager=False)
 
     a = bucketed.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
@@ -164,6 +199,41 @@ def minhash_candidate_pairs(
     )
 
 
+def simhash64_fast(text: Column) -> Column:
+    """Bit-identical fast path for :func:`functions.text.simhash64`.
+
+    Token hashing stays JVM-side (xxhash64 — same hash space as the
+    Catalyst definition); the 64 per-bit ±1 counters collapse into one
+    Arrow-batched numpy broadcast per row. The pure-Catalyst form
+    evaluates ~64 interpreted expressions per TOKEN inside an aggregate
+    lambda (no codegen for HOF lambdas) — measured ~20 s for 5k docs at
+    sf0.1 vs sub-second here; parity is pinned by
+    tests/test_t1_behavioral.py::test_simhash_fast_matches_catalyst.
+    """
+
+    @F.pandas_udf("bigint")
+    def pack(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.int64)
+        w62 = (np.int64(1) << shifts[:63])  # weights for the low 63 bits
+        out = []
+        for h in hashes:
+            if h is None:
+                out.append(None)
+                continue
+            h = np.asarray(h, dtype=np.int64)
+            if h.size == 0:
+                out.append(np.int64(0))  # empty fold: all counters 0 → no bits set
+                continue
+            bits_pm1 = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1)  # (m, 64)
+            counters = bits_pm1.sum(axis=0)
+            set_bits = counters > 0
+            low = int((set_bits[:63] * w62).sum())
+            out.append(np.int64(low - (1 << 63)) if set_bits[63] else np.int64(low))
+        return pd.Series(out, dtype="object")
+
+    return pack(F.transform(lower_tokens(text), lambda t: F.xxhash64(t)))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -178,7 +248,7 @@ def simhash_near_duplicates(
     least one exact block → join on (block_idx, block_value), verify
     with bit_count(xor). Output: (id_a, id_b, hamming).
     """
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col), simhash64_fast(F.col(text_col)).alias("sh"))
     width = 64 // blocks
     # block index is a plan-time Python int (shiftright requires int)
     exploded = sh.select(
@@ -198,6 +268,14 @@ def simhash_near_duplicates(
             )
         ).alias("bv"),
     ).select(id_col, "sh", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+
+    # the self-join references this subplan twice and python-UDF nodes
+    # never canonicalize equal, so without materialization the simhash
+    # stage runs once per reference (4 ArrowEvalPython nodes observed).
+    # localCheckpoint (lazy) computes the blocks×docs index ONCE; blocks
+    # are reclaimed by ContextCleaner when the result is dropped — same
+    # trade (and same disclosure) as the uncapped jaccard path above.
+    exploded = exploded.localCheckpoint(eager=False)
 
     a = exploded.select("blk", "val", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = exploded.select("blk", "val", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -255,8 +333,12 @@ def ngram_jaccard_pairs(
         return hit[1]
     # Candidate generation is ZERO-shuffle: shingle_hashes_from_tokens
     # emits a per-doc array_distinct array, so (id, shingle) is already
-    # unique — no dedup shuffle needed — and the doc's set size is just
-    # size(array), computed BEFORE the explode (no window, no groupBy).
+    # unique — no dedup shuffle needed — and the doc's set size n rides
+    # each exploded struct, attached under a bind() so the shingle array
+    # (and the tokenizer feeding it) evaluates exactly once per row
+    # (round-4 plan audit: the previous size()+explode() twin references
+    # re-evaluated the whole tokenize+shingle tree per reference after
+    # optimizer inlining — 17 tokenizer copies in the optimized plan).
     # Shingles are 64-bit hashes, not strings: the exploded shuffle/join
     # key is 8 bytes and the join comparator is a long compare (see
     # shingle_hashes_from_tokens for the collision argument).
@@ -266,13 +348,14 @@ def ngram_jaccard_pairs(
     docs = df.select(F.col(id_col), F.col(text_col)).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    staged = with_tokens(docs, text_col).withColumn(
-        "_sh", shingle_hashes_from_tokens("_toks", shingle_k)
+    shingle_structs = bind(
+        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k),
+        lambda arr: F.transform(
+            arr, lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n"))
+        ),
     )
-    sh = staged.select(
-        F.col(id_col),
-        F.size("_sh").alias("n"),
-        F.explode("_sh").alias("shingle"),
+    sh = docs.select(F.col(id_col), F.explode(shingle_structs).alias("_p")).select(
+        F.col(id_col), F.col("_p.n").alias("n"), F.col("_p.shingle").alias("shingle")
     )
     # shuffle keyed on the join key: co-partitions both self-join sides
     # and the frequency cap — the cached partitioning satisfies their
@@ -310,10 +393,16 @@ def ngram_jaccard_pairs(
         # and no per-invocation physical-planning cost (localCheckpoint
         # plans eagerly at CONSTRUCTION time; measured ~1 s fixed per
         # call at sf0.1, ~40% of the query's steady-state wall clock).
+        # lower bound 2: a shingle in exactly one doc can produce no
+        # pair and contributes nothing to any |A∩B| — dropping it here
+        # (same window pass, no extra shuffle) removes the long df=1
+        # tail (the vast majority of shingles in natural text) from the
+        # collect + pair-expansion stage entirely. Per-doc set sizes n
+        # were computed upstream, so Jaccard denominators are unaffected.
         w = Window.partitionBy("shingle")
         sh = (
             sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_shingle_freq)
+            .filter(F.col("_df").between(2, max_shingle_freq))
             .drop("_df")
         )
         docs = F.array_sort(
@@ -412,6 +501,13 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
     )
+    # materialize the edge list once: every iteration's join + the
+    # convergence count are separate ACTIONS, so without this each
+    # round re-executes the whole upstream pair-generation plan (for
+    # near-dedup that is the jaccard index — measured ~1 s per
+    # re-execution at sf0.1, several times per convergence). Blocks are
+    # ContextCleaner-reclaimed when the loop's result is dropped.
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -495,7 +591,7 @@ def embedding_near_duplicates_ann(
     never carries the embedding payload. At larger corpora raise
     num_planes (buckets shrink 2× per plane) before raising num_tables.
     """
-    from sparkflow_spark.functions.vector import dot, l2_norm
+    from sparkflow_spark.functions.vector import dot_batched, l2_norm
     from sparkflow_spark.similarity import _hyperplanes, rh_signatures_batched
 
     if probe_hamming < 0 or probe_hamming > num_planes:
@@ -533,6 +629,10 @@ def embedding_near_duplicates_ann(
         df.select(F.col(id_col), rh_signatures_batched(vec_col, tables).alias("_sigs"))
         .select(id_col, F.posexplode("_sigs").alias("tbl", "sig"))
     )
+    # materialize once: both candidate sides reference sigs, and the
+    # signature pandas_udf never canonicalizes equal across references
+    # (same pattern as minhash/simhash above)
+    sigs = sigs.localCheckpoint(eager=False)
 
     a = sigs.select(F.col("tbl"), F.col("sig").alias("code"), F.col(id_col).alias("id_a"))
     b = sigs.select(
@@ -555,7 +655,7 @@ def embedding_near_duplicates_ann(
     return (
         candidates.join(va, on="id_a")
         .join(vb, on="id_b")
-        .select("id_a", "id_b", F.when(den != 0, dot("va", "vb") / den).alias("cosine"))
+        .select("id_a", "id_b", F.when(den != 0, dot_batched("va", "vb") / den).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -571,8 +671,10 @@ def embedding_near_duplicates(
 
     Brute force is O(n²) within the join — only sane under a blocking
     key or for candidate verification. Kept as the exactness oracle.
+    The per-pair dot runs Arrow-batched (dot_batched): n² interpreted
+    HOF dots dominated this scan (34 s at sf0.1's 2M pairs → ~5 s).
     """
-    from sparkflow_spark.functions.vector import dot, l2_norm
+    from sparkflow_spark.functions.vector import dot_batched, l2_norm
 
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("_na")
@@ -585,7 +687,7 @@ def embedding_near_duplicates(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.when(den != 0, dot("va", "vb") / den).alias("cosine")
+            "id_a", "id_b", F.when(den != 0, dot_batched("va", "vb") / den).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -34,6 +34,25 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
+def bind(expr: Column, fn) -> Column:
+    """Let-binding: evaluate ``expr`` ONCE per row, pass the value to
+    ``fn`` as a HOF lambda variable, return ``fn``'s result.
+
+    Why this exists (round-4 plan audit): staging an expensive array as
+    a named column does NOT guarantee single evaluation — Catalyst
+    re-inlines projected columns into their references (CollapseProject
+    and the Generate/Project rewrites), and interpreted HOF evaluation
+    has no common-subexpression elimination, so a tokenizer "staged"
+    below a shingle expression showed up 17× in the optimized plan and
+    re-ran per reference. A lambda VARIABLE, by contrast, is bound to
+    the evaluated value — every reference is a variable read in both
+    codegen and interpreted modes, and no optimizer rule inlines
+    through it. Implementation: ``transform(array(expr), fn)[0]`` — the
+    one-element wrapper costs one array header per row.
+    """
+    return F.transform(F.array(expr), fn)[0]
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization → array<string>, empties dropped.
 
@@ -105,16 +124,23 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     when projections collapse.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
-    n = F.size(toks)
-    m = F.greatest(n - (k - 1), F.lit(1))  # number of shingles when n >= k
-    # slices[j] = tokens shifted by j: zip element i of each slice gives
-    # (t_i, t_{i+1}, ..., t_{i+k-1})
-    acc = F.slice(toks, k, m)
-    for j in range(k - 1, 0, -1):
-        acc = F.zip_with(F.slice(toks, j, m), acc, lambda x, y: F.concat_ws(" ", x, y))
-    return F.when(n >= k, F.array_distinct(acc)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+
+    def _build(tk: Column) -> Column:
+        n = F.size(tk)
+        m = F.greatest(n - (k - 1), F.lit(1))  # number of shingles when n >= k
+        # slices[j] = tokens shifted by j: zip element i of each slice
+        # gives (t_i, t_{i+1}, ..., t_{i+k-1})
+        acc = F.slice(tk, k, m)
+        for j in range(k - 1, 0, -1):
+            acc = F.zip_with(F.slice(tk, j, m), acc, lambda x, y: F.concat_ws(" ", x, y))
+        return F.when(n >= k, F.array_distinct(acc)).otherwise(
+            F.array(F.concat_ws(" ", tk))
+        )
+
+    # bind(): tk references above are lambda-variable reads — the token
+    # array (and any tokenizer expression inlined into it) evaluates
+    # exactly once per row regardless of optimizer inlining
+    return bind(toks, _build)
 
 
 def shingle_hashes_from_tokens(toks: Column | str, k: int = 3) -> Column:
@@ -134,20 +160,25 @@ def shingle_hashes_from_tokens(toks: Column | str, k: int = 3) -> Column:
     same document pair collide.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
-    # one interpreted pass: HOF lambdas don't codegen, so every extra
-    # transform is a full array materialization — hash directly
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(th)
-    m = F.greatest(n - (k - 1), F.lit(1))
-    acc = F.slice(th, k, m)
-    for j in range(k - 1, 0, -1):
-        acc = F.zip_with(F.slice(th, j, m), acc, lambda x, y: F.xxhash64(x, y))
-    # short docs (n < k): one shingle = fold of all token hashes, the
-    # hashed analogue of shingles_from_tokens' concat_ws fallback
-    short = F.aggregate(
-        F.reverse(th), F.xxhash64(F.lit("")), lambda a, h: F.xxhash64(h, a)
-    )
-    return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(short))
+
+    def _build(th: Column) -> Column:
+        n = F.size(th)
+        m = F.greatest(n - (k - 1), F.lit(1))
+        acc = F.slice(th, k, m)
+        for j in range(k - 1, 0, -1):
+            acc = F.zip_with(F.slice(th, j, m), acc, lambda x, y: F.xxhash64(x, y))
+        # short docs (n < k): one shingle = fold of all token hashes, the
+        # hashed analogue of shingles_from_tokens' concat_ws fallback
+        short = F.aggregate(
+            F.reverse(th), F.xxhash64(F.lit("")), lambda a, h: F.xxhash64(h, a)
+        )
+        return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(short))
+
+    # one interpreted hash pass bound ONCE (bind()): the k+1 slice/size
+    # references to th above are variable reads, not re-evaluations —
+    # and the token array itself is referenced once, so an inlined
+    # tokenizer also runs once
+    return bind(F.transform(toks, lambda t: F.xxhash64(t)), _build)
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
@@ -207,16 +238,22 @@ def quality_score(text: Column | str) -> Column:
 
 
 def lang_scores(text: Column | str) -> Column:
-    """Map<lang, hits> of characteristic-marker hits."""
-    toks = lower_tokens(text)
-    entries = [
-        F.struct(
-            F.lit(lang).alias("lang"),
-            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
-        )
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    return F.array(*entries)
+    """Map<lang, hits> of characteristic-marker hits. The token array is
+    bind()-bound: one tokenizer run feeds all five per-language filters
+    (as attribute references they would each get an inlined tokenizer
+    copy — see bind's contract)."""
+    return bind(
+        lower_tokens(text),
+        lambda toks: F.array(
+            *[
+                F.struct(
+                    F.lit(lang).alias("lang"),
+                    F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+                )
+                for lang, markers in LANG_MARKERS.items()
+            ]
+        ),
+    )
 
 
 def detect_lang(text: Column | str, default: str = "en") -> Column:

@@ -14,6 +14,9 @@ makes results reproducible against numpy/DuckDB oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
@@ -41,6 +44,42 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def dot_batched(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched numpy dot product — the HOT-PATH twin of :func:`dot`.
+
+    :func:`dot` is an interpreted HOF (zip_with + aggregate never enter
+    whole-stage codegen): ~2·dim expression evaluations per ROW. On a
+    pair-verification stream (millions of candidate pairs × 64-dim) that
+    interpretation cost dominates the query; one einsum over an Arrow
+    batch replaces it (measured ~6× on the brute-force pair scan at
+    sf0.1). Accumulation is numpy's pairwise float64 sum rather than
+    dot()'s strict left-to-right adds — both are exact to ~1 ulp·log(dim),
+    so results differ only for comparisons that cut WITHIN float64
+    rounding error of the threshold; callers that need bit-stable
+    left-to-right parity (tiny inputs, exactness oracles) keep dot().
+    """
+
+    @F.pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        if va.isna().any() or vb.isna().any():  # SQL semantics: null in → null out
+            ok = ~(va.isna() | vb.isna())
+            out = pd.Series(np.nan, index=va.index, dtype="float64")
+            if ok.any():
+                A = np.stack(va[ok].to_numpy()).astype(np.float64, copy=False)
+                B = np.stack(vb[ok].to_numpy()).astype(np.float64, copy=False)
+                out[ok] = np.einsum("ij,ij->i", A, B)
+            return out
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _dot(ca, cb)
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

@@ -228,15 +228,15 @@ def lsh_topk(
     tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t)) for t in range(num_tables)]
 
     def signatures(df: DataFrame, id_alias: str) -> DataFrame:
-        sig_structs = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), rh_signature(vec_col, planes).alias("sig"))
-                for t, planes in tables
-            ]
-        )
+        # one Arrow-batched matmul for all tables (same convention and
+        # same rationale as rh_signatures_batched's docstring — the
+        # interpreted rh_signature costs tables·planes aggregate passes
+        # per row)
         return df.select(
-            F.col(id_alias), F.col(vec_col).alias(f"_{id_alias}_vec"), F.explode(sig_structs).alias("ts")
-        ).select(id_alias, f"_{id_alias}_vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+            F.col(id_alias),
+            F.col(vec_col).alias(f"_{id_alias}_vec"),
+            F.posexplode(rh_signatures_batched(vec_col, tables)).alias("tbl", "sig"),
+        )
 
     c_sig = signatures(corpus.select(F.col(corpus_id), F.col(vec_col)), corpus_id)
     p_sig = signatures(probes.select(F.col(probe_id), F.col(vec_col)), probe_id)

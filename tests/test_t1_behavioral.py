@@ -68,6 +68,28 @@ def test_minhash_recall_of_exact_near_dups(spark, oracle_sf_dir):
     assert recall >= 0.9, f"minhash recall {recall} on {len(exact_hi)} true pairs"
 
 
+def test_simhash_fast_matches_catalyst(spark, sf_dir):
+    """simhash64_fast (Arrow numpy path used by the dedup kernel) must
+    be bit-identical to the pure-Catalyst simhash64 definition — on the
+    fixture corpus and on the edge shapes (empty text, null, < 3
+    tokens)."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.dedup import simhash64_fast
+    from sparkflow_spark.functions.text import simhash64
+
+    docs = cached_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [(10_001, ""), (10_002, None), (10_003, "one"), (10_004, "a b")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionAll(edge).select(
+        simhash64(F.col("text")).alias("a"), simhash64_fast(F.col("text")).alias("b")
+    )
+    assert both.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+
+
 def test_simhash_python_mirror(spark, sf_dir):
     """Spark simhash64 pairs verified against hamming distance computed
     in python over the Spark-produced hashes (structure check: pairs
