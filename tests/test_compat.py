@@ -42,6 +42,29 @@ def test_compat_requires_layers():
         SparkAsyncDL(tensorflowGraph="{}", inputCol="features")
 
 
+def test_compat_accepts_conv_spec(spark):
+    """The reference's one conv demo (reference examples/cnn_example.py)
+    ports through the shim: input_shape/conv/dense in place of the TF
+    graph; default loss for conv specs is softmax_ce (the demo's
+    tf.losses.softmax_cross_entropy)."""
+    import json
+
+    est = SparkAsyncDL(
+        input_shape=[6, 6, 1],
+        conv=[{"filters": 2, "kernel": 3, "pool": 2}],
+        dense=[3],
+        inputCol="features",
+        labelCol="label",
+        iters=1,
+        localIters=2,
+    )
+    spec = json.loads(est.getOrDefault(est.networkSpec))
+    assert spec["conv"][0]["filters"] == 2 and spec["loss"] == "softmax_ce"
+    with pytest.raises(TypeError, match="dropout"):
+        SparkAsyncDL(input_shape=[6, 6, 1], conv=[{"filters": 2, "kernel": 3}],
+                     dense=[3], dropout=0.2)
+
+
 def test_compat_aliases():
     assert SparkAsyncDLModel is DistributedDLModel
     assert PysparkPipelineWrapper.unwrap("anything") == "anything"
