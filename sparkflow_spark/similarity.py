@@ -61,6 +61,11 @@ def brute_force_topk(
     )
 
 
+# (corpus-pin, fitted KMeansModel) per (session, corpus, params) — see
+# ivf_topk's cache note. Bounded FIFO.
+_IVF_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -94,8 +99,23 @@ def ivf_topk(
         F.col(vec_col),
         array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("_fv"),
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(feats)
+    # The coarse quantizer is corpus state, not query state: memoize the
+    # fitted model per (session, corpus plan, params) so repeated probes
+    # against the same corpus skip the distributed KMeans fit (~2 s of a
+    # ~2.7 s query at sf0.1). The cache value pins the corpus DataFrame
+    # so its id() cannot be reused while the entry lives (same pattern
+    # as dedup._NGRAM_RESULT_CACHE); production FAISS-style IVF likewise
+    # trains once and serves many queries.
+    cache_key = (id(corpus.sparkSession), id(corpus), corpus_id, vec_col, n_centroids, seed)
+    hit = _IVF_MODEL_CACHE.get(cache_key)
+    if hit is not None and hit[0] is corpus:
+        model = hit[1]
+    else:
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
+        model = km.fit(feats)
+        if len(_IVF_MODEL_CACHE) >= 16:
+            _IVF_MODEL_CACHE.pop(next(iter(_IVF_MODEL_CACHE)))
+        _IVF_MODEL_CACHE[cache_key] = (corpus, model)
     assigned = model.transform(feats).select(
         corpus_id, F.col(vec_col).alias("_cvec"), l2_norm(vec_col).alias("_cn"), "_cell"
     )
