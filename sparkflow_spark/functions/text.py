@@ -210,29 +210,53 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    toks = lower_tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    # bind(): the 3 references to the token array (filter + 2 sizes)
+    # must not each inline a tokenizer copy — see bind's contract
+    return bind(
+        lower_tokens(text),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*stopwords))) / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def mean_token_length(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    return bind(
+        tokens(text),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def quality_score(text: Column | str) -> Column:
     """Heuristic document quality in [0,1]: length sweet-spot, sane
     punctuation density, stopword presence, sane mean token length.
-    (Gopher/C4-style filters distilled into one monotone score.)"""
+    (Gopher/C4-style filters distilled into one monotone score.)
+
+    One tokenizer run feeds both token-based terms (bind); stopwords
+    match on per-token lower(), identical to tokenizing lowered text
+    because ``\\s+`` boundaries are case-invariant (lower_tokens'
+    contract)."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
     len_term = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
-    stop_term = F.least(stopword_ratio(c) * 4, F.lit(1.0))
-    mtl = mean_token_length(c)
-    mtl_term = F.when((mtl >= 3) & (mtl <= 10), 1.0).otherwise(0.5)
-    return (len_term * 0.25 + punct_term * 0.25 + stop_term * 0.25 + mtl_term * 0.25).cast(
+
+    def _token_terms(toks: Column) -> Column:
+        sz = F.size(toks)
+        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS)))
+        stop_ratio = F.when(sz > 0, hits / sz).otherwise(F.lit(0.0))
+        mtl = F.when(
+            sz > 0, F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / sz
+        ).otherwise(F.lit(0.0))
+        stop_term = F.least(stop_ratio * 4, F.lit(1.0))
+        mtl_term = F.when((mtl >= 3) & (mtl <= 10), 1.0).otherwise(0.5)
+        return stop_term * 0.25 + mtl_term * 0.25
+
+    return (len_term * 0.25 + punct_term * 0.25 + bind(tokens(c), _token_terms)).cast(
         "double"
     )
 
