@@ -179,3 +179,34 @@ def test_join_degrades_to_smj_not_bnlj_without_broadcast(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_jaccard_tokenizer_evaluates_once(spark, sf_dir):
+    """Round-4 regression guard: Catalyst re-inlines projected columns
+    into their references, and a tokenizer 'staged' as a column showed
+    up 17x in the jaccard index's optimized plan (re-running per
+    reference — interpreted HOFs have no CSE). bind() (functions/
+    text.py) pins single evaluation; this asserts the optimized plan
+    carries exactly one tokenizer split and no unbound re-expansion of
+    the shingle hash chain."""
+    df = REGISTRY["d_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, f"tokenizer inlined {plan.count('split(')}x"
+    # the token-hash transform appears once inside the bound expression
+    # (plus the per-pair xxhash64 folds, bounded by shingle_k + 2)
+    assert plan.count("xxhash64") <= 6, f"shingle chain re-expanded: {plan.count('xxhash64')}"
+
+
+def test_self_join_python_stages_run_once(spark, sf_dir):
+    """Python-UDF subplans never canonicalize equal, so self-joins
+    re-execute them once per side unless the shared index is
+    materialized (lazy localCheckpoint). Guard the three dedup kernels:
+    exactly one Arrow python stage in each executed plan."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    for name in ("d_simhash_pairs", "d_minhash_pairs"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("ArrowEvalPython")
+        assert n <= 1, f"{name}: python stage planned {n}x (self-join re-execution)"
