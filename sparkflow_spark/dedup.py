@@ -379,7 +379,18 @@ def ngram_jaccard_pairs(
     # job runs). Callers beyond the 16384 cap size it explicitly.
     if index_partitions is None:
         size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        index_partitions = max(8, min(16384, size >> 16))
+        if size >= (1 << 60):
+            # stats UNKNOWN, not huge: plans without computable stats
+            # report spark.sql.defaultSizeInBytes (Long.MaxValue) — the
+            # byte heuristic would then pick the 16384-partition cap
+            # for arbitrarily small inputs (observed: a one-row
+            # createDataFrame input scheduling 16384 tasks). A genuine
+            # exabyte input can't occur (the cap is hit from ~1 GiB
+            # up), so ≥2⁶⁰ can only be the sentinel → fall back to
+            # cores.
+            index_partitions = df.sparkSession.sparkContext.defaultParallelism
+        else:
+            index_partitions = max(8, min(16384, size >> 16))
     sh = sh.repartition(index_partitions, F.col("shingle"))
     if max_shingle_freq is not None:
         # CAPPED (scale) path: per-shingle pair expansion instead of a

@@ -349,3 +349,31 @@ def test_source_mixture_budget_is_per_source(spark):
     # 800-token budget / 300-token docs → exactly the first 2 per source
     assert sorted(by_source["A"]) == [1, 2]
     assert sorted(by_source["B"]) == [11, 12]
+
+
+def test_dedup_kernels_handle_empty_and_tiny_inputs(spark):
+    """Empty partitions are routine at scale (filters, skewed splits):
+    every dedup kernel must return empty results — not throw — on empty
+    and single-row inputs, and the jaccard width heuristic must not
+    explode on inputs with unknown plan statistics (a LocalRelation
+    reports defaultSizeInBytes=Long.MaxValue; the byte heuristic once
+    turned that into 16384 shuffle partitions for ONE row)."""
+    from sparkflow_spark import dedup
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    one = spark.createDataFrame([(1, "hello world foo")], "doc_id bigint, text string")
+    assert dedup.ngram_jaccard_pairs(empty, threshold=0.5, max_shingle_freq=20).count() == 0
+    jac_one = dedup.ngram_jaccard_pairs(one, threshold=0.5, max_shingle_freq=20)
+    assert jac_one.count() == 0
+    # width guard: unknown-stats input must size by cores, not the cap
+    assert jac_one.rdd.getNumPartitions() <= 4 * (
+        spark.sparkContext.defaultParallelism + 32
+    )
+    assert dedup.minhash_candidate_pairs(empty).count() == 0
+    assert dedup.simhash_near_duplicates(empty).count() == 0
+    assert dedup.exact_dedup(empty).count() == 0
+    eemb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert dedup.embedding_near_duplicates(eemb).count() == 0
+    assert dedup.embedding_near_duplicates_ann(eemb).count() == 0
+    cc = dedup.connected_components(spark.createDataFrame([], "id_a bigint, id_b bigint"))
+    assert cc.count() == 0
