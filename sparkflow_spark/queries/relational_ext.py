@@ -492,3 +492,56 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("d_palin"),
     )
+
+
+@register(
+    "q58_unpivot",
+    oracle="""
+        SELECT measure,
+               CAST(ROUND(SUM(val), 2) AS DECIMAL(18,2)) AS total
+        FROM (
+            UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+            ON l_quantity, l_extendedprice, l_discount
+            INTO NAME measure VALUE val
+        )
+        GROUP BY measure ORDER BY measure
+    """,
+    tags=("relational", "reshape"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of q42's pivot): wide measure columns
+    → (measure, value) rows, then aggregate per measure. Spark's
+    ``unpivot`` expands each row to n_measures rows map-side — no
+    shuffle until the aggregation, which is partial-then-final."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.select("l_quantity", "l_extendedprice", "l_discount")
+        .unpivot([], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val")
+        .groupBy("measure")
+        .agg(dec2(F.sum("val")).alias("total"))
+        .orderBy("measure")
+    )
+
+
+@register(
+    "q59_array_exists_forall",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0.5)) > 0 AS has_hi,
+               len(list_filter(embedding, x -> NOT (abs(x) <= 0.99))) = 0 AS bounded
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("relational", "array"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Array predicate quantifiers: EXISTS (any element matches) and
+    FORALL (every element matches) over the embedding column — per-row
+    expressions, scan-bound at any scale. Cross-engine parity: both
+    engines parse the literals to the same IEEE double and float→double
+    promotion is exact, so every comparison resolves identically."""
+    t = Tables(spark, sf)
+    return t.embeddings.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x > 0.5).alias("has_hi"),
+        F.forall("embedding", lambda x: F.abs(x) <= 0.99).alias("bounded"),
+    ).orderBy("vec_id")
