@@ -79,23 +79,31 @@ def main() -> int:
     )
     execute(registry["st_tumbling_hour_counts"].fn(spark, warm_sf))
 
-    # Two passes per query. Pass 1 (cold) pays per-shape one-time costs:
-    # Catalyst analysis of the full tree, whole-stage-codegen Janino
-    # compilation, broadcast warm-up. Pass 2 (steady state) is the
-    # recurring cost of the shape — what a production pipeline that runs
-    # the same query shapes repeatedly (or a long job over 100 TB where
-    # compile amortizes over thousands of tasks) actually pays.
-    # Headline `value` stays the COLD pass — the same single-pass
-    # methodology as rounds 1-2 and the DuckDB baseline, so totals stay
-    # comparable across rounds; steady-state numbers are reported
-    # alongside under their own keys.
+    # Pass 1 (cold) pays per-shape one-time costs: Catalyst analysis of
+    # the full tree, whole-stage-codegen Janino compilation, broadcast
+    # warm-up. Steady state is the recurring cost of the shape — what a
+    # production pipeline that runs the same query shapes repeatedly (or
+    # a long job over 100 TB where compile amortizes over thousands of
+    # tasks) actually pays. At toy scale a SINGLE steady pass is noise-
+    # bound: JVM C2 compilation of interpreted expression paths and GC
+    # land randomly across queries, moving individual readings ±0.3 s
+    # and the 16-query total ±0.6 s between runs (measured r5: 7.15 vs
+    # 8.24 on identical code). Steady is therefore the PER-QUERY MEDIAN
+    # of three post-cold passes — every pass is a complete re-execution
+    # from the parquet scans (plans are reused, data work is not), the
+    # median just rejects the noise. Headline `value` stays the COLD
+    # pass — the same single-pass methodology as rounds 1-2 and the
+    # DuckDB baseline, so totals stay comparable across rounds.
     cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for passno, sink in ((1, cold), (2, steady)):
+    steady_passes: list[dict[str, float]] = [{}, {}, {}]
+    for sink in (cold, *steady_passes):
         for name in HEADLINE:
             t0 = time.perf_counter()
             execute(registry[name].fn(spark, sf_dir))
             sink[name] = round(time.perf_counter() - t0, 3)
+    steady = {
+        name: sorted(p[name] for p in steady_passes)[1] for name in HEADLINE
+    }
 
     timings = cold
     total = round(sum(cold.values()), 3)
@@ -107,9 +115,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "methodology": "cold_1st_pass; vs rounds 1-2: streaming ENGINE init (state store/micro-batch exec) is warmed outside the window since r3, so st_tumbling cold excludes ~1s of one-time init r1/r2 included; steady-state 2nd pass under steady_*",
+                "methodology": "cold_1st_pass; vs rounds 1-2: streaming ENGINE init (state store/micro-batch exec) is warmed outside the window since r3, so st_tumbling cold excludes ~1s of one-time init r1/r2 included; steady_* is the per-query MEDIAN of three full post-cold re-executions (single-pass steady readings vary +-0.3s/query from JIT+GC at toy scale; every pass recomputes from the parquet scans)",
                 "steady_total": round(sum(steady.values()), 3),
                 "queries_steady": steady,
+                "queries_steady_passes": steady_passes,
             }
         )
     )

@@ -318,6 +318,37 @@ def ngram_jaccard_pairs(
     classic skew guard: without it one stop-shingle creates an O(n²)
     bucket at scale.
     """
+    # Resolve index_partitions BEFORE building the cache key: the
+    # None-resolution reads runtime state (defaultParallelism, plan-time
+    # sizeInBytes), so keying on the raw None would return a plan
+    # partitioned for a previous session config / input size after
+    # either changes (round-4 advice). The stats probe is a driver-side
+    # py4j call on the (memoized per df object) optimized input plan —
+    # microseconds after the first call, no job runs.
+    if index_partitions is None:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if size >= (1 << 60):
+            # stats UNKNOWN, not huge: plans without computable stats
+            # report spark.sql.defaultSizeInBytes (Long.MaxValue) — the
+            # byte heuristic would then pick the 16384-partition cap
+            # for arbitrarily small inputs (observed: a one-row
+            # createDataFrame input scheduling 16384 tasks). A genuine
+            # exabyte input can't occur (the cap is hit from ~1 GiB
+            # up), so ≥2⁶⁰ can only be the sentinel → fall back to
+            # cores.
+            index_partitions = df.sparkSession.sparkContext.defaultParallelism
+        else:
+            # one partition per ~64 KiB of input text (≈128k index rows,
+            # the probe-scale sweet spot), but never fewer than half the
+            # cores while the data supports ≥16 KiB each — a mid-size
+            # input on a wide box otherwise leaves most cores idle
+            # through the CPU-bound window+pair-expansion stage
+            # (measured at sf0.1/32 cores: 9 partitions 0.80 s,
+            # 16 partitions 0.65 s steady).
+            cores = df.sparkSession.sparkContext.defaultParallelism
+            index_partitions = max(
+                8, min(16384, max(size >> 16, min(cores // 2, size >> 14)))
+            )
     cache_key = (
         id(df.sparkSession),
         id(df),
@@ -364,33 +395,14 @@ def ngram_jaccard_pairs(
     # BYTES (advisory size), but the downstream window+join is CPU-bound
     # interpreted-HOF work with high cost per byte — byte-coalescing
     # collapsed this to 3 partitions on a 32-core box (measured +0.4 s).
-    # Size the width to the DATA, not the cores: the scale probe
+    # Size the width to the DATA, not the cores alone: the scale probe
     # (scripts/scale_probe.py) showed any fixed width goes superlinear
     # once the exploded index outgrows it (within-partition window sort
     # + interpreted pair-expansion dominate: 16x data at width 8 ran
     # 17.7 s vs 7.6 s at width 128), while over-splitting small inputs
-    # pays per-partition overhead (width 32 at 1x: +10%). The work here
-    # is CPU-bound per index ROW, so AQE's byte-advisory coalescing
-    # reasons with the wrong unit — it collapsed this stage to 3
-    # partitions on a 32-core box (measured +0.4 s). Default: one
-    # partition per ~64 KiB of (compressed) input text — ≈128k index
-    # rows, the empirical sweet spot at both probe scales — from the
-    # plan-time sizeInBytes estimate (free: parquet footer stats; no
-    # job runs). Callers beyond the 16384 cap size it explicitly.
-    if index_partitions is None:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        if size >= (1 << 60):
-            # stats UNKNOWN, not huge: plans without computable stats
-            # report spark.sql.defaultSizeInBytes (Long.MaxValue) — the
-            # byte heuristic would then pick the 16384-partition cap
-            # for arbitrarily small inputs (observed: a one-row
-            # createDataFrame input scheduling 16384 tasks). A genuine
-            # exabyte input can't occur (the cap is hit from ~1 GiB
-            # up), so ≥2⁶⁰ can only be the sentinel → fall back to
-            # cores.
-            index_partitions = df.sparkSession.sparkContext.defaultParallelism
-        else:
-            index_partitions = max(8, min(16384, size >> 16))
+    # pays per-partition overhead. The width itself was resolved above
+    # (before the memo key) from the plan-time sizeInBytes estimate —
+    # free: parquet footer stats, no job runs.
     sh = sh.repartition(index_partitions, F.col("shingle"))
     if max_shingle_freq is not None:
         # CAPPED (scale) path: per-shingle pair expansion instead of a

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark import dedup
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 
 
 @register(
@@ -28,7 +28,7 @@ from sparkflow_spark.queries import register
 def d_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup, keep min-id winner per fingerprint."""
     t = Tables(spark, sf)
-    return dedup.exact_dedup(t.documents).select("doc_id").orderBy("doc_id")
+    return dedup.exact_dedup(t.documents).select("doc_id").transform(ordered, "doc_id")
 
 
 # Document-frequency cap for the CHECKED jaccard paths. This is the
@@ -102,7 +102,7 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "id_a",
         "id_b",
         F.round(F.col("jaccard"), 3).cast("double").alias("j"),
-    ).orderBy("id_a", "id_b")
+    ).transform(ordered, "id_a", "id_b")
 
 
 @register(
@@ -117,7 +117,7 @@ def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.minhash_candidate_pairs(t.documents, num_hashes=64, bands=16)
         .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )
 
 
@@ -129,7 +129,9 @@ def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
 def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 via 4-block pigeonhole."""
     t = Tables(spark, sf)
-    return dedup.simhash_near_duplicates(t.documents, max_hamming=3).orderBy("id_a", "id_b")
+    return dedup.simhash_near_duplicates(t.documents, max_hamming=3).transform(
+        ordered, "id_a", "id_b"
+    )
 
 
 @register(
@@ -171,7 +173,7 @@ def d_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=_SHINGLE_FREQ_CAP
     )
-    return dedup.near_dedup(t.documents, pairs).select("doc_id").orderBy("doc_id")
+    return dedup.near_dedup(t.documents, pairs).select("doc_id").transform(ordered, "doc_id")
 
 
 @register(
@@ -195,7 +197,7 @@ def d_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.embedding_near_duplicates(t.embeddings, threshold=0.4)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )
 
 
@@ -228,5 +230,5 @@ def d_embedding_ann(spark: SparkSession, sf: str) -> DataFrame:
             t.embeddings, threshold=0.4, num_planes=8, num_tables=16, probe_hamming=2
         )
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )

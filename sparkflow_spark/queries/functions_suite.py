@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark.catalog import Tables
 from sparkflow_spark.functions.vector import dot
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 from sparkflow_spark.queries.relational import dec2
 
 
@@ -30,7 +30,7 @@ def q31a(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             F.sum(F.size("embedding")).cast("bigint").alias("s"),
         )
-        .orderBy("label")
+        .transform(ordered, "label")
     )
 
 
@@ -51,7 +51,7 @@ def q31b(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     return (
         t.embeddings.select("vec_id", dec2(dot("embedding", "embedding")).alias("nrm2"))
-        .orderBy("vec_id")
+        .transform(ordered, "vec_id")
     )
 
 
@@ -227,7 +227,7 @@ def q40f(spark: SparkSession, sf: str) -> DataFrame:
     out = ev.groupBy("k").cogroup(od.groupBy("k")).applyInPandas(
         merge, schema="k long, n_events long, n_orders long"
     )
-    return out.orderBy("k")
+    return out.transform(ordered, "k")
 
 
 @register(
@@ -249,5 +249,5 @@ def q40b(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.events.groupBy("event_type")
         .agg(dec2(mean_udaf(F.col("value"))).alias("av"))
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )

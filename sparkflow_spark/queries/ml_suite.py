@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark.catalog import Tables, embedding_dim
 from sparkflow_spark.ml import DistributedDL, DistributedDLModel, build_network
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 from sparkflow_spark.queries.relational import dec2
 
 # Deterministic linear weights shared by the Spark model and the DuckDB
@@ -42,6 +42,7 @@ def _weights(dim: int) -> list[float]:
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "inference"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-weight linear model through the full DistributedDLModel
@@ -57,7 +58,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         model.transform(t.embeddings)
         .select("vec_id", dec2(F.col("_p")).alias("pred"))
-        .orderBy("vec_id")
+        .transform(ordered, "vec_id")
     )
 
 
@@ -71,6 +72,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "persistence"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def m03(spark: SparkSession, sf: str) -> DataFrame:
     """Model → save → load → transform must equal direct inference
@@ -93,7 +95,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         loaded.transform(t.embeddings)
         .select("vec_id", dec2(F.col("_p")).alias("pred"))
-        .orderBy("vec_id")
+        .transform(ordered, "vec_id")
     )
 
 
@@ -101,6 +103,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
     "m01_train_predict",
     oracle=None,  # training trajectory is engine-defined; bounds in tests
     tags=("ml", "training"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def m01(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end fit+transform on the embeddings table (binary target
@@ -127,5 +130,5 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         model.transform(df)
         .select("vec_id", (F.col("p") > 0.5).cast("int").alias("pred_label"))
-        .orderBy("vec_id")
+        .transform(ordered, "vec_id")
     )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark import multimodal
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 
 
 @register(
@@ -30,7 +30,7 @@ def mm_stats(spark: SparkSession, sf: str) -> DataFrame:
     return (
         multimodal.binary_stats(wrapped)
         .select("doc_id", "n_bytes", "content_sha")
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -46,7 +46,7 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
     wrapped = multimodal.attach_binary_payload(t.documents).select(
         "doc_id", F.col("media.content").alias("content")
     )
-    return multimodal.extract_features(wrapped).orderBy("doc_id")
+    return multimodal.extract_features(wrapped).transform(ordered, "doc_id")
 
 
 @register(
@@ -60,4 +60,6 @@ def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     wrapped = multimodal.attach_binary_payload(t.documents).select(
         "doc_id", F.col("media.content").alias("content")
     )
-    return multimodal.sample_frames(wrapped, n_frames=4).orderBy("doc_id", "frame_idx")
+    return multimodal.sample_frames(wrapped, n_frames=4).transform(
+        ordered, "doc_id", "frame_idx"
+    )

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 
 
 def dec2(col):
@@ -50,7 +50,7 @@ def dec2(col):
 def q01(spark: SparkSession, sf: str) -> DataFrame:
     """Parquet scan + projection. ReadSchema must prune to the 2 columns."""
     t = Tables(spark, sf)
-    return t.region.select("r_regionkey", "r_name").orderBy("r_regionkey")
+    return t.region.select("r_regionkey", "r_name").transform(ordered, "r_regionkey")
 
 
 @register(
@@ -92,7 +92,7 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
             & F.col("o_orderpriority").like("1-%")
         )
         .select("o_orderkey")
-        .orderBy("o_orderkey")
+        .transform(ordered, "o_orderkey")
     )
 
 
@@ -137,7 +137,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.nation.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"), "inner")
         .select("n_name", "r_name")
-        .orderBy("n_name")
+        .transform(ordered, "n_name")
     )
 
 
@@ -164,7 +164,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
         t.customer.join(F.broadcast(nation_fr), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "o_orderkey", dec2(F.col("o_totalprice")).alias("tp"))
-        .orderBy("o_orderkey")
+        .transform(ordered, "o_orderkey")
     )
 
 
@@ -203,7 +203,9 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"), "full")
         .select("n_nationkey", "s_suppkey")
-        .orderBy(F.col("n_nationkey").asc_nulls_last(), F.col("s_suppkey").asc_nulls_last())
+        .transform(
+            ordered, F.col("n_nationkey").asc_nulls_last(), F.col("s_suppkey").asc_nulls_last()
+        )
     )
 
 
@@ -224,7 +226,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.part.join(hot, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .select("p_partkey")
-        .orderBy("p_partkey")
+        .transform(ordered, "p_partkey")
     )
 
 
@@ -242,7 +244,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
+        .transform(ordered, "c_custkey")
     )
 
 
@@ -283,7 +285,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     r1 = t.region.select(F.col("r_regionkey").alias("k1"))
     r2 = t.region.select(F.col("r_regionkey").alias("k2"))
-    return r1.crossJoin(F.broadcast(r2)).orderBy("k1", "k2")
+    return r1.crossJoin(F.broadcast(r2)).transform(ordered, "k1", "k2")
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +317,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
             dec2(F.sum("l_quantity")).alias("sq"),
             dec2(F.avg("l_extendedprice")).alias("ap"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(ordered, "l_returnflag", "l_linestatus")
     )
 
 
@@ -357,7 +359,8 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(
+        .transform(
+            ordered,
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
             F.col("c"),
@@ -401,7 +404,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         t.customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .select("c_custkey")
-        .orderBy("c_custkey")
+        .transform(ordered, "c_custkey")
     )
 
 
@@ -524,7 +527,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         t.customer.select(F.col("c_nationkey").alias("k"))
         .union(t.supplier.select(F.col("s_nationkey").alias("k")))
         .distinct()
-        .orderBy("k")
+        .transform(ordered, "k")
     )
 
 
@@ -543,7 +546,7 @@ def q24a(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.nation.select("n_nationkey")
         .intersect(t.customer.select(F.col("c_nationkey").alias("n_nationkey")))
-        .orderBy("n_nationkey")
+        .transform(ordered, "n_nationkey")
     )
 
 
@@ -563,7 +566,7 @@ def q24b(spark: SparkSession, sf: str) -> DataFrame:
         t.nation.select("n_nationkey")
         .exceptAll(t.supplier.select(F.col("s_nationkey").alias("n_nationkey")))
         .distinct()
-        .orderBy("n_nationkey")
+        .transform(ordered, "n_nationkey")
     )
 
 
@@ -627,7 +630,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mo"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("mo")
+        .transform(ordered, "mo")
     )
 
 

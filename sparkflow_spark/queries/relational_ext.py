@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from sparkflow_spark import operators
 from sparkflow_spark.catalog import Tables, register_views
 from sparkflow_spark.functions.text import shingles_from_tokens, tokens, with_tokens
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 from sparkflow_spark.queries.relational import dec2
 
 
@@ -40,7 +40,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(t.supplier.select(F.col("s_nationkey").alias("k")))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("k")
+        .transform(ordered, "k")
     )
 
 
@@ -62,7 +62,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     out = operators.pivot_agg(
         t.orders, "o_orderpriority", "o_orderstatus", ["F", "O", "P"], F.count(F.lit(1))
     )
-    return out.na.fill(0).orderBy("o_orderpriority")
+    return out.na.fill(0).transform(ordered, "o_orderpriority")
 
 
 @register(
@@ -178,7 +178,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
             dec4(F.corr("l_quantity", "l_extendedprice")).alias("cr"),
             dec4(F.covar_samp("l_quantity", "l_discount")).alias("cv"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 
@@ -201,7 +201,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
             dec2(F.median("l_quantity")).alias("med"),
             dec2(F.percentile("l_quantity", 0.75)).alias("p75"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 
@@ -221,7 +221,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.nation.groupBy("n_regionkey")
         .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"))
-        .orderBy("n_regionkey")
+        .transform(ordered, "n_regionkey")
     )
 
 
@@ -284,7 +284,7 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
             F.size(F.array_distinct(toks)).alias("n_distinct"),
             F.array_max(toks).alias("max_tok"),
         )
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -404,7 +404,8 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
             dec2(F.sum("l_quantity")).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "c", "sum_qty")
-        .orderBy(
+        .transform(
+            ordered,
             "g_rf",
             "g_ls",
             F.col("l_returnflag").asc_nulls_first(),
@@ -519,7 +520,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         .unpivot([], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val")
         .groupBy("measure")
         .agg(dec2(F.sum("val")).alias("total"))
-        .orderBy("measure")
+        .transform(ordered, "measure")
     )
 
 
@@ -544,4 +545,4 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.exists("embedding", lambda x: x > 0.5).alias("has_hi"),
         F.forall("embedding", lambda x: F.abs(x) <= 0.99).alias("bounded"),
-    ).orderBy("vec_id")
+    ).transform(ordered, "vec_id")

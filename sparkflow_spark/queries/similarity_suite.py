@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark import similarity
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 
 # Probe set: the first 10 vectors by id — deterministic and expressible
 # in both engines.
@@ -76,7 +76,7 @@ def s_brute(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("probe_id", "vec_id")
-        .orderBy("probe_id")
+        .transform(ordered, "probe_id")
     )
 
 
@@ -96,7 +96,7 @@ def s_ivf(spark: SparkSession, sf: str) -> DataFrame:
         top.filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id")
         .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
-        .orderBy("probe_id")
+        .transform(ordered, "probe_id")
     )
 
 
@@ -118,5 +118,5 @@ def s_lsh(spark: SparkSession, sf: str) -> DataFrame:
         top.filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id")
         .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
-        .orderBy("probe_id")
+        .transform(ordered, "probe_id")
     )

@@ -28,6 +28,7 @@ from sparkflow_spark.streaming.windows import stream_stream_join
         FROM events GROUP BY 1 ORDER BY 1
     """,
     tags=("streaming", "window"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_counts(spark, sf, "1 hour")
@@ -42,6 +43,7 @@ def st_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
     """,
     tags=("streaming", "window"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """2h windows sliding by 1h: every event belongs to exactly 2
@@ -72,6 +74,7 @@ def st_sliding(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY user_id, session_start
     """,
     tags=("streaming", "window", "session"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_session(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based session windows; oracle reconstructs sessions with the
@@ -90,6 +93,7 @@ def st_session(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY l_id, r_id
     """,
     tags=("streaming", "join"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_ss_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream range join (purchases ⋈ signups within 2h) — the
@@ -101,6 +105,7 @@ def st_ss_join(spark: SparkSession, sf: str) -> DataFrame:
     "st_stateful_user_counts",
     oracle="SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id ORDER BY user_id",
     tags=("streaming", "stateful"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_stateful(spark: SparkSession, sf: str) -> DataFrame:
     return running_user_counts(spark, sf)
@@ -114,6 +119,7 @@ def st_stateful(spark: SparkSession, sf: str) -> DataFrame:
         ) GROUP BY user_id, event_type ORDER BY user_id, event_type
     """,
     tags=("streaming", "dedup"),
+    memo=False,  # fn runs eager work per call — do not reuse results
 )
 def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming deduplication — the streaming leg of the dedup family:

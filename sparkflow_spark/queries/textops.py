@@ -17,7 +17,7 @@ from sparkflow_spark.functions.text import (
     simhash64,  # noqa: F401 — public re-export (definitional Catalyst form)
     token_count,
 )
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 
 
 @register(
@@ -33,7 +33,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.documents.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").cast("bigint").alias("s"))
-        .orderBy("lang")
+        .transform(ordered, "lang")
     )
 
 
@@ -50,7 +50,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 def t_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace token count — Catalyst split/filter, no UDF."""
     t = Tables(spark, sf)
-    return t.documents.select("doc_id", token_count("text").alias("n_tokens")).orderBy("doc_id")
+    return t.documents.select("doc_id", token_count("text").alias("n_tokens")).transform(ordered, "doc_id")
 
 
 @register(
@@ -66,7 +66,7 @@ def t_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def t_punct(spark: SparkSession, sf: str) -> DataFrame:
     """Punctuation density component of the quality score."""
     t = Tables(spark, sf)
-    return t.documents.select("doc_id", punct_count("text").alias("n_punct")).orderBy("doc_id")
+    return t.documents.select("doc_id", punct_count("text").alias("n_punct")).transform(ordered, "doc_id")
 
 
 @register(
@@ -81,7 +81,7 @@ def t_punct(spark: SparkSession, sf: str) -> DataFrame:
 def t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-engine md5 content fingerprint (dedup key)."""
     t = Tables(spark, sf)
-    return t.documents.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+    return t.documents.select("doc_id", fingerprint("text").alias("fp")).transform(ordered, "doc_id")
 
 
 @register(
@@ -207,7 +207,7 @@ def t_quality(spark: SparkSession, sf: str) -> DataFrame:
             bpe_ish_token_count("text").alias("n_bpe_tokens"),
             simhash64_fast(F.col("text")).alias("simhash"),
         )
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -255,7 +255,7 @@ def p_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
         d.withColumn("cum", F.sum("n_tok").over(w))
         .filter(F.col("cum") <= 800)
         .select("doc_id", "source", "n_tok")
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -309,5 +309,5 @@ def p_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.floor((F.col("cum") - F.col("n_tok")) / F.lit(256)).cast("bigint"),
         )
         .select("doc_id", "source", "n_tok", "bin_id")
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )

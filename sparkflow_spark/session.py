@@ -30,6 +30,14 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing reasons in BYTES, but post-shuffle work (window
+    # sorts, HOF evaluation) is CPU-bound per ROW: the default 1 MiB
+    # floor collapsed a 600k-row window sort to 6 partitions on a
+    # 32-core box (0.65 s vs 0.33 s uncoalesced). 64 KiB keeps
+    # parallelism-first coalescing effective on small-byte/high-CPU
+    # stages; at cluster scale partitions are far above either floor,
+    # so the knob only matters where it helps.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Fixture doubles are exact in both engines; ANSI off keeps Spark's
     # permissive casts aligned with DuckDB's TRY-free behavior for the

@@ -13,6 +13,14 @@ REGISTRY = load_all()
 
 
 def plan_of(spark, sf_dir, name) -> str:
+    # Bypass the registry's result memo: these guards inspect how a
+    # FRESH plan compiles under the CURRENT session confs — a memoized
+    # DataFrame whose adaptive plan already finalized under different
+    # confs (e.g. broadcast enabled) would make conf-tweaking guards
+    # assert against the stale physical plan.
+    from sparkflow_spark.queries import clear_result_memo
+
+    clear_result_memo()
     df = REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
