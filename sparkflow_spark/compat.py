@@ -110,6 +110,15 @@ def SparkAsyncDL(
 
         if dropout is not None:
             raise TypeError("dropout is not supported on the conv spec (MLP specs only)")
+        if activations is not None:
+            # mirror the dropout guard: silently ignoring an explicit
+            # argument would hand a ported graph default activations
+            # with no signal (round-4 advice)
+            raise TypeError(
+                "activations is not supported on the conv spec (MLP specs "
+                "only); conv layers take per-layer 'activation' keys and "
+                "dense layers take dense_activations in the spec"
+            )
         spec = build_conv_network(
             input_shape, conv, dense, loss=loss or "softmax_ce"
         )

@@ -505,20 +505,36 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 3,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
-    """Connected components by min-label propagation over an edge list.
+    """Connected components by min-label propagation with pointer
+    jumping over an edge list.
 
     Returns (node, component) where component = min node id reachable.
-    Each iteration is one join + aggregate (label = min of own and
-    neighbors' labels); converges in O(diameter) rounds — near-dup
-    graphs are overwhelmingly tiny cliques, so 2-3 rounds in practice.
+    Each iteration is two joins + an aggregate: (1) propagate — label =
+    min of own and neighbors' labels; (2) shortcut (pointer jumping) —
+    label = label's label. Propagation alone needs O(diameter) rounds;
+    the shortcut step squares the reach per round, so convergence is
+    O(log diameter) — a 100-node path converges in 8 rounds, not 100.
+    Both steps preserve the invariant that a node's label is the id of
+    some node in its component (labels only ever decrease toward the
+    component minimum), so the fixpoint is exact, not approximate.
+
+    ``max_iter`` is a backstop, not a tuning knob: log2(diameter) of
+    any real graph fits in the default 20 (2^20-hop diameters would
+    need a trillion-row chain). If it IS exhausted the labels are not
+    a partition into components, so silently returning them would make
+    a caller (``near_dedup``) keep duplicate docs with no signal —
+    round-4 audit finding. Default behavior is to raise; pass
+    ``on_nonconvergence="warn"`` to get the partial labels plus a
+    ``warnings.warn``.
 
     Scale notes: lineage is truncated with localCheckpoint every few
     rounds (iterative plans otherwise grow unboundedly); the per-round
-    convergence check is a count() — one cheap action. This is the
-    simplified form of the map-reduce CC algorithms (small-star/
-    large-star); swap in GraphFrames at cluster scale if available.
+    convergence check is a count() — one cheap action per round.
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError("on_nonconvergence must be 'raise' or 'warn'")
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -536,18 +552,35 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow the label one more hop (component :=
+        # component's component). label(u) is connected to u and
+        # label(label(u)) is connected to label(u), so the invariant
+        # holds; reach doubles per round, giving the O(log d) bound.
+        parent = propagated.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            propagated.join(parent, propagated["component"] == parent["_pn"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
             )
         )
@@ -561,7 +594,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the returned labels would NOT partition the graph into "
+            "components (downstream near-dedup would keep duplicates). "
+            "Raise max_iter — O(log2 diameter) rounds suffice."
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

@@ -59,7 +59,39 @@ def dot_batched(a: Column | str, b: Column | str) -> Column:
     so results differ only for comparisons that cut WITHIN float64
     rounding error of the threshold; callers that need bit-stable
     left-to-right parity (tiny inputs, exactness oracles) keep dot().
+
+    Edge-input semantics (aligned with :func:`dot`, round-4 advice):
+    a NULL vector, a vector containing NULL elements, or a ragged pair
+    (mismatched lengths) yields SQL NULL — the batched fast path falls
+    back to a per-row loop when a batch contains such rows instead of
+    letting ``np.stack`` raise. A dot that evaluates to NaN (inf/NaN
+    inputs) is ALSO returned as SQL NULL: Arrow maps NaN→null on the
+    way back, whereas dot()'s JVM arithmetic keeps NaN — the one
+    remaining documented divergence.
     """
+
+    def _block(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # fast path: uniform-dim batch → one einsum. Any ragged batch /
+        # null-element/object oddity raises out of stack/astype and
+        # drops to the per-row loop below.
+        try:
+            A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+            B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+            if A.shape == B.shape:
+                return pd.Series(np.einsum("ij,ij->i", A, B), index=va.index)
+        except (ValueError, TypeError):
+            pass
+        out = np.full(len(va), np.nan)
+        for i, (x, y) in enumerate(zip(va, vb)):
+            try:
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+            except (ValueError, TypeError):
+                continue  # null elements → SQL NULL, matching dot()
+            if xa.shape != ya.shape:
+                continue  # ragged pair → SQL NULL, matching dot()
+            out[i] = xa @ ya
+        return pd.Series(out, index=va.index)
 
     @F.pandas_udf("double")
     def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -69,13 +101,9 @@ def dot_batched(a: Column | str, b: Column | str) -> Column:
             ok = ~(va.isna() | vb.isna())
             out = pd.Series(np.nan, index=va.index, dtype="float64")
             if ok.any():
-                A = np.stack(va[ok].to_numpy()).astype(np.float64, copy=False)
-                B = np.stack(vb[ok].to_numpy()).astype(np.float64, copy=False)
-                out[ok] = np.einsum("ij,ij->i", A, B)
+                out[ok] = _block(va[ok], vb[ok])
             return out
-        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        return _block(va, vb)
 
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b

@@ -410,6 +410,12 @@ class ConvNet:
             oh, ow = ph - k + 1, pw - k + 1
             if oh < 1 or ow < 1:
                 raise ValueError(f"kernel {k} exceeds input {ph}x{pw}")
+            if oh // p < 1 or ow // p < 1:
+                # a pool wider than the conv output would silently build
+                # a zero-width flattened layer (degenerate dense weights)
+                raise ValueError(
+                    f"pool {p} exceeds conv output {oh}x{ow} (kernel {k} on {ph}x{pw})"
+                )
             shapes.append((oh // p, ow // p, int(l["filters"])))
         self._shapes = shapes
         flat = shapes[-1][0] * shapes[-1][1] * shapes[-1][2]

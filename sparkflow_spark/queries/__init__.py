@@ -119,41 +119,50 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core (Q01–Q30 minus the two no-oracle rows q15/q33)
+    # relational core — round-5 rotation: 61 of 111 entries had never
+    # had a driver record, so seven redundant family SIBLINGS moved past
+    # 50 (q04/q08/q12/q20/q24/q26/q29 — each family keeps an in-window
+    # representative: q03 filters, q07 outer joins, q11 non-equi joins,
+    # q19+q21 windows, q23 set ops, q27 dates, q28 scalar exprs; the
+    # rotated-out rows keep their local oracle + pytest coverage) in
+    # favor of never-driver-checked families: the q15 thresholded
+    # approx-distinct boolean, UDTF lateral join, UNPIVOT, two TPC-H
+    # decorrelation shapes, and the two LLM-pipeline ops (mixture
+    # sampling, sequence packing).
     "q01_scan_project",
     "q02_filter_and",
     "q03_filter_in_between_like",
-    "q04_filter_null_coalesce",
     "q05_broadcast_inner_join",
     "q06_multiway_join",
     "q07_left_outer_join",
-    "q08_full_outer_join",
     "q09_left_semi_join",
     "q10_left_anti_join",
     "q11_theta_join",
-    "q12_cross_join",
     "q13_hash_agg_tpch_q1",
     "q14_count_distinct",
+    "q15_approx_within_5pct",
     "q16_rollup",
     "q17_having",
     "q18_scalar_subquery",
     "q19_window_topk_per_group",
-    "q20_window_lag",
     "q21_window_running_sum",
     "q22_topk_global",
     "q23_union_distinct",
-    "q24_intersect",
     "q25_string_functions",
-    "q26_date_extract",
     "q27_date_trunc_group",
     "q28_math_functions",
-    "q29_case_when",
     "q30_json_extract",
+    "q58_unpivot",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
+    "p_source_mixture",
+    "p_pack_sequences",
     # array / struct / UDF families (Q31/Q32/Q40)
     "q31_array_dot_norm",
     "q32_struct_map_access",
     "q40_pandas_udf_scalar",
     "q40_grouped_map_applyinpandas",
+    "q40_python_udtf_lateral",
     # dedup family (Q34/Q35)
     "q34_exact_dedup_count",
     "d_ngram_jaccard_pairs",

@@ -346,6 +346,31 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q15_approx_within_5pct",
+    oracle="""
+        SELECT CAST(ABS(approx_count_distinct(o_custkey)
+                        - COUNT(DISTINCT o_custkey))
+                    <= 0.05 * COUNT(DISTINCT o_custkey) AS INT) AS ok
+        FROM orders
+    """,
+    tags=("relational", "agg", "approx"),
+)
+def q15_thresholded(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable form of Q15: HLL sketch values are engine-
+    specific (Spark HLL++ vs DuckDB's), so the raw estimates can never
+    hash-match — but "within 5% of exact" is SQL-expressible on BOTH
+    engines, each judging its own sketch. Turns the one t1-only
+    relational row into a hash-matched boolean (round-4 punch list #5).
+    """
+    t = Tables(spark, sf)
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    return t.orders.agg(
+        (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias("ok")
+    )
+
+
+@register(
     "q16_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS c

@@ -244,7 +244,21 @@ def lsh_topk(
     (num_planes ↓, num_tables ↑).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # one-row probe for the dimensionality (array<float> carries no
+        # length in the schema), skipping NULL vectors — a NULL in the
+        # physically first row must not crash the probe or read as
+        # "empty corpus" (same guard as embedding_near_duplicates_ann,
+        # round-3 review #2; ported here per round-4 advice).
+        head = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if head is None:
+            spark = corpus.sparkSession
+            return spark.createDataFrame(
+                [],
+                f"{probe_id} {probes.schema[probe_id].dataType.simpleString()}, "
+                f"{corpus_id} {corpus.schema[corpus_id].dataType.simpleString()}, "
+                "cosine double, rnk int",
+            )
+        dim = len(head[0])
     tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t)) for t in range(num_tables)]
 
     def signatures(df: DataFrame, id_alias: str) -> DataFrame:

@@ -160,3 +160,16 @@ def test_cnn_trains_distributed(spark, tmp_path):
         np.asarray([r["predicted"] for r in r2]),
         np.asarray([r["predicted"] for r in model.transform(df).select("predicted").collect()]),
     )
+
+
+def test_convnet_rejects_pool_wider_than_conv_output():
+    """pool > conv output used to silently build a zero-width flatten
+    (round-4 advice); it must error like the kernel check does."""
+    from sparkflow_spark.ml.nn import ConvNet
+
+    with pytest.raises(ValueError, match="pool"):
+        ConvNet({
+            "input_shape": (8, 8, 1),
+            "conv": [{"kernel": 5, "filters": 2, "pool": 8}],
+            "dense": [4, 3],
+        })

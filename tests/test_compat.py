@@ -160,3 +160,18 @@ def test_compat_reference_surface_names():
     assert not acquired, "reader must block while writer holds the lock"
     lock.release(); tr.join(timeout=2)
     assert acquired, "reader proceeds after writer releases"
+
+
+def test_compat_conv_spec_rejects_explicit_activations():
+    """activations= is MLP-only; a conv spec must refuse it loudly like
+    the dropout guard instead of silently using spec defaults."""
+    from sparkflow_spark.compat import SparkAsyncDL
+
+    with pytest.raises(TypeError, match="activations"):
+        SparkAsyncDL(
+            inputCol="f", labelCol="l", predictionCol="p",
+            input_shape=(8, 8, 1),
+            conv=[{"kernel": 3, "filters": 2, "pool": 2}],
+            dense=[8, 3],
+            activations=["tanh", "linear"],
+        )

@@ -208,11 +208,16 @@ def test_jaccard_tokenizer_evaluates_once(spark, sf_dir):
 def test_self_join_python_stages_run_once(spark, sf_dir):
     """Python-UDF subplans never canonicalize equal, so self-joins
     re-execute them once per side unless the shared index is
-    materialized (lazy localCheckpoint). Guard the three dedup kernels:
-    exactly one Arrow python stage in each executed plan."""
+    materialized (lazy localCheckpoint). Guard the three python-backed
+    dedup kernels (simhash blocks, minhash bands, ANN signatures): at
+    most one Arrow python stage in each executed plan. The materialized
+    signature index surfaces as an ExistingRDD scan, so simhash/minhash
+    show zero python stages and the embedding ANN shows exactly the one
+    post-index pandas stage (dot_batched verification) — a second one
+    would mean the signature subplan ran per join side again."""
     import pyspark.sql.functions as F  # noqa: F401
 
-    for name in ("d_simhash_pairs", "d_minhash_pairs"):
+    for name in ("d_simhash_pairs", "d_minhash_pairs", "d_embedding_near_dup_ann"):
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()

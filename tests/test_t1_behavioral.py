@@ -377,3 +377,88 @@ def test_dedup_kernels_handle_empty_and_tiny_inputs(spark):
     assert dedup.embedding_near_duplicates_ann(eemb).count() == 0
     cc = dedup.connected_components(spark.createDataFrame([], "id_a bigint, id_b bigint"))
     assert cc.count() == 0
+
+
+def test_connected_components_path_graph_converges_in_log_rounds(spark):
+    """A 100-node path is the diameter-heavy shape min-label propagation
+    alone cannot finish in 20 rounds (it needs O(diameter) = 99); the
+    pointer-jumping shortcut makes it O(log d), so the default max_iter
+    must suffice and every node must label to the path minimum."""
+    from sparkflow_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a bigint, id_b bigint"
+    )
+    comp = dedup.connected_components(pairs).collect()
+    assert len(comp) == 101
+    assert all(r["component"] == 0 for r in comp)
+
+
+def test_connected_components_loud_on_max_iter_exhaustion(spark):
+    """Exhausting max_iter must never silently return partial labels
+    (round-4 audit: near_dedup would keep duplicates with no signal)."""
+    import warnings
+
+    from sparkflow_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = dedup.connected_components(
+            pairs, max_iter=2, on_nonconvergence="warn"
+        )
+        assert labels.count() == 61  # partial labels still returned
+    assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_lsh_topk_null_first_vector_and_empty_corpus(spark):
+    """The dim probe must skip NULL vectors (a NULL physically-first row
+    crashed len(first()[0]) — round-4 advice) and an all-NULL corpus
+    must yield an empty result, not a TypeError."""
+    from sparkflow_spark import similarity
+
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "probe_id bigint, embedding array<float>"
+    )
+    top = similarity.lsh_topk(
+        corpus.repartition(1, F.lit(0)),  # pin NULL physically first
+        probes, k=2, num_planes=2, num_tables=8,
+    )
+    got = top.filter(F.col("vec_id") != F.col("probe_id")).first()
+    assert got is not None and got["vec_id"] == 2
+    empty = spark.createDataFrame([(0, None)], "vec_id bigint, embedding array<float>")
+    assert similarity.lsh_topk(empty, probes, k=1).count() == 0
+
+
+def test_dot_batched_edge_inputs_match_dot_nulls(spark):
+    """Ragged pairs and null-element vectors must yield SQL NULL (what
+    the Catalyst dot produces) instead of crashing np.stack; a uniform
+    batch keeps the einsum fast path (round-4 advice)."""
+    from sparkflow_spark.functions.vector import dot, dot_batched
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),     # clean → 11.0
+        (2, [1.0, 2.0, 9.0], [3.0, 4.0]),  # ragged → NULL
+        (3, None, [1.0, 1.0]),            # null vector → NULL
+        (4, [1.0, None], [2.0, 2.0]),     # null element → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, a array<double>, b array<double>"
+    )
+    got = {
+        r["id"]: (r["fast"], r["exact"])
+        for r in df.select(
+            "id",
+            dot_batched("a", "b").alias("fast"),
+            dot("a", "b").alias("exact"),
+        ).collect()
+    }
+    assert got[1] == (11.0, 11.0)
+    for i in (2, 3, 4):
+        assert got[i][0] is None and got[i][1] is None, (i, got[i])
