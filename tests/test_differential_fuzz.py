@@ -16,11 +16,13 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
 
 from sparkflow_spark.catalog import Tables
 from sparkflow_spark.oracle import compare, duckdb_connection
 
-N_QUERIES = 40
+N_QUERIES = 80
 SEED = 20260813
 
 
@@ -91,7 +93,139 @@ _AGGS = [
 ]
 
 
+def _outer_join(rng: random.Random, t: Tables):
+    """LEFT/FULL outer join with a probe-side condition in the ON clause
+    (the shape that actually produces unmatched NULL rows), aggregated
+    with null-skipping vs null-counting aggregates."""
+    how = rng.choice(["left", "full"])
+    cutoff = rng.randint(50_000, 250_000)
+    cond_sql = f"l_orderkey = o_orderkey AND o_totalprice > {cutoff}"
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("o_totalprice") > cutoff
+    )
+    df = t.lineitem.join(t.orders, cond, how).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.countDistinct("o_orderpriority").alias("d_pri"),
+    )
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched, "
+        "COUNT(DISTINCT o_orderpriority) AS d_pri "
+        f"FROM lineitem {'LEFT' if how == 'left' else 'FULL'} JOIN orders "
+        f"ON {cond_sql} GROUP BY l_returnflag"
+    )
+    if how == "full":
+        # unmatched orders rows carry NULL l_returnflag — a group both
+        # engines must agree on
+        pass
+    return df, sql
+
+
+def _window_frame(rng: random.Random, t: Tables):
+    """ROWS-frame running aggregates per order. The frame sum rides tied
+    sort keys, so the summed value joins the ORDER BY (q21's determinism
+    rule: tied rows then carry equal addends and the output multiset is
+    order-independent)."""
+    prec = rng.choice([None, 1, 3])  # None = UNBOUNDED PRECEDING
+    fn, fn_sql = rng.choice(
+        [(F.sum, "SUM"), (F.min, "MIN"), (F.max, "MAX"), (F.count, "COUNT")]
+    )
+    lo = Window.unboundedPreceding if prec is None else -prec
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "cents")
+        .rowsBetween(lo, Window.currentRow)
+    )
+    frame_sql = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if prec is None
+        else f"ROWS BETWEEN {prec} PRECEDING AND CURRENT ROW"
+    )
+    base = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    df = base.select(
+        "l_orderkey", "l_linenumber", "cents", fn("cents").over(w).cast("bigint").alias("w_val")
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {_CENTS} AS cents, "
+        f"CAST({fn_sql}({_CENTS}) OVER (PARTITION BY l_orderkey "
+        f"ORDER BY l_linenumber, {_CENTS} {frame_sql}) AS BIGINT) AS w_val "
+        "FROM lineitem"
+    )
+    return df, sql
+
+
+def _hof(rng: random.Random, t: Tables):
+    """Higher-order functions over the embedding arrays, integer-
+    quantized per element before any fold so the comparison is exact
+    and order-independent."""
+    kind = rng.choice(["sum_sq", "count_over", "exists", "minmax"])
+    scale = rng.choice([100, 1000])
+    thr = round(rng.uniform(-0.5, 0.5), 2)
+    q = f"CAST(FLOOR(x * {scale} + 0.5) AS BIGINT)"
+    if kind == "sum_sq":
+        df = t.embeddings.select(
+            "vec_id",
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: (F.floor(x * scale + F.lit(0.5)).cast("bigint")) ** 2,
+                ).cast("array<bigint>"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("v"),
+        )
+        sql = (
+            f"SELECT vec_id, CAST(list_sum(list_transform(embedding, "
+            f"x -> {q} * {q})) AS BIGINT) AS v FROM embeddings"
+        )
+    elif kind == "count_over":
+        df = t.embeddings.select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > thr)).cast("bigint").alias("v"),
+        )
+        sql = (
+            f"SELECT vec_id, CAST(len(list_filter(embedding, x -> x > {thr})) "
+            "AS BIGINT) AS v FROM embeddings"
+        )
+    elif kind == "exists":
+        df = t.embeddings.select(
+            "vec_id",
+            F.exists("embedding", lambda x: x > thr).cast("int").alias("v"),
+        )
+        sql = (
+            f"SELECT vec_id, CAST(len(list_filter(embedding, x -> x > {thr})) > 0 "
+            "AS INT) AS v FROM embeddings"
+        )
+    else:
+        df = t.embeddings.select(
+            "vec_id",
+            F.array_max(
+                F.transform(
+                    "embedding", lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+                )
+            ).alias("v"),
+        )
+        sql = (
+            f"SELECT vec_id, CAST(list_max(list_transform(embedding, x -> {q})) "
+            "AS BIGINT) AS v FROM embeddings"
+        )
+    return df, sql
+
+
 def _one(rng: random.Random, t: Tables):
+    shape = rng.random()
+    if shape < 0.15:
+        return _outer_join(rng, t)
+    if shape < 0.30:
+        return _window_frame(rng, t)
+    if shape < 0.45:
+        return _hof(rng, t)
     fcol, fsql = _filter(rng)
     keys = rng.choice([[], ["l_returnflag"], ["l_returnflag", "l_linestatus"]])
     aggs = rng.sample(_AGGS, rng.randint(1, 3))
@@ -117,8 +251,9 @@ def _one(rng: random.Random, t: Tables):
     return sdf, sql
 
 
-def test_random_query_differential(spark, sf_dir):
-    rng = random.Random(SEED)
+@pytest.mark.parametrize("seed", [SEED, SEED + 1, SEED + 2])
+def test_random_query_differential(spark, sf_dir, seed):
+    rng = random.Random(seed)
     t = Tables(spark, sf_dir)
     con = duckdb_connection(sf_dir)
     failures = []

@@ -462,3 +462,43 @@ def test_dot_batched_edge_inputs_match_dot_nulls(spark):
     assert got[1] == (11.0, 11.0)
     for i in (2, 3, 4):
         assert got[i][0] is None and got[i][1] is None, (i, got[i])
+
+
+def test_ffd_packing_invariants_and_padding_win(spark, oracle_sf_dir):
+    """True-FFD packing: no bin over budget (oversized docs alone in
+    their bin), deterministic across invocations, and realized padding
+    strictly better than arrival-order next-fit — the measured reason
+    this operator exists (the pure-expression desc-sort variant was
+    measured WORSE than arrival order and rejected)."""
+    import pandas as pd
+
+    rows = REGISTRY["p_pack_sequences_ffd"].fn(spark, oracle_sf_dir).collect()
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    budget = 256
+    fills = (
+        pdf.assign(n_cap=pdf["n_tok"].clip(upper=budget))
+        .groupby(["source", "bin_id"])["n_cap"]
+        .sum()
+    )
+    assert (fills <= budget).all(), "a bin exceeds the token budget"
+    # padding vs arrival-order next-fit over the same docs
+    ffd_pad = float((budget - fills).sum() / (budget * len(fills)))
+    pads = 0.0
+    bins = 0
+    for _, grp in pdf.sort_values("doc_id").groupby("source"):
+        rem = 0
+        for n in grp["n_tok"].clip(upper=budget):
+            if n > rem:
+                pads += rem
+                bins += 1
+                rem = budget
+            rem -= n
+        pads += rem
+    nf_pad = pads / (budget * bins)
+    assert ffd_pad < nf_pad, (ffd_pad, nf_pad)
+    # determinism
+    from sparkflow_spark.queries import clear_result_memo
+
+    clear_result_memo()
+    again = REGISTRY["p_pack_sequences_ffd"].fn(spark, oracle_sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
