@@ -546,3 +546,34 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         F.exists("embedding", lambda x: x > 0.5).alias("has_hi"),
         F.forall("embedding", lambda x: F.abs(x) <= 0.99).alias("bounded"),
     ).transform(ordered, "vec_id")
+
+
+@register(
+    "q60_exact_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_quantity, 0.5), 2) AS DOUBLE) + 0.0 AS med_qty,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS DOUBLE) + 0.0 AS p25_price,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS DOUBLE) + 0.0 AS p75_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT percentiles (ordered-set aggregate family): Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both implement the
+    continuous (linearly interpolated) quantile over the sorted group,
+    so the results are comparable to rounding — unlike approx sketches
+    (q15's lesson). Exact percentiles sort each group's values: fine for
+    bounded group counts; at 100 TB switch to percentile_approx and a
+    thresholded check (the q15 pattern) instead."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            dec2(F.expr("percentile(l_quantity, 0.5)")).alias("med_qty"),
+            dec2(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25_price"),
+            dec2(F.expr("percentile(l_extendedprice, 0.75)")).alias("p75_price"),
+        )
+        .transform(ordered, "l_returnflag")
+    )

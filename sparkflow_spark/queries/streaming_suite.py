@@ -139,3 +139,22 @@ def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         out.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+@register(
+    "st_stream_static_join",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS c
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_stream_static(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrich join (events stream × broadcast customer
+    dim) aggregated by market segment; the oracle is the equivalent
+    batch join+group, so stream-batch equivalence is hash-checked."""
+    from sparkflow_spark.streaming.windows import stream_static_join_counts
+
+    return stream_static_join_counts(spark, sf)

@@ -378,3 +378,61 @@ def p_pack_sequences_ffd(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(pack, schema="doc_id long, source string, n_tok long, bin_id long")
         .transform(ordered, "doc_id")
     )
+
+
+@register(
+    "t_top_bigram_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        c AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS total_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram
+        FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t_top_bigram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition signal (the Gopher-style quality family): per document,
+    the total word-bigram count and the frequency of the single most
+    repeated bigram — their ratio is the 'top n-gram fraction' filter a
+    cleaning pipeline thresholds on. Kept as the two integer components
+    (exact, order-independent) rather than the rounded ratio (the
+    cross-engine ROUND-at-.xx5 lesson from r2).
+
+    Plan shape: tokenize → explode adjacent-pair grams → two hash aggs
+    (per-(doc, gram) count, then per-doc max/sum). Both aggregations get
+    map-side partial phases; nothing is quadratic in document length.
+    """
+    from sparkflow_spark.functions.text import lower_tokens
+
+    t = Tables(spark, sf)
+    toks = lower_tokens(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, size(_t) - 1), i -> concat_ws(' ', _t[i-1], _t[i]))"
+    )
+    per_gram = (
+        t.documents.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram"),
+        )
+        .transform(ordered, "doc_id")
+    )

@@ -29,6 +29,10 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+_SESSION_CLONES: dict[tuple[int, int], tuple[SparkSession, SparkSession]] = {}
+_SCHEMA_CACHE: dict[tuple[int, str], tuple[SparkSession, object]] = {}
+
+
 def streaming_session(spark: SparkSession, state_partitions: int | None = 4) -> SparkSession:
     """A cloned session (same SparkContext, isolated SQL conf) sized for
     streaming state.
@@ -51,9 +55,20 @@ def streaming_session(spark: SparkSession, state_partitions: int | None = 4) -> 
     """
     if state_partitions is None:
         return ensure_runtime_configs(spark)
+    key = (id(spark), state_partitions)
+    hit = _SESSION_CLONES.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     runner = spark.newSession()
     ensure_runtime_configs(runner)
     runner.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # memoized per (parent, width): the clone itself is stateless (each
+    # query gets its own checkpoint/sink), but building one costs a
+    # newSession + ~a dozen conf py4j round-trips per call. The parent
+    # is pinned in the value so a GC'd session's id can't alias.
+    if len(_SESSION_CLONES) >= 32:
+        _SESSION_CLONES.pop(next(iter(_SESSION_CLONES)))
+    _SESSION_CLONES[key] = (spark, runner)
     return runner
 
 
@@ -75,7 +90,22 @@ def stream_events(
     """
     spark = streaming_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = spark.read.parquet(path).schema
+    # memoize the RAW batch schema per (session, path): a fresh
+    # spark.read.parquet re-reads the footer on every call (~50 ms of
+    # the per-query floor). It must be the PRE-normalization schema —
+    # the stream reads the file as it is on disk (bigint nanos / ntz /
+    # ltz) and normalize_event_time converts below; the catalog's
+    # cached events table is already normalized and would mis-declare
+    # a bigint-nanos fixture.
+    skey = (id(spark), path)
+    hit = _SCHEMA_CACHE.get(skey)
+    if hit is not None and hit[0] is spark:
+        batch_schema = hit[1]
+    else:
+        batch_schema = spark.read.parquet(path).schema
+        if len(_SCHEMA_CACHE) >= 64:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[skey] = (spark, batch_schema)
     sdf = spark.readStream.schema(batch_schema).parquet(_as_stream_dir(path))
     # Handle every ts arrival shape the fixtures have shipped (bigint
     # nanos / timestamp_ntz / timestamp) — withWatermark requires LTZ.
@@ -199,3 +229,31 @@ def session_counts_batch(
         .select("user_id", F.col("win.start").alias("session_start"), "c")
         .orderBy("user_id", "session_start")
     )
+
+
+def stream_static_join_counts(
+    spark: SparkSession, sf_dir: str, dim_table: str = "customer"
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with a STATIC
+    dimension table, then aggregated. The static side is a plain batch
+    DataFrame — Spark re-plans it per micro-batch and (given the
+    broadcast hint) ships it as a broadcast hash join, so the stream
+    side never shuffles for the join; only the aggregation keeps state.
+    This is the standard enrich-then-aggregate streaming shape (and at
+    100 TB the dim stays broadcast — the scale argument is identical to
+    the batch q05/q06 joins).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from sparkflow_spark.catalog import cached_table
+
+    sdf = stream_events(spark, sf_dir)
+    # the static side must come from the SAME (cloned) session the
+    # stream plan is bound to
+    dim = cached_table(sdf.sparkSession, sf_dir, dim_table).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = sdf.join(broadcast(dim), sdf["user_id"] == dim["c_custkey"], "inner")
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("c"))
+    out = run_stream_to_memory(agg, "complete")
+    return out.orderBy("c_mktsegment")
