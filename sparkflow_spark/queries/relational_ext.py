@@ -577,3 +577,29 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "l_returnflag")
     )
+
+
+@register(
+    "q61_approx_percentile_within_5pct",
+    oracle="""
+        SELECT CAST(ABS(approx_quantile(l_extendedprice, 0.5)
+                        - quantile_cont(l_extendedprice, 0.5))
+                    <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS INT) AS ok
+        FROM lineitem
+    """,
+    tags=("relational", "agg", "approx", "percentile"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Approx-percentile sketch judged against the exact percentile —
+    the q15 pattern: sketch VALUES are engine-specific (Spark's
+    percentile_approx vs DuckDB's t-digest) and can never hash-match,
+    but "within 5% of exact" is expressible on both engines, each
+    judging its own sketch. At 100 TB the approx form is the real
+    operator (exact percentiles sort every group); this row keeps it
+    driver-checkable."""
+    t = Tables(spark, sf)
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    return t.lineitem.agg(
+        (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias("ok")
+    )

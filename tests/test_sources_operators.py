@@ -291,3 +291,42 @@ def test_observe_metrics_free_telemetry(spark, sf_dir):
     assert obs.get["rows"] == n == direct[0]
     assert obs.get["chars"] == direct[1]
     assert obs.get["max_id"] == direct[2]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_prop_connected_components_vs_union_find(edges):
+    """Random edge lists (self-loops and duplicates included) against a
+    python union-find oracle — the propagate+shortcut fixpoint must be
+    exactly the min-id component labeling for every graph shape, not
+    just the hand-picked cliques of the fixed test."""
+    from sparkflow_spark.dedup import connected_components
+
+    spark = _prop_spark()
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots: dict[int, int] = {}
+    for n in parent:
+        roots.setdefault(find(n), n)
+        roots[find(n)] = min(roots[find(n)], n)
+    expected = {n: roots[find(n)] for n in parent}
+    assert comp == expected
