@@ -410,3 +410,112 @@ _sql_query(
     ORDER BY nation, o_year DESC
     """,
 )
+
+
+# Q11: important stock identification — partsupp/ps_availqty absent, so
+# a part's "stock value" is proxied as SUM(l_extendedprice * l_quantity)
+# shipped by suppliers of the chosen nation group; the shape (group-by
+# with a HAVING threshold that is a scalar subquery over the SAME
+# aggregate) is intact. TPC-H's threshold is FRACTION×total with
+# fraction = 0.0001/SF — scale-dependent by spec; one SQL text must work
+# at every fixture scale, so the threshold is 1.5× the MEAN part value
+# (total/COUNT(DISTINCT part)), which is scale-invariant and keeps the
+# result non-trivial at all three SFs (134 parts at sf0.01).
+_sql_query(
+    "tpch_q11_important_stock",
+    """
+    SELECT l_partkey,
+           CAST(ROUND(SUM(l_extendedprice * l_quantity), 2) AS DOUBLE) + 0.0
+             AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey < 13
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+      SELECT 1.5 * SUM(l_extendedprice * l_quantity)
+                 / COUNT(DISTINCT l_partkey)
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 13)
+    ORDER BY l_partkey
+    """,
+)
+
+# Q13: customer order-count distribution — verbatim shape (left outer
+# join with a join-side filter, two-level aggregation); the comment-LIKE
+# exclusion becomes an o_orderpriority exclusion (fixtures carry no
+# o_comment). Pure-integer output: deterministic cross-engine.
+_sql_query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# Q16: parts/supplier relationship — partsupp absent, so the
+# part-supplier association comes from lineitem; the "customer
+# complaints" supplier exclusion (s_comment LIKE ...) becomes a
+# negative-balance exclusion. Shape intact: NOT-IN subquery (null-free
+# key, anti-join decorrelation), multi-attribute group-by,
+# COUNT(DISTINCT) per group, count-desc ordering.
+_sql_query(
+    "tpch_q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#17'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+# Q20: potential part promotion — ps_availqty absent; "supplier holds
+# more than half the year's shipments of a part" becomes "supplier
+# shipped more than 30% of the year's total quantity of that part".
+# Shape: IN over a grouped subquery thresholded against a per-part
+# total, nested inside a further IN over part names. TPC-H writes the
+# threshold as a correlated scalar agg in HAVING; this text ships it
+# pre-decorrelated (join of the two aggregates) so one SQL string plans
+# identically on both engines — the correlated-HAVING spelling itself is
+# exercised by tpch_q17's correlated scalar agg.
+_sql_query(
+    "tpch_q20_part_promotion",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(s_acctbal, 2) AS DOUBLE) + 0.0 AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey) sp
+      JOIN (SELECT l_partkey, SUM(l_quantity) AS total_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_partkey) pt
+        ON sp.l_partkey = pt.l_partkey
+      WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+        AND sp.qty > 0.3 * pt.total_qty)
+      AND s_nationkey < 15
+    ORDER BY s_suppkey
+    """,
+)
