@@ -760,3 +760,51 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination check: for each eval document, the
+    fraction of its distinct k-word shingles that occur ANYWHERE in the
+    training corpus → (id, n_shingles, n_hits, contamination).
+
+    The standard pre-training hygiene step (WIMBD/GPT-3-style n-gram
+    overlap): an eval doc with high shingle overlap against the training
+    set is leaked, and benchmarks scored on it are contaminated.
+
+    Spark shape, sized for a 100 TB train side:
+    - the train corpus collapses to its DISTINCT shingle universe before
+      any join — a map-side-combined aggregation, the only full-corpus
+      pass;
+    - eval shingles LEFT-join that universe on the shingle key; the
+      shuffle is keyed on shingles, so the (usually tiny) eval side
+      co-partitions against the big universe, and AQE broadcasts the
+      eval side when it fits;
+    - the per-doc rollup (hits / total) is a small agg on eval ids.
+    For production scale, pre-hash shingles with
+    :func:`sparkflow_spark.functions.text.shingle_hashes_from_tokens`
+    (8-byte join keys, ~n/2⁶⁴ false-hit rate); this oracle-checked form
+    joins on shingle TEXT so the DuckDB differential is exact.
+    """
+    from sparkflow_spark.functions.text import shingles_from_tokens
+
+    def _shingle_rows(df: DataFrame, keep_id: bool) -> DataFrame:
+        toked = with_tokens(df, text_col)
+        sh = F.explode(shingles_from_tokens("_toks", shingle_k)).alias("shingle")
+        if keep_id:
+            return toked.select(F.col(id_col), sh)
+        return toked.select(sh)
+
+    ev = _shingle_rows(eval_df, keep_id=True)
+    universe = _shingle_rows(train, keep_id=False).distinct().withColumn("_hit", F.lit(1))
+    joined = ev.join(universe, "shingle", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), 3).cast("double").alias("contamination"),
+    )

@@ -356,3 +356,31 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+# PII patterns, applied in order (email first: emails contain digits
+# and dots that the later numeric patterns would otherwise mangle).
+# Restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, \b word
+# boundaries — no lookarounds (RE2 has none), no backreferences.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    (r"\b[0-9]{9,}\b", "<ID>"),
+)
+
+
+def redact_pii(text: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Scrub PII-shaped spans (emails, URLs, phone numbers, long digit
+    runs) → redaction tags. Pure Catalyst ``regexp_replace`` chain —
+    per-row, codegen'd, zero Python in the path; at 100 TB this is a
+    map-only stage that fuses into whatever scan/filter surrounds it.
+
+    Pattern order is part of the contract (see PII_PATTERNS). For
+    corpus-cleaning pipelines, apply BEFORE dedup: redaction normalizes
+    away per-user variance, so near-dup detection sees the template."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c

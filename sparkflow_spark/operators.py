@@ -145,3 +145,42 @@ def observe_metrics(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single-pass column profiling → one row per column:
+    (column, n_rows, n_nulls, n_distinct, min_d, max_d, mean_d).
+
+    Data-quality triage over a raw 100 TB drop: ONE scan computes every
+    per-column metric. All metrics for all columns go into a single
+    ``agg`` — Catalyst plans the multi-column COUNT(DISTINCT) set as one
+    Expand + two-phase aggregate (partial map-side combine, no
+    per-column re-scan) — and the wide 1-row result is unpivoted to the
+    tall layout driver-side via ``stack`` (p×7 scalars; free).
+
+    Numeric stats use ``try_cast`` so string columns profile as NULL
+    min/max/mean instead of throwing under ANSI mode. ``mean_d`` is
+    order-dependent in its last float bits (parallel SUM); consumers
+    comparing cross-engine should round.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        d = F.col(c).try_cast("double")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.avg(d).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`, `{c}__mean`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_d, max_d, mean_d)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_d", "max_d", "mean_d")

@@ -203,6 +203,7 @@ def load_all() -> dict[str, Query]:
         streaming_suite,
         multimodal_suite,
         ml_suite,
+        pipeline_suite,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -1,0 +1,229 @@
+"""Training-data pipeline surface #2 — contamination detection, PII
+redaction, column profiling, unigram LM scoring. All four are
+oracle-checked (t2): the operators are pure Catalyst compositions, so a
+DuckDB SQL twin exists for each.
+
+Reference parity note: the reference engine (lifeomic/sparkflow) has no
+data-pipeline surface at all — these operators come from the north-star
+brief's LLM-pipeline inventory, not from reference files.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark import dedup
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.functions.text import lower_tokens, redact_pii
+from sparkflow_spark.operators import profile
+from sparkflow_spark.queries import ordered, register
+
+
+# ---------------------------------------------------------------------------
+# contamination: eval docs (doc_id % 10 == 0) vs the train remainder
+
+_CONTAM_CTES = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, len(toks) - 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM toks
+        ) base, UNNEST(base.shingles) AS u(shingle)),
+    train_universe AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)
+"""
+
+
+@register(
+    "c_contamination",
+    oracle=f"""
+        WITH {_CONTAM_CTES}
+        SELECT ev.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(tu.shingle) AS n_hits,
+               CAST(ROUND(COUNT(tu.shingle) * 1.0 / COUNT(*), 3) AS DOUBLE) + 0.0
+                 AS contamination
+        FROM ev LEFT JOIN train_universe tu ON ev.shingle = tu.shingle
+        GROUP BY ev.doc_id
+        ORDER BY ev.doc_id
+    """,
+    tags=("pipeline", "dedup", "join"),
+)
+def c_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set contamination: per eval doc (doc_id % 10 == 0), the
+    fraction of its distinct 3-word shingles present anywhere in the
+    train split (the other 90%). See dedup.ngram_contamination for the
+    scale contract (train side collapses to a distinct shingle universe
+    before the join)."""
+    t = Tables(spark, sf)
+    docs = t.documents
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        dedup.ngram_contamination(train, ev, shingle_k=3)
+        .transform(ordered, "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The fixture corpus carries no PII-shaped spans, so the
+# query enriches each doc with a deterministic footer BUILT FROM FIXTURE
+# COLUMNS on both engines (same SQL-expressible concat), then redacts.
+# The operator under test is redact_pii; the footer is harness, keeping
+# the regex chain non-vacuous (every row exercises all four patterns).
+
+
+@register(
+    "t_pii_redact",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or http://example.com/u/'
+                            || CAST(doc_id AS VARCHAR) || ' phone 555-01'
+                            || CAST(doc_id % 10 AS VARCHAR) || '-'
+                            || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                            || ' ssn ' || CAST(100000000 + doc_id AS VARCHAR),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                   '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+                 '\\b[0-9]{9,}\\b', '<ID>', 'g') AS redacted
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+def t_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub via the redact_pii regexp_replace chain (map-only,
+    codegen'd). Driver hash covers the full redacted text of every doc."""
+    t = Tables(spark, sf)
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail.example.com or http://example.com/u/"),
+        did.cast("string"),
+        F.lit(" phone 555-01"),
+        (did % 10).cast("string"),
+        F.lit("-"),
+        (did % 9000 + 1000).cast("string"),
+        F.lit(" ssn "),
+        (did + 100000000).cast("string"),
+    )
+    return t.documents.select(
+        "doc_id", redact_pii(enriched).alias("redacted")
+    ).transform(ordered, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# column profiling: lineitem numeric measures + a string key, one scan
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(ROUND(MIN(TRY_CAST({c} AS DOUBLE)), 4) AS DOUBLE) + 0.0 AS min_d,
+               CAST(ROUND(MAX(TRY_CAST({c} AS DOUBLE)), 4) AS DOUBLE) + 0.0 AS max_d,
+               CAST(ROUND(AVG(TRY_CAST({c} AS DOUBLE)), 4) AS DOUBLE) + 0.0 AS mean_d
+        FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register(
+    "p_profile_lineitem",
+    oracle=_profile_oracle(),
+    tags=("pipeline", "agg"),
+)
+def p_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """operators.profile over lineitem: the DuckDB twin is p UNION ALL
+    scans, the Spark side is ONE scan (multi-distinct Expand + stack
+    unpivot) — the profiling shape you want against 100 TB. Min/max/mean
+    rounded to 4 for the cross-engine float compare; l_returnflag (a
+    string) pins the try_cast→NULL contract."""
+    t = Tables(spark, sf)
+    prof = profile(t.lineitem, _PROFILE_COLS)
+    return prof.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_d", 4).cast("double").alias("min_d"),
+        F.round("max_d", 4).cast("double").alias("max_d"),
+        F.round("mean_d", 4).cast("double").alias("mean_d"),
+    ).transform(ordered, "column_name")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+
+
+@register(
+    "t_unigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS s FROM vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(ROUND(AVG(ln(v.c / t.s)), 3) AS DOUBLE) + 0.0 AS avg_logprob
+        FROM toks JOIN vocab v USING (tok), tot t
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "agg"),
+)
+def t_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-fit quality score: train a unigram LM on the corpus itself
+    (token → count / total), score each doc by mean token log-prob.
+    Low-scoring docs are OOD junk (the cheap perplexity proxy used for
+    corpus filtering).
+
+    Shape at 100 TB: tokens explode once; the vocabulary aggregation is
+    map-side combined (vocab ≪ corpus); the scalar total rides a 1-row
+    broadcast; the token→vocab join broadcasts the vocab (AQE) so the
+    exploded stream never shuffles; the per-doc rollup is the only wide
+    exchange, keyed on doc_id."""
+    t = Tables(spark, sf)
+    toks = t.documents.select(
+        "doc_id", F.explode(lower_tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("s"))), 3)
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
+    return scored.transform(ordered, "doc_id")

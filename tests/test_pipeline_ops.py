@@ -1,0 +1,120 @@
+"""Behavioral tests for the pipeline_suite operators: PII redaction,
+contamination, column profiling, unigram scoring. The cross-engine hash
+checks live in the oracle sweep; these pin the operator semantics on
+crafted micro-inputs where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from sparkflow_spark import dedup
+from sparkflow_spark.functions.text import redact_pii
+from sparkflow_spark.operators import profile
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at bob.smith+x@corp.example.org today",),
+            ("see https://example.com/a?b=c#frag and http://x.io",),
+            ("call 555-010-1234 now",),
+            ("card 4111111111111111 leaked",),
+            ("clean text with no pii at all",),
+            ("two mails a@b.co c@d.org",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "see <URL> and <URL>"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "card <ID> leaked"
+    assert got[4] == "clean text with no pii at all"
+    assert got[5] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_redact_pii_null_safe(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    assert df.select(redact_pii("text")).first()[0] is None
+
+
+def test_contamination_hand_checked(spark):
+    # eval doc 0: shingles {a b c, b c d} — "a b c" occurs in train,
+    # "b c d" does not → 1/2. eval doc 2: fully contained → 1.0.
+    train = spark.createDataFrame(
+        [(10, "a b c x y z"), (11, "p q r s")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(0, "a b c d"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.ngram_contamination(train, ev, shingle_k=3).collect()
+    }
+    assert out[0]["n_shingles"] == 2 and out[0]["n_hits"] == 1
+    assert out[0]["contamination"] == 0.5
+    assert out[2]["n_shingles"] == 1 and out[2]["contamination"] == 1.0
+
+
+def test_contamination_short_doc_fallback(spark):
+    # docs shorter than k collapse to one whole-text shingle (same
+    # fallback as the jaccard path) — no crash, sane fraction
+    train = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(0, "hello world"), (4, "bye")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.ngram_contamination(train, ev).collect()}
+    assert out[0]["contamination"] == 1.0
+    assert out[4]["contamination"] == 0.0
+
+
+def test_profile_metrics(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "b"), (None, "a"), (2.0, None)],
+        "x double, s string",
+    )
+    rows = {r["column_name"]: r for r in profile(df, ["x", "s"]).collect()}
+    x = rows["x"]
+    assert x["n_rows"] == 4 and x["n_nulls"] == 1 and x["n_distinct"] == 3
+    assert x["min_d"] == 1.0 and x["max_d"] == 3.0 and abs(x["mean_d"] - 2.0) < 1e-12
+    s = rows["s"]
+    # strings: try_cast → NULL numeric stats, counts still exact
+    assert s["n_nulls"] == 1 and s["n_distinct"] == 2
+    assert s["min_d"] is None and s["max_d"] is None and s["mean_d"] is None
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The whole profile is ONE aggregation over ONE scan: the physical
+    plan must contain exactly one parquet scan (Expand handles the
+    multi-distinct), not one scan per column."""
+    from sparkflow_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    plan = (
+        profile(t.lineitem, ["l_quantity", "l_extendedprice", "l_returnflag"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2  # AQE may print twice
+    assert "Expand" in plan
+
+
+def test_unigram_logprob_hand_checked(spark, sf_dir):
+    # corpus: "a a b" + "a" → counts a=3, b=1, total=4
+    df = spark.createDataFrame([(0, "a a b"), (1, "a")], ["doc_id", "text"])
+    df.createOrReplaceTempView("_unigram_docs")
+    toks = df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    out = {
+        r["doc_id"]: r["lp"]
+        for r in toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.col("s"))).alias("lp"))
+        .collect()
+    }
+    exp0 = (2 * math.log(3 / 4) + math.log(1 / 4)) / 3
+    assert abs(out[0] - exp0) < 1e-9
+    assert abs(out[1] - math.log(3 / 4)) < 1e-9
