@@ -14,7 +14,8 @@ ML artifacts. This module declares the engine's data IO surface:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.types as T
 
 from sparkflow_spark.session import ensure_runtime_configs
@@ -132,3 +133,81 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
+    """Z-order (Morton) key over ``cols`` as a pure Catalyst expression.
+
+    Each column is rank-normalized into a ``bits``-wide integer bucket
+    via ``width_bucket`` between its global min/max (one cheap agg,
+    collected once at plan time — two scalars per column), then the
+    bucket bits are interleaved with plan-time shift/OR chains. No UDF,
+    no window: the whole key codegens into the write stage.
+
+    min/max bucketing (vs rank/ntile) keeps the computation one-pass
+    and shuffle-free; heavily skewed columns bucket unevenly, which
+    loosens (never breaks) the clustering — for those, pre-transform
+    the column (e.g. log) before calling.
+    """
+    if not (1 <= len(cols) <= 4):
+        raise ValueError("zorder_value supports 1-4 columns")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a long")
+    # one tiny job: global min/max per column (column pruning makes this
+    # a stats-only parquet read where footers allow)
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [F.min(d).alias(f"{c}__mn"), F.max(d).alias(f"{c}__mx")]
+    row = df.agg(*aggs).first()
+    nb = 1 << bits
+    buckets = []
+    for c in cols:
+        mn, mx = row[f"{c}__mn"], row[f"{c}__mx"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket → 1..nb+1 (nb+1 only at exactly mx); clamp, 0-base
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(nb))
+        buckets.append(
+            F.least(F.coalesce(b, F.lit(1)), F.lit(nb)).cast("long") - 1
+        )
+    # interleave: output bit (i*len(cols)+j) = bit i of buckets[j]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 32,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet sink: rows are range-partitioned and
+    sorted by their Morton key, so every output file covers a compact
+    HYPER-RECTANGLE of the ``cols`` space and parquet footer min/max
+    stats become selective on EVERY clustered column at once.
+
+    This is the multi-dimensional analogue of ``write_partitioned``:
+    a filter on ANY subset of ``cols`` prunes files/row-groups at scan
+    time (linear sort helps only the leading column). The pay-once cost
+    is one range exchange (sampling + shuffle) at write time — at
+    100 TB that is the same bill a plain ``orderBy`` write pays; the
+    clustering quality is what changes. tests/test_zorder.py measures
+    the file-level pruning factor vs an unclustered write.
+    """
+    z = zorder_value(df, cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
