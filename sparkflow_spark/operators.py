@@ -184,3 +184,74 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_d, max_d, mean_d)",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_d", "max_d", "mean_d")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (upsert): source rows replace matching target rows on
+    ``keys``, unmatched source rows insert, unmatched target rows are
+    kept; rows whose ``delete_col`` is true are dropped (MERGE's WHEN
+    MATCHED THEN DELETE).
+
+    Formulated as LEFT-ANTI(target, source keys) ∪ source — NOT as a
+    full-outer join + per-column coalesce. The anti-join's build side is
+    only the source KEY SET (column-pruned), so with a typical
+    small-delta source it broadcasts and the 100 TB target never
+    shuffles: one map-side filter + union, versus the full-outer form
+    shuffling every target byte. Deterministic: requires ``keys`` unique
+    within source (duplicate source keys would make MERGE ambiguous;
+    Delta/Iceberg raise here too — dedupe upstream).
+    """
+    cols = target.columns
+    live = source.filter(~F.coalesce(F.col(delete_col), F.lit(False))) if delete_col else source
+    # the anti-join key set includes DELETE-marked keys: their target
+    # rows drop here and their source rows are filtered from `live`,
+    # which is exactly WHEN MATCHED THEN DELETE
+    kept = target.join(F.broadcast(source.select(*keys).distinct()), keys, "left_anti")
+    out = kept.select(*cols).unionByName(live.select(*cols))
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions separated by > ``gap_minutes`` of inactivity →
+    (user, session_id, session_start, session_end, n_events).
+
+    One shuffle total: both windows (the lag that marks session
+    boundaries and the running sum that numbers them) share the same
+    (user) partitioning / (ts) ordering, so Catalyst plans a single
+    exchange + sort and evaluates both frames in one Window operator;
+    the final per-session rollup reuses the same hash partitioning.
+    This is the batch twin of the streaming session window
+    (streaming/windows.py session_counts).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # exact integer microseconds (unix_micros), not a seconds cast:
+    # sub-second gaps compare exactly, and the boundary predicate is
+    # integer arithmetic — bit-identical across engines/architectures
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = (
+        F.when(prev.isNull(), 1)
+        .when(
+            F.unix_micros(F.col(ts_col)) - prev > gap_minutes * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sid = events.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_sid.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -227,3 +227,171 @@ def t_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scored.transform(ordered, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# batch MERGE (upsert + delete) and sessionization
+
+
+@register(
+    "q60_merge_upsert",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey, 'REPRICED' AS o_orderstatus,
+                   CAST(FLOOR(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+                     AS price_cents,
+                   (o_orderkey % 13 = 1) AS _deleted
+            FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT o_orderkey, o_orderstatus, price_cents
+        FROM (
+            SELECT t.o_orderkey, t.o_orderstatus,
+                   CAST(FLOOR(t.o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS price_cents
+            FROM orders t
+            WHERE NOT EXISTS (SELECT 1 FROM src s
+                              WHERE s.o_orderkey = t.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, price_cents
+            FROM src WHERE NOT _deleted) m
+        ORDER BY o_orderkey
+    """,
+    tags=("pipeline", "join"),
+)
+def q60_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE semantics on plain parquet via operators.merge_upsert:
+    every 7th order repriced (update), every 13th-of-those dropped
+    (matched delete), the rest untouched. The anti-join broadcasts the
+    source KEY SET, so the big target never shuffles — see the operator
+    docstring for the 100 TB contract."""
+    from sparkflow_spark.operators import merge_upsert
+
+    t = Tables(spark, sf)
+    # per-row integer-cents quantization (FLOOR(x*100 + 0.5), the
+    # tpch_q9 contract): ROUND(double, 2) is HALF_UP on Spark but
+    # round-half-even territory on DuckDB at exact .005 boundaries,
+    # which x*1.1 does produce
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    target = t.orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    src = t.orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("REPRICED").alias("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+        (F.col("o_orderkey") % 13 == 1).alias("_deleted"),
+    )
+    merged = merge_upsert(target, src, ["o_orderkey"], delete_col="_deleted")
+    return merged.transform(ordered, "o_orderkey")
+
+
+@register(
+    "q61_sessionize",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 21600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sid AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked)
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us,
+               COUNT(*) AS n_events
+        FROM sid
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("pipeline", "window"),
+)
+def q61_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization of the events stream, 6-hour inactivity gap
+    — operators.sessionize (one exchange for both windows + the
+    rollup). The boundary predicate is exact integer microseconds, so
+    the session split is bit-identical cross-engine."""
+    from sparkflow_spark.operators import sessionize
+
+    t = Tables(spark, sf)
+    sess = sessionize(t.events, "user_id", "ts", gap_minutes=360)
+    return sess.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    ).transform(ordered, "user_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS nn FROM documents)
+        SELECT doc_id, tok, tf, df,
+               CAST(ROUND(tf * ln(nn * 1.0 / df), 3) AS DOUBLE) + 0.0 AS tfidf
+        FROM (
+            SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, n.nn,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf DESC, dfreq.df ASC, tf.tok)
+                     AS rn
+            FROM tf JOIN dfreq USING (tok), n) ranked
+        WHERE rn <= 3
+        ORDER BY doc_id, tok
+    """,
+    tags=("pipeline", "text", "window"),
+)
+def t_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. The RANKING
+    key is pure integers (tf DESC, df ASC, tok) — never the float score
+    — so the selected rows are deterministic cross-engine; the float
+    tfidf value is carried rounded, for consumers.
+
+    Shape at 100 TB: tf is a map-side-combined (doc, tok) agg; df
+    aggregates the (already tiny) tf table by token; the df join
+    broadcasts (vocab ≪ corpus); the per-doc top-k runs through one
+    window whose WindowGroupLimit pre-prunes to k rows per doc map-side
+    before the final exchange."""
+    t = Tables(spark, sf)
+    from pyspark.sql import Window
+
+    toks = t.documents.select("doc_id", F.explode(lower_tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("nn"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+    )
+    ranked = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.col("nn") / F.col("df")), 3)
+        .cast("double")
+        .alias("tfidf"),
+    ).transform(ordered, "doc_id", "tok")

@@ -118,3 +118,70 @@ def test_unigram_logprob_hand_checked(spark, sf_dir):
     exp0 = (2 * math.log(3 / 4) + math.log(1 / 4)) / 3
     assert abs(out[0] - exp0) < 1e-9
     assert abs(out[1] - math.log(3 / 4)) < 1e-9
+
+
+def test_merge_upsert_semantics(spark):
+    from sparkflow_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        ["k", "s", "v", "_del"],
+    )
+    out = {
+        r["k"]: (r["s"], r["v"])
+        for r in merge_upsert(target, source, ["k"], delete_col="_del").collect()
+    }
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}  # 3 deleted
+
+
+def test_merge_upsert_no_delete_col(spark):
+    from sparkflow_spark.operators import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    source = spark.createDataFrame([(1, 2.0), (2, 3.0)], ["k", "v"])
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: 2.0, 2: 3.0}
+
+
+def test_sessionize_boundaries(spark):
+    import datetime as dt
+
+    from sparkflow_spark.operators import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),       # same session
+        (1, base + dt.timedelta(minutes=50)),       # gap 40 > 30 → new
+        (2, base),                                   # other user independent
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    sizes = sorted(r["n_events"] for r in by_user[1])
+    assert sizes == [1, 2]
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both windows + the rollup share the (user) partitioning: exactly
+    one shuffle exchange in the physical plan."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.operators import sessionize
+
+    t = Tables(spark, sf_dir)
+    plan = (
+        sessionize(t.events, "user_id", "ts", 360)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
