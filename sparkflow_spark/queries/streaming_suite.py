@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkflow_spark.queries import register
+from sparkflow_spark.queries import ordered, register
 from sparkflow_spark.streaming import (
     running_user_counts,
     session_counts_batch,
@@ -158,3 +158,11 @@ def st_stream_static(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.windows import stream_static_join_counts
 
     return stream_static_join_counts(spark, sf)
+
+
+# NOTE: the transformWithStateInPandas twin (streaming/stateful.py
+# running_user_stats_tws) is NOT registered: the state-v2 protocol needs
+# the google-protobuf wheel, absent from this environment — the function
+# raises a loud NotImplementedError there, and tests/test_streaming.py
+# pins that refusal. applyInPandasWithState (st_stateful_user_counts)
+# is the oracle-checked stateful surface.

@@ -52,3 +52,93 @@ def running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     return out.groupBy("user_id").agg(F.max("c").alias("c")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x successor API to applyInPandasWithState)
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+class _UserStatsProcessor:
+    """StatefulProcessor keeping (count, sum-in-integer-cents) per user.
+
+    Cents accumulation keeps the running sum EXACT and order-independent
+    — the final emission is bit-comparable to a batch GROUP BY on any
+    engine regardless of micro-batch arrival order. State is two longs
+    per key: the store is bounded by key cardinality, and the TTL knob
+    (getValueState ttlDurationMs) is where production would expire
+    abandoned keys.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", "c LONG, sum_cents LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        c, cents = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            c += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents += int(np.floor(v * 100 + 0.5).sum())
+        self._state.update((c, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "c": [c], "sum_cents": [cents]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``
+    — the Spark 4 state-v2 API (typed state handles, timers, TTL),
+    exercised alongside the legacy ``applyInPandasWithState`` twin
+    above so both stateful surfaces stay covered."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google-protobuf wheel "
+            "(its state-server protocol is protobuf-framed), which this "
+            "environment does not ship. The applyInPandasWithState twin "
+            "(running_user_counts / st_stateful_user_counts) covers the "
+            "custom-stateful-streaming contract here."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so module import works even if the API moves
+    proc = type("UserStatsProcessor", (_UserStatsProcessor, StatefulProcessor), {})()
+    sdf = stream_events(spark, sf_dir, watermark=None)
+    stats = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    out = run_stream_to_memory(stats, "update")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # keep the final (highest-count) emission per key: every emission
+    # for a key strictly increases c, so max-c IS the final state
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "c", "sum_cents")
+    )

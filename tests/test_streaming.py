@@ -192,3 +192,31 @@ def test_foreach_batch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert {(r["event_id"], r["user_id"]) for r in got.collect()} == expect
+
+
+def test_tws_gated_loudly_without_protobuf(spark, sf_dir):
+    """transformWithStateInPandas needs google-protobuf (absent here):
+    the wrapper must refuse LOUDLY at call time — or, if protobuf is
+    present, actually produce the batch-equivalent stats."""
+    import pytest
+
+    from sparkflow_spark.streaming.stateful import running_user_stats_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+
+    if not has_proto:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_stats_tws(spark, sf_dir)
+    else:  # pragma: no cover - environment-dependent branch
+        out = running_user_stats_tws(spark, sf_dir)
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .count()
+        )
+        assert out.count() == batch.count()
