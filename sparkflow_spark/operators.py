@@ -255,3 +255,52 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize a per-key time series onto a dense ``step`` grid and
+    forward-fill gaps → (key, grid_ts, value) with no missing ticks.
+
+    Three stages, each shuffle-aligned on the key:
+    1. per-key bounds (min/max bucket) — a tiny agg;
+    2. grid expansion via ``sequence`` + ``explode`` — generated
+       key-locally, so the dense grid never crosses the network;
+    3. left join actuals + ``last(value, ignorenulls=True)`` over a
+       running frame for the forward fill.
+    The bounds agg, the join, and the window all hash-partition on the
+    key, so AQE collapses them onto one exchange of the (sparse) input.
+    Grid density is bounded per key by (max-min)/step — at 100 TB keep
+    ``step`` coarse enough that rows-per-key stays in the millions, or
+    pre-split hot keys by range.
+    """
+    unit = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}.get(step)
+    if unit is None:
+        raise ValueError(f"step must be one of '1 minute'/'1 hour'/'1 day'; got {step!r}")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    actual = df.groupBy(F.col(key_col), bucket.alias("_grid_ts")).agg(
+        F.sum(value_col).alias("_v")
+    )
+    bounds = actual.groupBy(key_col).agg(
+        F.min("_grid_ts").alias("_mn"), F.max("_grid_ts").alias("_mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.expr(f"sequence(_mn, _mx, interval {step})")).alias("_grid_ts"),
+    )
+    joined = grid.join(actual, [key_col, "_grid_ts"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("_grid_ts").alias("grid_ts"),
+        F.last("_v", ignorenulls=True).over(w).alias(value_col),
+    )

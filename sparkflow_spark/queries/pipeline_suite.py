@@ -395,3 +395,53 @@ def t_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("tfidf"),
     ).transform(ordered, "doc_id", "tok")
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill + forward fill
+
+
+@register(
+    "q62_gap_fill_ffill",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events WHERE user_id % 5 = 0
+            GROUP BY user_id, date_trunc('hour', ts)),
+        bounds AS (
+            SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+            FROM hourly GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM bounds)
+        SELECT g.user_id,
+               CAST(epoch_us(g.h) AS BIGINT) AS grid_us,
+               CAST(last_value(hourly.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cents
+        FROM grid g
+        LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+        ORDER BY g.user_id, grid_us
+    """,
+    tags=("pipeline", "window", "timeseries"),
+)
+def q62_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly grid per user (users ≡ 0 mod 5) with forward-filled
+    integer-cents sums — operators.gap_fill_ffill. Cents keep the fill
+    values exactly comparable; the grid is generated key-locally so the
+    dense series never crosses the network unfilled."""
+    from sparkflow_spark.operators import gap_fill_ffill
+
+    t = Tables(spark, sf)
+    ev = t.events.filter(F.col("user_id") % 5 == 0).withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    )
+    filled = gap_fill_ffill(ev, "user_id", "ts", "cents", step="1 hour")
+    return filled.select(
+        "user_id",
+        F.unix_micros("grid_ts").alias("grid_us"),
+        "cents",
+    ).transform(ordered, "user_id", "grid_us")

@@ -185,3 +185,32 @@ def test_sessionize_single_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
+def test_gap_fill_ffill_semantics(spark):
+    import datetime as dt
+
+    from sparkflow_spark.operators import gap_fill_ffill
+
+    b = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, b, 10),                                # 00:xx → bucket 00
+        (1, b + dt.timedelta(hours=3), 5),         # 03:xx; 01,02 gaps
+        (1, b + dt.timedelta(hours=3, minutes=10), 7),  # same bucket 03
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        r["grid_ts"].hour: r["v"]
+        for r in gap_fill_ffill(df, "k", "ts", "v").collect()
+    }
+    assert out == {0: 10, 1: 10, 2: 10, 3: 12}  # gaps carry 10; 03 sums 5+7
+
+
+def test_gap_fill_rejects_unknown_step(spark):
+    import pytest
+
+    from sparkflow_spark.operators import gap_fill_ffill
+
+    df = spark.createDataFrame([(1, None, 1)], "k int, ts timestamp, v int")
+    with pytest.raises(ValueError, match="step"):
+        gap_fill_ffill(df, "k", "ts", "v", step="17 seconds")
