@@ -139,7 +139,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q10_left_anti_join",
     "q11_theta_join",
     "q13_hash_agg_tpch_q1",
-    "q14_count_distinct",
+    # round-5 swap #1: q14_count_distinct rotated out (its exact
+    # count-distinct leg is computed INSIDE q15's thresholded compare,
+    # and q14 keeps local oracle + pytest) for the contamination check,
+    # a never-driver-checked family
+    "c_contamination",
     "q15_approx_within_5pct",
     "q16_rollup",
     "q17_having",
@@ -160,7 +164,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # array / struct / UDF families (Q31/Q32/Q40)
     "q31_array_dot_norm",
     "q32_struct_map_access",
-    "q40_pandas_udf_scalar",
+    # round-5 swap #2: q40_pandas_udf_scalar rotated out (the scalar
+    # pandas_udf path stays driver-covered via m02_linear_inference;
+    # grouped-map + UDTF keep their rows) for PII redaction
+    "t_pii_redact",
     "q40_grouped_map_applyinpandas",
     "q40_python_udtf_lateral",
     # dedup family (Q34/Q35)
