@@ -1,7 +1,9 @@
 """Training-data pipeline surface #2 — contamination detection, PII
-redaction, column profiling, unigram LM scoring. All four are
-oracle-checked (t2): the operators are pure Catalyst compositions, so a
-DuckDB SQL twin exists for each.
+redaction, column profiling, unigram LM scoring, TF-IDF, batch MERGE,
+sessionization, time-series gap fill, PageRank. All but PageRank are
+oracle-checked (t2): those operators are pure Catalyst compositions, so
+a DuckDB SQL twin exists for each; PageRank's float power iteration is
+engine-defined → rows-only driver check + numpy-oracle pytest.
 
 Reference parity note: the reference engine (lifeomic/sparkflow) has no
 data-pipeline surface at all — these operators come from the north-star
@@ -445,3 +447,33 @@ def q62_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_micros("grid_ts").alias("grid_us"),
         "cents",
     ).transform(ordered, "user_id", "grid_us")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative; engine-defined float iteration → rows-only check)
+
+
+@register(
+    "g_pagerank_suppliers",
+    oracle=None,  # iterative power method: not SQL-expressible; t1 vs
+    # numpy power iteration in tests/test_graph.py
+    tags=("graph", "iterative"),
+)
+def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the part→supplier shipping graph (who supplies the
+    parts that matter): top-20 nodes. Demonstrates the iterative-join
+    pattern at its cheapest useful size; rank is rounded for output
+    stability, the ordering key is (rounded rank desc, node) so the
+    result set is deterministic."""
+    from sparkflow_spark.graph import pagerank
+
+    t = Tables(spark, sf)
+    edges = t.lineitem.select(
+        F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst")
+    )
+    pr = pagerank(edges, max_iter=8)
+    return (
+        pr.select("node", F.round("rank", 4).cast("double").alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

@@ -1,0 +1,58 @@
+"""PageRank: t1 vs a numpy power-iteration oracle on the same graph
+(engine-specific iterative op — not SQL-expressible, so no DuckDB
+oracle; the registry entry is a rows-only driver check)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkflow_spark.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.ones(n)
+    for _ in range(iters):
+        nxt = np.full(n, 1 - damping)
+        dm = r[deg == 0].sum()
+        nxt += damping * dm / n
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / deg[idx[u]]
+        r = nxt
+    return {u: r[idx[u]] for u in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # chain with a dangling sink
+        [(1, 2), (2, 3), (3, 4)],
+        # star: hub cited by all
+        [(2, 1), (3, 1), (4, 1), (5, 1)],
+        # cycle + chord + dangler
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 5)],
+    ],
+)
+def test_pagerank_matches_numpy(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=10).collect()}
+    exp = _numpy_pagerank(edges, iters=10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-9), k
+    # mass conservation: ranks sum to n at every power step
+    assert sum(got.values()) == pytest.approx(len(exp), rel=1e-9)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    df = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=5).collect()}
+    exp = _numpy_pagerank([(1, 2), (2, 1)], iters=5)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-9)
