@@ -304,3 +304,27 @@ def gap_fill_ffill(
         F.col("_grid_ts").alias("grid_ts"),
         F.last("_v", ignorenulls=True).over(w).alias(value_col),
     )
+
+
+def merge_agg_states(
+    states: list[DataFrame],
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine partial aggregate
+    states (e.g. yesterday's persisted rollup + today's delta rollup)
+    into the up-to-date rollup WITHOUT rescanning history.
+
+    Works for algebraic aggregates — each ``sum_cols`` entry and the
+    optional ``count_col`` merge by summation, and avg/variance derive
+    from (sum, count, sum-of-squares) columns the caller carries. At
+    100 TB this is the difference between an O(delta) daily job and an
+    O(history) one; correctness (merge-of-partials == full recompute)
+    is pinned by the q63 oracle query.
+    """
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    cols = sum_cols + ([count_col] if count_col else [])
+    return merged.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in cols])

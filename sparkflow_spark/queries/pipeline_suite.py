@@ -477,3 +477,48 @@ def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+
+
+@register(
+    "q63_incremental_rollup",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("pipeline", "agg"),
+)
+def q63_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup maintenance: the 'history' partial (shipdate
+    < 1999) and the 'delta' partial (>= 1999) are aggregated separately
+    and MERGED via operators.merge_agg_states; the oracle recomputes
+    from scratch — the hash match IS the merge-of-partials ==
+    full-recompute proof on algebraic aggregates."""
+    from sparkflow_spark.operators import merge_agg_states
+
+    t = Tables(spark, sf)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    hist = partial(t.lineitem.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(t.lineitem.filter(F.col("l_shipdate") >= cutoff))
+    merged = merge_agg_states([hist, delta], ["l_returnflag"], ["revenue_cents"], "n")
+    return merged.select(
+        "l_returnflag",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.col("n").cast("bigint").alias("n"),
+    ).transform(ordered, "l_returnflag")
