@@ -1,6 +1,7 @@
 """End-to-end training-data pipeline over the documents/embeddings
-fixtures: quality filter → exact dedup → near-dedup (MinHash candidates
-→ connected components) → per-source token-budget mixture → sequence
+fixtures: profile → quality filter → PII redaction → exact dedup →
+near-dedup (MinHash candidates → connected components) → eval-set
+contamination check → per-source token-budget mixture → sequence
 packing → language stats → nearest-neighbor probe, with free
 observe() telemetry riding the final action.
 
@@ -27,6 +28,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     spark = build_session(app_name="llm_data_pipeline", master="local[8]")
     t = Tables(spark, sf_dir)
 
+    # 0. one-scan profile of the raw drop (nulls/distinct/ranges)
+    from sparkflow_spark.operators import profile
+
+    profile(t.documents, ["doc_id", "lang", "source", "n_chars"]).show()
+
     scored = t.documents.select(
         "doc_id", "text",
         quality_score("text").alias("quality"),
@@ -36,6 +42,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     kept_quality = scored.filter(F.col("quality") >= 0.5)
     print(f"quality filter: {t.documents.count()} -> {kept_quality.count()} docs")
 
+    # PII scrub BEFORE dedup: redaction normalizes per-user variance,
+    # so near-dup detection sees the template (map-only, codegen'd)
+    from sparkflow_spark.functions.text import redact_pii
+
+    kept_quality = kept_quality.withColumn("text", redact_pii("text"))
+
     exact = dedup.exact_dedup(kept_quality)
     print(f"exact dedup: -> {exact.count()} docs")
 
@@ -44,6 +56,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     )
     final = dedup.near_dedup(exact, pairs)
     print(f"near dedup ({pairs.count()} candidate pairs): -> {final.count()} docs")
+
+    # contamination gate: fraction of each held-out eval doc's shingles
+    # present in the surviving train corpus (leaked evals score ~1.0)
+    ev = t.documents.filter(F.col("doc_id") % 10 == 0)
+    contam = dedup.ngram_contamination(
+        final.filter(F.col("doc_id") % 10 != 0), ev, shingle_k=3
+    )
+    n_leaked = contam.filter(F.col("contamination") >= 0.8).count()
+    print(f"contamination check: {n_leaked}/{ev.count()} eval docs leaked (>=0.8 overlap)")
 
     # mixture: cap each source shard's token mass, in doc_id order;
     # packing: assign survivors to fixed 512-token training bins.
