@@ -214,3 +214,90 @@ def test_gap_fill_rejects_unknown_step(spark):
     df = spark.createDataFrame([(1, None, 1)], "k int, ts timestamp, v int")
     with pytest.raises(ValueError, match="step"):
         gap_fill_ffill(df, "k", "ts", "v", step="17 seconds")
+
+
+# ---------------------------------------------------------------------------
+# property tests: merge_upsert vs a python reference; sessionize vs a
+# python reference (hypothesis-generated inputs)
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    tgt=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    src=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-100, 100), st.booleans()),
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_merge_upsert_property(spark, tgt, src):
+    from sparkflow_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(tgt, "k int, v int") if tgt else spark.createDataFrame(
+        [], "k int, v int"
+    )
+    source = (
+        spark.createDataFrame(src, "k int, v int, _del boolean")
+        if src
+        else spark.createDataFrame([], "k int, v int, _del boolean")
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(target, source, ["k"], delete_col="_del").collect()
+    }
+    exp = {k: v for k, v in tgt}
+    for k, v, dele in src:
+        if dele:
+            exp.pop(k, None)
+        else:
+            exp[k] = v
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, minute)
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_property(spark, evs):
+    """Session count and per-session event totals match a sequential
+    python reference for arbitrary event layouts (30-min gap)."""
+    import datetime as dt
+
+    from sparkflow_spark.operators import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(minutes=m)) for u, m in evs]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, gap_minutes=30).collect()
+
+    # python reference
+    exp_sessions = {}
+    for u in {u for u, _ in evs}:
+        ms = sorted(m for uu, m in evs if uu == u)
+        sess = []
+        for m in ms:
+            if not sess or m - sess[-1][-1] > 30:
+                sess.append([m])
+            else:
+                sess[-1].append(m)
+        exp_sessions[u] = sess
+    got_by_user = {}
+    for r in out:
+        got_by_user.setdefault(r["user_id"], []).append(r)
+    for u, sess in exp_sessions.items():
+        got = sorted(got_by_user[u], key=lambda r: r["session_start"])
+        assert len(got) == len(sess), (u, sess)
+        for g, s in zip(got, sess):
+            assert g["n_events"] == len(s)
+            assert g["session_start"] == base + dt.timedelta(minutes=s[0])
+            assert g["session_end"] == base + dt.timedelta(minutes=s[-1])
