@@ -58,6 +58,12 @@ PROBES = [
     "d_ngram_jaccard_pairs",
     "s_brute_force_top1",
     "st_tumbling_hour_counts",
+    # round-5 additions: key-mod splits survive the key shifts (all
+    # offsets are multiples of 10), so selectivity is scale-invariant
+    "c_contamination",
+    "t_tfidf_top_terms",
+    "q61_sessionize",
+    "q62_gap_fill_ffill",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

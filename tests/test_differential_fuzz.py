@@ -218,14 +218,79 @@ def _hof(rng: random.Random, t: Tables):
     return df, sql
 
 
+def _setop(rng: random.Random, t: Tables):
+    """UNION [ALL] / INTERSECT / EXCEPT of two filtered projections —
+    pins the bag-vs-set semantics corner both engines must share."""
+    f1c, f1s = _pred(rng)
+    f2c, f2s = _pred(rng)
+    proj = ["l_returnflag", "l_linestatus"]
+    psql = ", ".join(proj)
+    a = t.lineitem.filter(f1c).select(*proj)
+    b = t.lineitem.filter(f2c).select(*proj)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    if op == "UNION":
+        df = a.union(b).distinct()
+    elif op == "UNION ALL":
+        df = a.union(b)
+    elif op == "INTERSECT":
+        df = a.intersect(b)
+    else:
+        df = a.subtract(b)  # SQL EXCEPT is the DISTINCT set minus
+    sql = (
+        f"SELECT {psql} FROM lineitem WHERE {f1s} "
+        f"{op} SELECT {psql} FROM lineitem WHERE {f2s}"
+    )
+    return df, sql
+
+
+def _stringfn(rng: random.Random, t: Tables):
+    """String scalar pipeline over documents.text — names differ across
+    engines but semantics must not."""
+    kind = rng.choice(["slice_upper", "len_trim", "replace_len", "split_first"])
+    a = rng.randint(1, 10)
+    n = rng.randint(3, 15)
+    if kind == "slice_upper":
+        df = t.documents.select(
+            "doc_id", F.upper(F.substring("text", a, n)).alias("v")
+        )
+        sql = f"SELECT doc_id, upper(substr(text, {a}, {n})) AS v FROM documents"
+    elif kind == "len_trim":
+        df = t.documents.select(
+            "doc_id", F.length(F.trim(F.col("text"))).cast("bigint").alias("v")
+        )
+        sql = "SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS v FROM documents"
+    elif kind == "replace_len":
+        ch = rng.choice(["a", "e", "t", " "])
+        df = t.documents.select(
+            "doc_id",
+            (F.length("text") - F.length(F.regexp_replace("text", ch, "")))
+            .cast("bigint")
+            .alias("v"),
+        )
+        sql = (
+            "SELECT doc_id, CAST(length(text) - length(regexp_replace(text, "
+            f"'{ch}', '', 'g')) AS BIGINT) AS v FROM documents"
+        )
+    else:
+        df = t.documents.select(
+            "doc_id", F.split(F.col("text"), " ").getItem(0).alias("v")
+        )
+        sql = "SELECT doc_id, string_split(text, ' ')[1] AS v FROM documents"
+    return df, sql
+
+
 def _one(rng: random.Random, t: Tables):
     shape = rng.random()
-    if shape < 0.15:
+    if shape < 0.12:
         return _outer_join(rng, t)
-    if shape < 0.30:
+    if shape < 0.24:
         return _window_frame(rng, t)
-    if shape < 0.45:
+    if shape < 0.36:
         return _hof(rng, t)
+    if shape < 0.46:
+        return _setop(rng, t)
+    if shape < 0.55:
+        return _stringfn(rng, t)
     fcol, fsql = _filter(rng)
     keys = rng.choice([[], ["l_returnflag"], ["l_returnflag", "l_linestatus"]])
     aggs = rng.sample(_AGGS, rng.randint(1, 3))
