@@ -30,14 +30,15 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE coalescing reasons in BYTES, but post-shuffle work (window
-    # sorts, HOF evaluation) is CPU-bound per ROW: the default 1 MiB
-    # floor collapsed a 600k-row window sort to 6 partitions on a
-    # 32-core box (0.65 s vs 0.33 s uncoalesced). 64 KiB keeps
-    # parallelism-first coalescing effective on small-byte/high-CPU
-    # stages; at cluster scale partitions are far above either floor,
-    # so the knob only matters where it helps.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # minPartitionSize deliberately stays at the 1 MiB default. A 64 KiB
+    # floor was tried (keeps more post-shuffle partitions for CPU-bound
+    # window/HOF stages; one window sort improved 0.65 → 0.33 s in
+    # isolation) but a full-bench A/B showed it a NET LOSS: the extra
+    # tasks on every small shuffle inflated the 16-query cold pass
+    # 12.0 → 18.8 s (jaccard alone 4.3 → 8.0 s) and even steady state
+    # 5.6 → 5.8 s. Stages that genuinely need row-based width get it
+    # explicitly (ngram_jaccard_pairs sizes its index repartition to the
+    # data); a global byte-floor override taxes everything else.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Fixture doubles are exact in both engines; ANSI off keeps Spark's
     # permissive casts aligned with DuckDB's TRY-free behavior for the
