@@ -823,3 +823,121 @@ def ngram_contamination(
         F.count("_hit").alias("n_hits"),
         F.round(F.count("_hit") / F.count(F.lit(1)), 3).cast("double").alias("contamination"),
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    string_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+    index_partitions: int | None = None,
+) -> DataFrame:
+    """Exact edit-distance self-join (record linkage): all pairs with
+    ``levenshtein(a, b) <= max_dist`` → (id_a, id_b, dist), id_a < id_b.
+
+    Candidate generation is the positional q-gram count filter of
+    Gravano et al., "Approximate String Joins in a Database (Almost) for
+    Free" (VLDB 2001): an edit operation destroys at most q of a
+    string's overlapping q-grams, so ed(a,b) <= d implies a and b share
+    at least T = max(|a|,|b|) - q + 1 - q*d q-grams whose positions
+    differ by at most d. The kernel therefore:
+
+    1. explodes positional q-grams (gram, pos) per string — rows are
+       unique by construction (position disambiguates repeats), so the
+       co-occurrence count across a pair upper-bounds the alignable
+       1-1 matches and the count filter stays an exact SUPERSET filter;
+    2. buckets by gram (hash repartition — the only wide shuffle, keyed
+       on the 2-char gram), collects per-gram entries and pair-expands
+       with the position (|Δpos| <= d) and length (|Δlen| <= d) filters
+       applied INSIDE the expansion before any struct is built — the
+       same bounded-HOF shape as :func:`ngram_jaccard_pairs`;
+    3. counts co-occurrences per (id_a, id_b) and keeps pairs meeting
+       the per-pair threshold T (lengths ride the expansion, so T is a
+       pure expression — no second pass);
+    4. verifies survivors with Spark's built-in JVM ``levenshtein``
+       after joining the original strings back by id (two id-keyed
+       shuffles of the already-small candidate set).
+
+    Unlike the Jaccard kernel there is NO frequency cap: a cap would
+    break exactness. A pathologically common q-gram (one gram appearing
+    in a large fraction of all strings) makes its bucket quadratic; the
+    position filter bounds this for long strings (a gram only pairs
+    across |Δpos| <= d), but short highly-repetitive vocabularies (the
+    fixtures' part names are the worst case) still expand O(bucket²).
+    That is inherent to exact edit-distance joins at scale — route
+    looser matching through the capped Jaccard/MinHash kernels instead.
+
+    Contract: every non-NULL string must have length >= q*(max_dist+1);
+    below that the count-filter threshold is vacuous (T <= 0) and a
+    qualifying pair could share zero q-grams, so the filter would MISS
+    pairs. Violations raise at execution time (raise_error rides the
+    gram expression — no extra validation pass). NULL strings are
+    dropped (no defined distance). Distance-0 pairs (exact duplicates)
+    are included by construction.
+    """
+    min_len = q * (max_dist + 1)
+    s = F.col(string_col)
+    n = F.length(s)
+    checked_n = F.when(
+        n < min_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"edit_distance_join: string shorter than q*(max_dist+1)={min_len} "
+                    "breaks the q-gram count-filter guarantee: "
+                ),
+                s,
+            )
+        ).cast("int"),
+    ).otherwise(n)
+    grams = F.transform(
+        F.sequence(F.lit(1), checked_n - q + 1),
+        lambda i: F.struct(F.substring(s, i, F.lit(q)).alias("gram"), i.alias("pos")),
+    )
+    g = (
+        df.filter(s.isNotNull())
+        .select(F.col(id_col).alias("id"), n.alias("len"), F.explode(grams).alias("_g"))
+        .select("id", "len", F.col("_g.gram").alias("gram"), F.col("_g.pos").alias("pos"))
+    )
+    if index_partitions is None:
+        index_partitions = df.sparkSession.sparkContext.defaultParallelism
+    g = g.repartition(index_partitions, F.col("gram"))
+    entries = F.collect_list(F.struct(F.col("id"), F.col("len"), F.col("pos")))
+    grp = g.groupBy("gram").agg(F.array_sort(entries).alias("docs")).filter(F.size("docs") >= 2)
+    d = max_dist
+    pair = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                    lambda y: (F.abs(x["pos"] - y["pos"]) <= d)
+                    & (F.abs(x["len"] - y["len"]) <= d)
+                    & (x["id"] != y["id"]),
+                ),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.when(x["id"] < y["id"], x["len"]).otherwise(y["len"]).alias("la"),
+                    F.when(x["id"] < y["id"], y["len"]).otherwise(x["len"]).alias("lb"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        grp.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.greatest("la", "lb") - q + 1 - q * d)
+        .select("id_a", "id_b")
+    )
+    names = df.select(F.col(id_col).alias("_id"), F.col(string_col).alias("_nm"))
+    return (
+        cand.join(names.withColumnsRenamed({"_id": "id_a", "_nm": "_name_a"}), "id_a")
+        .join(names.withColumnsRenamed({"_id": "id_b", "_nm": "_name_b"}), "id_b")
+        .withColumn("dist", F.levenshtein("_name_a", "_name_b"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )

@@ -232,3 +232,27 @@ def d_embedding_ann(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b")
         .transform(ordered, "id_a", "id_b")
     )
+
+
+@register(
+    "d_edit_distance_join",
+    oracle="""
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 1
+         AND levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "join"),
+)
+def d_edit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact record-linkage self-join on part names at edit distance ≤ 1
+    via the positional q-gram count filter + levenshtein verify. The
+    DuckDB oracle is the naive length-filtered nested loop — result sets
+    must be IDENTICAL (the blocking is an exact filter, not heuristic)."""
+    t = Tables(spark, sf)
+    return dedup.edit_distance_join(
+        t.part, string_col="p_name", id_col="p_partkey", max_dist=1, q=2
+    ).withColumn("dist", F.col("dist").cast("long")).transform(ordered, "id_a", "id_b")

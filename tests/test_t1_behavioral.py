@@ -502,3 +502,64 @@ def test_ffd_packing_invariants_and_padding_win(spark, oracle_sf_dir):
     clear_result_memo()
     again = REGISTRY["p_pack_sequences_ffd"].fn(spark, oracle_sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    """Positional q-gram blocking + levenshtein verify must equal the
+    naive all-pairs join — including distance-0 duplicates, a d=2
+    configuration, and strings with repeated q-grams (position
+    disambiguation)."""
+    from sparkflow_spark.dedup import edit_distance_join
+
+    names = [
+        "banana split", "banana splat", "banana splits", "bananan split",
+        "chocolate cake", "chocolate bake", "chocolat cake",
+        "banana split",  # exact duplicate of id 0
+        "mississippi", "mississippa", "massissippi",
+        "totally unrelated string",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, s string"
+    )
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        expect = sorted(
+            (i, j, lev(a, b))
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i < j and lev(a, b) <= d
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "s", "id", max_dist=d, q=2).collect()
+        )
+        assert got == expect, f"d={d}: {got} != {expect}"
+
+
+def test_edit_distance_join_short_string_contract(spark):
+    """Strings below q*(max_dist+1) chars break the count-filter
+    guarantee — the kernel must fail loudly at execution, not silently
+    miss pairs. NULL strings are dropped, not errors."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from sparkflow_spark.dedup import edit_distance_join
+
+    ok = spark.createDataFrame(
+        [(0, "abcd"), (1, "abce"), (2, None)], "id long, s string"
+    )
+    rows = edit_distance_join(ok, "s", "id", max_dist=1, q=2).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(0, 1, 1)]
+
+    bad = spark.createDataFrame([(0, "abc"), (1, "abcd")], "id long, s string")
+    with pytest.raises(Exception) as exc:
+        edit_distance_join(bad, "s", "id", max_dist=1, q=2).collect()
+    assert "edit_distance_join" in str(exc.value)
