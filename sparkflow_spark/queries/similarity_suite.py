@@ -120,3 +120,25 @@ def s_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
         .transform(ordered, "probe_id")
     )
+
+
+@register(
+    "s_pq_ann_top1",
+    oracle=None,  # ANN recall vs brute force asserted in tests
+    tags=("similarity", "pq"),
+)
+def s_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN top-1 for the same probes (16 subspaces ×
+    32 codes, ADC scan + exact refine of the top 8k — the fixture's
+    64-dim embeddings need sub-width 4 for top-1-excluding-self
+    fidelity; coarser 8×16 codebooks measured 0.3-0.5 recall)."""
+    t = Tables(spark, sf)
+    top = similarity.pq_topk(
+        t.embeddings, _probes(t), k=2, m=16, n_codes=32, refine_factor=8
+    )
+    return (
+        top.filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id")
+        .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
+        .transform(ordered, "probe_id")
+    )

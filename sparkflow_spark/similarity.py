@@ -291,3 +291,206 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .orderBy(probe_id, "rnk")
     )
+
+
+# (corpus-pin, codebooks ndarray) per (session, corpus, params) — PQ
+# codebooks are corpus state like the IVF quantizer; bounded FIFO.
+_PQ_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
+def _pq_train_codebooks(
+    samples: np.ndarray, m: int, n_codes: int, seed: int, iters: int = 12
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means → codebooks of shape (m, n_codes,
+    sub_dim). Deterministic (seeded init, fixed iteration count);
+    empty-cluster slots are re-seeded from the farthest points, the
+    standard k-means repair."""
+    n, dim = samples.shape
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for mi in range(m):
+        X = samples[:, mi * sub : (mi + 1) * sub]
+        C = X[rng.choice(n, size=min(n_codes, n), replace=False)]
+        if len(C) < n_codes:  # tiny corpus: pad by repeating
+            C = np.concatenate([C, C[np.zeros(n_codes - len(C), dtype=int)]])
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
+                else:
+                    C[j] = X[d2.min(axis=1).argmax()]
+        books[mi] = C
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    refine_factor: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): each corpus vector compresses
+    to ``m`` sub-codes (one per dim/m-wide subspace, ``n_codes``
+    centroids each); a probe scores the whole corpus through a per-probe
+    lookup table (asymmetric distance computation) instead of full dot
+    products, then the top ``k·refine_factor`` ADC candidates are
+    re-ranked with EXACT cosine (FAISS's refine stage) so the returned
+    scores are true cosines, not approximations.
+
+    Scale shape:
+    - codebooks train driver-side on a bounded sample (``train_sample``
+      rows — the FAISS practice; codebooks are O(m·n_codes·dim/m) =
+      O(n_codes·dim) floats, broadcast-sized by construction) and are
+      memoized per (session, corpus, params) like the IVF quantizer;
+    - encoding is one Arrow-batched pass over the corpus; the code
+      column is m small ints per vector — at 100 TB this is the
+      representation that fits where raw float vectors do not
+      (64-dim float32 → 8 bytes/vector at m=8, 32× compression);
+    - the ADC scan is JVM-side: probe LUTs (m × n_codes doubles) ride a
+      broadcast join and each corpus row scores via an m-element
+      zip_with/aggregate over its codes — no Python in the per-row path;
+    - only the k·refine_factor survivors per probe pay an exact dot
+      product (window group-limit before the refine join).
+
+    Composition note: this is the flat-PQ scan; at cluster scale you
+    put :func:`ivf_topk`'s coarse quantizer in front (IVF-PQ) so each
+    probe ADC-scans only its probed cells — both stages are plain
+    DataFrame ops and compose by feeding ivf's cell-filtered corpus in
+    as ``corpus``.
+
+    Output: (probe_id, corpus_id, cosine, rnk), rnk = 1..k, cosine EXACT.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    spark = corpus.sparkSession
+    cache_key = (
+        id(spark), id(corpus), corpus_id, vec_col, m, n_codes, train_sample, seed
+    )
+    hit = _PQ_MODEL_CACHE.get(cache_key)
+    if hit is not None and hit[0] is corpus:
+        books = hit[1]
+    else:
+        sample_rows = (
+            corpus.select(vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .limit(train_sample)
+            .collect()
+        )
+        if not sample_rows:
+            return spark.createDataFrame(
+                [],
+                f"{probe_id} {probes.schema[probe_id].dataType.simpleString()}, "
+                f"{corpus_id} {corpus.schema[corpus_id].dataType.simpleString()}, "
+                "cosine double, rnk int",
+            )
+        samples = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+        if samples.shape[1] % m != 0:
+            raise ValueError(
+                f"pq_topk: dim {samples.shape[1]} not divisible by m={m}"
+            )
+        books = _pq_train_codebooks(samples, m, n_codes, seed)
+        if len(_PQ_MODEL_CACHE) >= 16:
+            _PQ_MODEL_CACHE.pop(next(iter(_PQ_MODEL_CACHE)))
+        _PQ_MODEL_CACHE[cache_key] = (corpus, books)
+
+    sub = books.shape[2]
+
+    # no type hints on pandas_udfs: module-level `from __future__ import
+    # annotations` stringifies them and pyspark can't resolve local names
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v):
+        out = []
+        for arr in v:
+            if arr is None:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.float64).reshape(m, sub)
+            # argmin over centroids per subspace: (m, n_codes) distances
+            d2 = ((books - x[:, None, :]) ** 2).sum(axis=2)
+            out.append(d2.argmin(axis=1).astype("int32").tolist())
+        return pd.Series(out)
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def probe_lut(v):
+        out = []
+        for arr in v:
+            if arr is None:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.float64).reshape(m, sub)
+            # lut[mi][j] = probe_sub_mi · centroid_mij
+            out.append(np.einsum("ms,mks->mk", x, books).tolist())
+        return pd.Series(out)
+
+    # NULL guard on the INPUT column, not the UDF output: the refine
+    # branch re-references c/p for raw vectors only, and a filter on
+    # _codes/_lut would force the Arrow stage into that branch too
+    # (python subplans never canonicalize equal, so it would EXECUTE
+    # again) — filtering on vec_col lets column pruning drop the UDF
+    # from every branch that doesn't read its output.
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cn"),
+        encode(F.col(vec_col)).alias("_codes"),
+    )
+    p = probes.where(F.col(vec_col).isNotNull()).select(
+        F.col(probe_id),
+        F.col(vec_col).alias("_pvec"),
+        l2_norm(vec_col).alias("_pn"),
+        probe_lut(F.col(vec_col)).alias("_lut"),
+    )
+
+    # ADC score: Σ_mi lut[mi][code_mi]; pnorm is constant per probe so
+    # candidate ranking divides by the corpus norm only
+    adc = F.aggregate(
+        F.zip_with("_codes", "_lut", lambda cde, row: F.element_at(row, cde + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # The ADC scan windows SLIM rows (ids + score only): raw vectors
+    # must not ride the per-probe top-k sort — at scale that sort sees
+    # |corpus| rows per probe and the float payload would dominate the
+    # shuffle. Vectors join back for the k·refine_factor survivors only.
+    scored = c.select(corpus_id, "_cn", "_codes").join(
+        F.broadcast(p.select(probe_id, "_lut")), how="cross"
+    ).select(
+        probe_id,
+        corpus_id,
+        F.when(F.col("_cn") != 0, adc / F.col("_cn")).alias("_adc_rank"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("_adc_rank").desc(), F.col(corpus_id))
+    cand = (
+        scored.withColumn("_arnk", F.row_number().over(w))
+        .filter(F.col("_arnk") <= k * refine_factor)
+        .select(probe_id, corpus_id)
+    )
+    den = F.col("_pn") * F.col("_cn")
+    exact = (
+        cand.join(c.select(corpus_id, "_cvec", "_cn"), corpus_id)
+        .join(F.broadcast(p.select(probe_id, "_pvec", "_pn")), probe_id)
+        .select(
+            probe_id,
+            corpus_id,
+            F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .orderBy(probe_id, "rnk")
+    )

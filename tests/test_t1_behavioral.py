@@ -563,3 +563,46 @@ def test_edit_distance_join_short_string_contract(spark):
     with pytest.raises(Exception) as exc:
         edit_distance_join(bad, "s", "id", max_dist=1, q=2).collect()
     assert "edit_distance_join" in str(exc.value)
+
+
+def test_pq_ann_recall_vs_brute_force(spark, oracle_sf_dir):
+    brute = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_brute_force_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    pq = {
+        r["probe_id"]: r["vec_id"]
+        for r in REGISTRY["s_pq_ann_top1"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(pq) == set(brute)
+    recall = sum(1 for p in brute if pq.get(p) == brute[p]) / len(brute)
+    assert recall >= 0.7, f"PQ top-1 recall {recall}"
+
+
+def test_pq_exact_in_zero_quantization_error_limit(spark):
+    """When every subvector takes at most n_codes distinct values the
+    trained codebooks reconstruct vectors exactly, ADC scores equal true
+    dot products, and PQ top-k must equal brute force EXACTLY (not just
+    at high recall) — pins the ADC lookup arithmetic (1-based
+    element_at, per-subspace argmin) end to end. Also pins the refine
+    stage returning TRUE cosines."""
+    import itertools
+    import random
+
+    from sparkflow_spark.similarity import brute_force_topk, pq_topk
+
+    rng = random.Random(7)
+    # dim 8, m=4 subspaces of width 2; subvectors drawn from 3 distinct
+    # values per subspace → ≤ 9 distinct subvectors < n_codes=16
+    vals = [0.0, 1.5, -2.25]
+    rows = [
+        (i, [rng.choice(vals) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.limit(5).select(F.col("vec_id").alias("probe_id"), "embedding")
+    bf = [(r.probe_id, r.vec_id, round(r.cosine, 9)) for r in
+          brute_force_topk(df, probes, k=3).collect()]
+    pq = [(r.probe_id, r.vec_id, round(r.cosine, 9)) for r in
+          pq_topk(df, probes, k=3, m=4, n_codes=16, refine_factor=1).collect()]
+    assert pq == bf
