@@ -237,22 +237,33 @@ def d_embedding_ann(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "d_edit_distance_join",
     oracle="""
-        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        WITH d AS (SELECT p_name, MIN(p_partkey) AS id
+                   FROM part GROUP BY p_name)
+        SELECT a.id AS id_a, b.id AS id_b,
                levenshtein(a.p_name, b.p_name) AS dist
-        FROM part a JOIN part b
-          ON a.p_partkey < b.p_partkey
-         AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        FROM d a JOIN d b
+          ON a.id < b.id
          AND levenshtein(a.p_name, b.p_name) <= 1
         ORDER BY id_a, id_b
     """,
     tags=("dedup", "join"),
 )
 def d_edit_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact record-linkage self-join on part names at edit distance ≤ 1
-    via the positional q-gram count filter + levenshtein verify. The
-    DuckDB oracle is the naive length-filtered nested loop — result sets
-    must be IDENTICAL (the blocking is an exact filter, not heuristic)."""
+    """Exact record-linkage self-join on DISTINCT part names at edit
+    distance ≤ 1 via the positional q-gram count filter + levenshtein
+    verify; the DuckDB oracle is the naive nested loop — result sets
+    must be IDENTICAL (the blocking is an exact filter, not heuristic).
+
+    The exact-match pre-dedup (name → min key) is the standard
+    record-linkage pipeline order AND the scale guard: the fixture has
+    only 64 distinct part names across 20 000 rows at sf0.1, so the raw
+    self-join's answer is ~3 M distance-0 pairs of identical strings —
+    quadratic in the duplicate-group sizes for any exact algorithm
+    (oracle included). Fuzzy-joining the distinct-key table keeps the
+    edit-distance work proportional to the VOCABULARY, which is how an
+    entity-resolution pass over 100 TB has to be staged anyway."""
     t = Tables(spark, sf)
+    names = t.part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
     return dedup.edit_distance_join(
-        t.part, string_col="p_name", id_col="p_partkey", max_dist=1, q=2
+        names, string_col="p_name", id_col="pid", max_dist=1, q=2
     ).withColumn("dist", F.col("dist").cast("long")).transform(ordered, "id_a", "id_b")

@@ -522,3 +522,80 @@ def q63_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
         F.col("n").cast("bigint").alias("n"),
     ).transform(ordered, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+
+
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "t_bm25_scores",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n, AVG(doclen) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+               WHERE tok IN {_BM25_TERMS!r} GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        SELECT tf.doc_id,
+               CAST(ROUND(SUM(
+                   ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.doclen / stats.avgdl))
+               ), 3) AS DOUBLE) + 0.0 AS bm25
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (tok), stats
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
+    """,
+    tags=("pipeline", "text", "agg"),
+)
+def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 (Robertson-Spärck Jones idf, the Lucene '+1' smooth
+    variant) of every document against a fixed 3-term query — the
+    retrieval-quality sibling of TF-IDF, used to mine relevant training
+    documents for a topic.
+
+    Shape at 100 TB: tokens explode once and are FILTERED to the query
+    terms before the (doc, term) agg, so the wide path carries ~|terms|
+    rows per doc, not the vocabulary; document length is a map-side
+    combined per-doc agg over the same exploded pass (plan-wise a
+    second scan — at scale fold doclen into a precomputed stats column);
+    corpus scalars (N, avgdl) ride a 1-row broadcast; per-term df is a
+    broadcast of |terms| rows. Only docs containing ≥1 query term
+    appear (inner joins) — matching the oracle exactly."""
+    t = Tables(spark, sf)
+    terms = list(_BM25_TERMS)
+    toks = t.documents.select("doc_id", F.explode(lower_tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfn), 3).cast("double").alias("bm25"))
+    )
+    return scored.transform(ordered, "doc_id")
