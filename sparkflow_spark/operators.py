@@ -328,3 +328,91 @@ def merge_agg_states(
         merged = merged.unionByName(s)
     cols = sum_cols + ([count_col] if count_col else [])
     return merged.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in cols])
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Market-basket mining: item pairs co-occurring in at least
+    ``min_support`` baskets, with association confidence both ways →
+    (item_a, item_b, pair_count, count_a, count_b, conf_a_b, conf_b_a),
+    item_a < item_b.
+
+    The A-Priori candidate space for PAIRS needs no tree structure: each
+    basket contributes C(|basket|,2) pairs, so the kernel collects the
+    DISTINCT items of a basket into one bounded array and expands pairs
+    with the same slice/transform HOF the dedup kernels use — work is
+    Σ C(b_i, 2), linear in baskets when basket size is bounded. Item
+    supports come from the same pre-pair stage (one extra map-side-
+    combined agg) and join back onto the (already min_support-filtered,
+    hence small) pair table via broadcast-eligible joins.
+
+    ``max_basket`` is the skew guard: a basket larger than the cap
+    raises at execution time (raise_error rides the expansion — a
+    pathological mega-basket at 100 TB would otherwise expand
+    quadratically inside one row). None disables the check.
+    """
+    b = F.col(basket_col)
+    items = (
+        df.select(b.alias("_basket"), F.col(item_col).alias("_item"))
+        .where(F.col("_item").isNotNull() & F.col("_basket").isNotNull())
+        .distinct()
+    )
+    supports = items.groupBy("_item").agg(F.count(F.lit(1)).alias("_support"))
+    baskets = items.groupBy("_basket").agg(
+        F.array_sort(F.collect_list("_item")).alias("_items")
+    )
+    arr = F.col("_items")
+    # The skew guard rides the SCALAR size expression (raise_error casts
+    # cleanly to int; casting it to the array type trips analysis-time
+    # type checks), so the slice length itself detonates on a
+    # cap-violating basket before any pair is built.
+    n = F.size(arr)
+    if max_basket is not None:
+        n = F.when(
+            n > max_basket,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"frequent_item_pairs: basket exceeds max_basket={max_basket} "
+                        "items (quadratic pair expansion guard): "
+                    ),
+                    F.col("_basket").cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(n)
+    pair = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), n),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair).alias("_p"))
+        .select("_p.item_a", "_p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+    sa = supports.select(F.col("_item").alias("item_a"), F.col("_support").alias("count_a"))
+    sb = supports.select(F.col("_item").alias("item_b"), F.col("_support").alias("count_b"))
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            (F.col("pair_count") / F.col("count_a")).alias("conf_a_b"),
+            (F.col("pair_count") / F.col("count_b")).alias("conf_b_a"),
+        )
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sparkflow_spark import dedup
 from sparkflow_spark.catalog import Tables
 from sparkflow_spark.functions.text import lower_tokens, redact_pii
-from sparkflow_spark.operators import profile
+from sparkflow_spark.operators import frequent_item_pairs, profile
 from sparkflow_spark.queries import ordered, register
 
 
@@ -599,3 +599,61 @@ def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum(idf * tfn), 3).cast("double").alias("bm25"))
     )
     return scored.transform(ordered, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# market-basket frequent pairs
+
+
+@register(
+    "a_frequent_item_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem),
+        supports AS (SELECT item, COUNT(*) AS s FROM items GROUP BY item),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3)
+        SELECT p.item_a, p.item_b, p.pair_count,
+               sa.s AS count_a, sb.s AS count_b,
+               CAST(ROUND(p.pair_count * 1.0 / sa.s, 3) AS DOUBLE) + 0.0
+                 AS conf_a_b,
+               CAST(ROUND(p.pair_count * 1.0 / sb.s, 3) AS DOUBLE) + 0.0
+                 AS conf_b_a
+        FROM pairs p
+        JOIN supports sa ON sa.item = p.item_a
+        JOIN supports sb ON sb.item = p.item_b
+        ORDER BY item_a, item_b
+    """,
+    tags=("pipeline", "agg", "join"),
+)
+def a_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket mining over order baskets: part pairs co-ordered in
+    ≥ 3 orders, with association confidence both directions. The Spark
+    side expands pairs from bounded per-basket arrays (one HOF, work =
+    Σ C(|basket|,2), ~7-item baskets); the oracle is the equivalent
+    within-basket self-join — identical exact counts. max_basket=1000
+    arms the quadratic-expansion guard without firing on the fixture."""
+    t = Tables(spark, sf)
+    out = frequent_item_pairs(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+        min_support=3,
+        max_basket=1000,
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        F.round("conf_a_b", 3).cast("double").alias("conf_a_b"),
+        F.round("conf_b_a", 3).cast("double").alias("conf_b_a"),
+    ).transform(ordered, "item_a", "item_b")

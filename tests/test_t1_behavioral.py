@@ -606,3 +606,28 @@ def test_pq_exact_in_zero_quantization_error_limit(spark):
     pq = [(r.probe_id, r.vec_id, round(r.cosine, 9)) for r in
           pq_topk(df, probes, k=3, m=4, n_codes=16, refine_factor=1).collect()]
     assert pq == bf
+
+
+def test_frequent_item_pairs_semantics_and_cap_guard(spark):
+    """Counts are per-BASKET (duplicate items within a basket collapse),
+    confidence = pair/item support each way, and a basket over
+    max_basket detonates loudly instead of expanding quadratically."""
+    from sparkflow_spark.operators import frequent_item_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate b collapses
+        (4, "c"), (4, None),           # NULL item dropped
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.item_a, r.item_b): (r.pair_count, r.count_a, r.count_b,
+                               round(r.conf_a_b, 6), round(r.conf_b_a, 6))
+        for r in frequent_item_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert got == {("a", "b"): (3, 3, 3, 1.0, 1.0)}
+
+    with pytest.raises(Exception) as exc:
+        frequent_item_pairs(df, "basket", "item", min_support=1, max_basket=2).collect()
+    assert "max_basket" in str(exc.value)
