@@ -64,6 +64,12 @@ PROBES = [
     "t_tfidf_top_terms",
     "q61_sessionize",
     "q62_gap_fill_ffill",
+    # round-5b additions (documents/embeddings/lineitem all scale;
+    # d_edit_distance_join probes the symlinked part table so its
+    # scaling is covered by the t1/oracle suite instead)
+    "t_bm25_scores",
+    "a_frequent_item_pairs",
+    "s_pq_ann_top1",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
@@ -109,9 +115,15 @@ def generate(spark, m: int, dest: str) -> None:
     # plain duplication would make every doc match its m-1 clones and
     # the pair count quadratic in m — a property of the synthetic data,
     # not the algorithm under test).
+    # copy 0 keeps the ORIGINAL text (only copies 1..m-1 are tagged):
+    # cross-copy similarity is broken either way, and content-dependent
+    # probes (t_bm25_scores' fixed query terms) would otherwise match
+    # zero rows at every scaled size, measuring nothing.
     w(_scaled(raw["documents"], m, lambda d, i: d.withColumn(
         "doc_id", F.col("doc_id") + F.lit(i * DK)).withColumn(
-        "text", F.regexp_replace("text", r"(\S+)", rf"$1{i}"))), "documents")
+        "text",
+        F.col("text") if i == 0
+        else F.regexp_replace("text", r"(\S+)", rf"$1{i}"))), "documents")
     w(_scaled(raw["embeddings"], m, lambda d, i: d.withColumn(
         "vec_id", F.col("vec_id") + F.lit(i * EK))), "embeddings")
     w(_scaled(raw["events"], m, lambda d, i: d.withColumn(
