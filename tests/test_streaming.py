@@ -220,3 +220,56 @@ def test_tws_gated_loudly_without_protobuf(spark, sf_dir):
             .count()
         )
         assert out.count() == batch.count()
+
+
+def test_stream_merge_sink_equals_batch_last_write_wins(spark, tmp_path):
+    """CDC upsert sink: several micro-batches of keyed updates MERGE
+    into a versioned parquet table; the final snapshot must equal the
+    batch 'latest value per key' answer, and each version directory must
+    be a complete self-contained snapshot."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.streaming.sinks import latest_version, stream_merge_to_parquet
+
+    src = str(tmp_path / "src")
+    # three files → three micro-batches under maxFilesPerTrigger=1;
+    # seq is the CDC ordering column (later seq wins per user)
+    batches = [
+        [(1, 10.0, 1), (2, 20.0, 2), (3, 30.0, 3)],
+        [(2, 21.0, 4), (4, 40.0, 5), (2, 22.0, 6)],  # in-batch dup key 2
+        [(1, 11.0, 7), (5, 50.0, 8)],
+        [(1, 9.0, 0)],  # LATE arrival with an older seq: must NOT regress key 1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id long, value double, seq long").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    schema = "user_id long, value double, seq long"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    table = str(tmp_path / "table")
+    final_dir = stream_merge_to_parquet(sdf, table, keys=["user_id"], order_col="seq")
+    assert final_dir == latest_version(table)
+
+    got = {
+        r.user_id: (r.value, r.seq)
+        for r in spark.read.parquet(final_dir).collect()
+    }
+    allrows = [r for b in batches for r in b]
+    expect = {}
+    for uid, val, seq in allrows:
+        if uid not in expect or seq > expect[uid][1]:
+            expect[uid] = (val, seq)
+    assert got == expect
+
+    # every version is a full snapshot: v=0 has batch-0 keys only,
+    # the final version has all five users
+    v0 = spark.read.parquet(os.path.join(table, "v=0"))
+    assert v0.count() in (2, 3)  # one of the three files arrived first
+    assert spark.read.parquet(final_dir).count() == 5
