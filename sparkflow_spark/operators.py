@@ -416,3 +416,147 @@ def frequent_item_pairs(
             (F.col("pair_count") / F.col("count_b")).alias("conf_b_a"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap →
+    (doc_id, chunk_id, n_tokens, chunk_text). The core pre-training /
+    RAG chunking op: ``chunk_tokens``-token windows starting every
+    ``stride`` tokens (overlap = chunk_tokens - stride), last window
+    ragged, empty docs dropped.
+
+    Spark shape: tokenize once (whitespace split), derive the chunk
+    count as a pure expression, ``explode(sequence(...))`` the chunk
+    index, then ``slice`` the token array per index — all Catalyst
+    expressions, zero Python per row, and the explode multiplies rows
+    only by ~n/stride (bounded fan-out, unlike shingle explodes). At
+    100 TB the stage is embarrassingly parallel: no shuffle at all
+    until a downstream consumer asks for one.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), n.alias("_n")
+    ).where(n > 0)
+    # windows start at 0, stride, 2*stride, ... while start < n
+    nn = F.col("_n")
+    n_chunks = F.when(nn <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((nn - chunk_tokens) / F.lit(stride)).cast("int") + 1
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+    )
+    return (
+        base.withColumn("_n_chunks", n_chunks)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def table_diff(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added`` (source
+    only), ``removed`` (target only), ``changed`` (both, any compare
+    column differs NULL-safely) or drop it when identical → key columns
+    + ``diff_kind`` + per-column ``changed_<col>`` flags.
+
+    The CDC-validation twin of :func:`merge_upsert`: run it after a
+    MERGE to prove the sink converged, or between two table versions to
+    audit drift. Spark shape: one full outer join on the key (the only
+    shuffle — both sides hash-partition by key; AQE handles skew), all
+    comparisons NULL-safe ``eqNullSafe`` expressions, identical rows
+    filtered before anything wide is materialized. At 100 TB the
+    output is proportional to the DRIFT, not the table.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in target.columns if c not in keys]
+    t = target.select(*keys, *compare_cols).alias("t")
+    s = source.select(*keys, *compare_cols).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    j = t.join(s, cond, "full_outer")
+    t_present = sum(
+        (F.when(F.col(f"t.{k}").isNotNull(), 1).otherwise(0) for k in keys), F.lit(0)
+    ) > 0
+    s_present = sum(
+        (F.when(F.col(f"s.{k}").isNotNull(), 1).otherwise(0) for k in keys), F.lit(0)
+    ) > 0
+    changed_flags = [
+        (~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))).alias(f"changed_{c}")
+        for c in compare_cols
+    ]
+    any_changed = None
+    for c in compare_cols:
+        e = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        any_changed = e if any_changed is None else (any_changed | e)
+    kind = (
+        F.when(~t_present, F.lit("added"))
+        .when(~s_present, F.lit("removed"))
+        .when(any_changed, F.lit("changed"))
+    )
+    key_cols = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys]
+    return (
+        j.select(*key_cols, kind.alias("diff_kind"), *changed_flags)
+        .where(F.col("diff_kind").isNotNull())
+    )
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log → (key, attr value, valid_from, valid_to, is_current): one row
+    per distinct consecutive attribute value per key, valid until the
+    next change (NULL valid_to = current).
+
+    Spark shape: one window partitioned by key ordered by event time —
+    ``lag`` detects value changes (NULL-safe so NULL attributes chain
+    correctly), a filter keeps change rows only, then ``lead`` on the
+    surviving rows closes each interval. Both windows share the same
+    partitioning, so the whole op is ONE exchange; at 100 TB it scales
+    with per-key history length, never with key count.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.when(
+        F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
+        & (F.row_number().over(w) > 1),
+        F.lit(False),
+    ).otherwise(F.lit(True))
+    ch = df.select(
+        key_col, attr_col, *order, changed.alias("_is_change")
+    ).where(F.col("_is_change"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return ch.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

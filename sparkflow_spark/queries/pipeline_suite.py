@@ -657,3 +657,245 @@ def a_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.round("conf_a_b", 3).cast("double").alias("conf_a_b"),
         F.round("conf_b_a", 3).cast("double").alias("conf_b_a"),
     ).transform(ordered, "item_a", "item_b")
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows with stride)
+
+
+@register(
+    "p_chunk_documents",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+        c AS (SELECT doc_id, toks, n,
+                     CASE WHEN n <= 64 THEN 1
+                          ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END AS n_chunks
+              FROM t2),
+        e AS (SELECT doc_id, toks, n, CAST(u.i AS BIGINT) AS chunk_id
+              FROM c, UNNEST(range(0, n_chunks)) AS u(i))
+        SELECT doc_id, chunk_id,
+               CAST(len(toks[chunk_id*48+1 : least(chunk_id*48+64, n)]) AS INT)
+                 AS n_tokens,
+               array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ')
+                 AS chunk_text
+        FROM e
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("pipeline", "text"),
+)
+def p_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-training / RAG chunking: 64-token windows every 48 tokens
+    (16-token overlap), ragged tail kept — operators.chunk_documents.
+    Pure Catalyst (tokenize → sequence → explode → slice); fan-out is
+    ~n/48 per doc, with no shuffle in the operator itself."""
+    from sparkflow_spark.operators import chunk_documents
+
+    t = Tables(spark, sf)
+    out = chunk_documents(
+        t.documents, text_col="text", id_col="doc_id", chunk_tokens=64, stride=48
+    )
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_tokens", "chunk_text",
+    ).transform(ordered, "doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation (table diff)
+
+
+@register(
+    "q64_table_diff",
+    oracle="""
+        WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        src AS (
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 13 = 0
+                        THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE c_custkey % 97 <> 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 500 = 0),
+        j AS (
+            SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN t.c_custkey IS NULL THEN 'added'
+                        WHEN s.c_custkey IS NULL THEN 'removed'
+                        WHEN (t.c_name IS DISTINCT FROM s.c_name)
+                          OR (t.c_acctbal IS DISTINCT FROM s.c_acctbal)
+                        THEN 'changed' END AS diff_kind,
+                   t.c_name IS DISTINCT FROM s.c_name AS changed_c_name,
+                   t.c_acctbal IS DISTINCT FROM s.c_acctbal AS changed_c_acctbal
+            FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+        SELECT * FROM j WHERE diff_kind IS NOT NULL
+        ORDER BY c_custkey
+    """,
+    tags=("pipeline", "join"),
+)
+def q64_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation — operators.table_diff between the
+    customer table and a synthetically-drifted successor (1/97 keys
+    deleted, 1/13 balances bumped, 1/500 keys re-inserted under new
+    ids). One key-partitioned full outer join; output rows ∝ drift,
+    so the op stays cheap however big the table is."""
+    from sparkflow_spark.operators import table_diff
+
+    t = Tables(spark, sf)
+    tgt = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    cust = t.customer
+    src = cust.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 500 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"), "c_name", "c_acctbal"
+        )
+    )
+    return table_diff(tgt, src, keys=["c_custkey"]).transform(ordered, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension history from a change log
+
+
+@register(
+    "q65_scd2_history",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                             AND row_number() OVER w > 1
+                        THEN 0 ELSE 1 END AS is_change
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ch AS (SELECT * FROM marked WHERE is_change = 1)
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(epoch_us(lead(ts) OVER w2) AS BIGINT) AS valid_to_us,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM ch
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, valid_from_us, event_type
+    """,
+    tags=("pipeline", "window"),
+)
+def q65_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension build — operators.scd2_from_changes over
+    the events change log (attribute = event_type per user). Both
+    windows share one (user_id) exchange; intervals are exact integer
+    microseconds with event_id tiebreak, so the history is
+    bit-identical cross-engine."""
+    from sparkflow_spark.operators import scd2_from_changes
+
+    t = Tables(spark, sf)
+    out = scd2_from_changes(
+        t.events, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).transform(ordered, "user_id", "valid_from_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection (median absolute deviation)
+
+
+@register(
+    "q66_outlier_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, e.value, med.m,
+                   abs(e.value - med.m) AS adev
+            FROM events e JOIN med USING (event_type)),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+        SELECT dev.event_type,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(ROUND(MAX(mad.mad), 4) AS DOUBLE) + 0.0 AS mad
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+        ORDER BY dev.event_type
+    """,
+    tags=("pipeline", "agg"),
+)
+def q66_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outlier counts: |value − median| > 3·1.4826·MAD.
+    Two grouped exact-percentile aggregations (tiny per-group results →
+    broadcast back onto the fact), one fact scan kept by plan reuse.
+    Both engines use continuous-interpolated medians (the X12 rule)."""
+    t = Tables(spark, sf)
+    ev = t.events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", F.abs(F.col("value") - F.col("m")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            (F.round(F.max("mad"), 4).cast("double") + F.lit(0.0)).alias("mad"),
+        )
+    )
+    return out.transform(ordered, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram
+
+
+@register(
+    "q67_histogram",
+    oracle="""
+        WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                   FROM orders),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                                    / ((b.hi - b.lo) / 20.0)) AS INT), 19) AS bin
+            FROM orders, b)
+        SELECT bin, COUNT(*) AS n
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    tags=("pipeline", "agg"),
+)
+def q67_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals. The (lo, hi) bounds
+    ride a 1-row broadcast (scalar-subquery shape, q18's pattern); bin
+    assignment is identical IEEE double arithmetic on both engines, so
+    edge ties land in the same bin. One fact scan + one 20-row agg."""
+    t = Tables(spark, sf)
+    o = t.orders.select("o_totalprice")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(20.0))
+            ).cast("int"),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).transform(ordered, "bin")

@@ -301,3 +301,103 @@ def test_sessionize_property(spark, evs):
             assert g["n_events"] == len(s)
             assert g["session_start"] == base + dt.timedelta(minutes=s[0])
             assert g["session_end"] == base + dt.timedelta(minutes=s[-1])
+
+
+# ---------------------------------------------------------------------------
+# round-5b additions: chunking, table diff, SCD2
+
+
+def test_chunk_documents_boundaries(spark):
+    """Exact-fit docs make one chunk; one-past-fit makes two; overlap
+    region repeats stride..chunk_tokens tokens; empty docs are dropped."""
+    from sparkflow_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(64))),   # exactly chunk_tokens
+            (2, " ".join(f"t{i}" for i in range(65))),   # one past → 2 chunks
+            (3, "a b c"),                                  # tiny → 1 chunk of 3
+            (4, "   "),                                    # whitespace-only → dropped
+            (5, ""),                                       # empty → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert {(1, 0), (2, 0), (2, 1), (3, 0)} == set(rows)
+    assert rows[(1, 0)]["n_tokens"] == 64
+    assert rows[(2, 0)]["n_tokens"] == 64
+    # second window starts at token 48 → 65-48 = 17 tokens, ragged tail
+    assert rows[(2, 1)]["n_tokens"] == 17
+    c0 = rows[(2, 0)]["chunk_text"].split(" ")
+    c1 = rows[(2, 1)]["chunk_text"].split(" ")
+    assert c1[0] == "t48" and c0[48:] == c1[:16]  # 16-token overlap
+    assert rows[(3, 0)]["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from sparkflow_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    for kw in ({"stride": 0}, {"chunk_tokens": 0}, {"stride": -1}):
+        try:
+            chunk_documents(docs, **kw)
+            assert False, f"expected ValueError for {kw}"
+        except ValueError:
+            pass
+
+
+def test_table_diff_classification(spark):
+    """added/removed/changed classification with NULL-safe compares:
+    NULL==NULL is identical (dropped), NULL vs value is changed."""
+    from sparkflow_spark.operators import table_diff
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, name string, bal double",
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 31.0), (5, "e", 50.0),
+         (4, "now-set", 40.0)],
+        "k long, name string, bal double",
+    )
+    out = {r["k"]: r for r in table_diff(tgt, src, keys=["k"]).collect()}
+    assert set(out) == {3, 4, 5}          # 1 identical, 2 NULL==NULL identical
+    assert out[3]["diff_kind"] == "changed" and out[3]["changed_bal"]
+    assert not out[3]["changed_name"]
+    assert out[4]["diff_kind"] == "changed" and out[4]["changed_name"]
+    assert out[5]["diff_kind"] == "added"
+    removed = table_diff(src, tgt, keys=["k"]).collect()
+    assert {r["k"]: r["diff_kind"] for r in removed}[5] == "removed"
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    """Consecutive equal attribute values collapse to one interval;
+    intervals chain valid_from → next change; only the last row per key
+    is current; NULL attribute runs collapse too (NULL-safe lag)."""
+    import datetime as dt
+
+    from sparkflow_spark.operators import scd2_from_changes
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "x", base, 1),
+        (1, "x", base + dt.timedelta(hours=1), 2),   # same run
+        (1, "y", base + dt.timedelta(hours=2), 3),   # change
+        (1, "y", base + dt.timedelta(hours=3), 4),
+        (1, "x", base + dt.timedelta(hours=4), 5),   # back to x = new interval
+        (2, None, base, 6),
+        (2, None, base + dt.timedelta(hours=1), 7),  # NULL run collapses
+        (2, "z", base + dt.timedelta(hours=2), 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, attr string, ts timestamp, event_id long")
+    out = scd2_from_changes(df, "user_id", "attr", "ts", tiebreak_col="event_id")
+    got = sorted(out.collect(), key=lambda r: (r["user_id"], r["valid_from"]))
+    u1 = [r for r in got if r["user_id"] == 1]
+    assert [(r["attr"], r["is_current"]) for r in u1] == [
+        ("x", False), ("y", False), ("x", True)]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"] == base + dt.timedelta(hours=2)
+    assert u1[1]["valid_to"] == u1[2]["valid_from"] == base + dt.timedelta(hours=4)
+    assert u1[2]["valid_to"] is None
+    u2 = [r for r in got if r["user_id"] == 2]
+    assert [(r["attr"], r["is_current"]) for r in u2] == [(None, False), ("z", True)]
