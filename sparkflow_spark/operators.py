@@ -560,3 +560,49 @@ def scd2_from_changes(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 42,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact-k deterministic sample per group (distributed reservoir-
+    sampling equivalent): keeps exactly min(k, |group|) rows of every
+    group, reproducibly for a given ``seed``.
+
+    Instead of stateful reservoir streams (sequential by construction),
+    each row gets a rank key derived from ``xxhash64(key_cols, seed)``
+    — uniform in expectation — and one per-group window keeps the k
+    smallest. Weighted mode implements Efraimidis–Spirakis A-ES: rank
+    by ``-ln(u)/w`` so inclusion probability is proportional to weight;
+    rows with NULL or non-positive weight are excluded (standard A-ES
+    domain). One shuffle (the group window); no RNG state, so the
+    sample is stable under retries, task re-execution, AND cluster
+    resizing — properties per-partition ``rand()`` cannot give, and the
+    reason this formulation is the 100 TB-safe one.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    # map int64 hash → u ∈ (0,1): shift to unsigned range, add ½ ulp so
+    # u is never exactly 0 (ln(0) = -inf) or 1
+    m = float(1 << 64)
+    u = (h.cast("double") + F.lit(float(1 << 63)) + F.lit(0.5)) / F.lit(m)
+    if weight_col is None:
+        rank_key = u
+        src = df
+    else:
+        w = F.col(weight_col).cast("double")
+        rank_key = -F.log(u) / w
+        src = df.where(w.isNotNull() & (w > 0))
+    win = Window.partitionBy(group_col).orderBy(F.col("_rk").asc())
+    return (
+        src.withColumn("_rk", rank_key)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rk", "_rn")
+    )

@@ -899,3 +899,101 @@ def q67_hist(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).transform(ordered, "bin")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-purchase graph
+
+
+@register(
+    "g_triangle_count",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem),
+        pairs AS (
+            SELECT a.item AS a, b.item AS b
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        tri AS (
+            SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+            FROM pairs e1
+            JOIN pairs e2 ON e2.a = e1.b
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT UNNEST([ta, tb, tc]) AS node FROM tri) t
+        GROUP BY node ORDER BY node
+    """,
+    tags=("pipeline", "graph"),
+)
+def g_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph (parts
+    co-ordered in ≥ 2 orders are edges) — graph.triangle_counts over
+    the frequent_item_pairs edge list. Edges are oriented low→high id
+    before the wedge join, the standard quadratic-wedge mitigation."""
+    from sparkflow_spark.graph import triangle_counts
+
+    t = Tables(spark, sf)
+    edges = frequent_item_pairs(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+        min_support=2,
+        max_basket=1000,
+    ).select("item_a", "item_b")
+    return triangle_counts(edges, "item_a", "item_b").transform(ordered, "node")
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group sampling (t1 by design: engine-defined hash order)
+
+
+@register(
+    "q68_reservoir_per_group",
+    oracle=None,  # selection is xxhash64-order — not expressible in the oracle;
+    # exact-k/determinism invariants pinned in tests/test_pipeline_ops.py
+    tags=("pipeline", "sampling"),
+)
+def q68_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-per-nation customer sample (hash-keyed reservoir
+    equivalent) — operators.sample_k_per_group; deterministic under
+    retries and cluster resizing, unlike rand()-keyed sampling."""
+    from sparkflow_spark.operators import sample_k_per_group
+
+    t = Tables(spark, sf)
+    out = sample_k_per_group(
+        t.customer.select("c_custkey", "c_nationkey"),
+        "c_nationkey",
+        3,
+        key_cols=["c_custkey"],
+        seed=42,
+    )
+    return out.transform(ordered, "c_nationkey", "c_custkey")
+
+
+@register(
+    "q69_weighted_sample",
+    oracle=None,  # A-ES key order is engine-defined; weight-preference
+    # + domain guards pinned in tests/test_pipeline_ops.py
+    tags=("pipeline", "sampling"),
+)
+def q69_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-proportional 5-per-segment customer sample
+    (Efraimidis–Spirakis A-ES over account balance)."""
+    from sparkflow_spark.operators import sample_k_per_group
+
+    t = Tables(spark, sf)
+    out = sample_k_per_group(
+        t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        5,
+        key_cols=["c_custkey"],
+        seed=42,
+        weight_col="c_acctbal",
+    )
+    return out.select("c_custkey", "c_mktsegment").transform(
+        ordered, "c_mktsegment", "c_custkey"
+    )

@@ -142,3 +142,82 @@ def s_pq(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min_by("vec_id", F.col("rnk")).alias("vec_id"))
         .transform(ordered, "probe_id")
     )
+
+
+@register(
+    "s_knn_classify",
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+            ORDER BY vec_id LIMIT {_N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id, e.label,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+            FROM probes p CROSS JOIN embeddings e
+            WHERE e.vec_id != p.probe_id
+        ),
+        top5 AS (
+            SELECT probe_id, label FROM (
+                SELECT probe_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, vec_id) AS rnk
+                FROM scored) t
+            WHERE rnk <= 5
+        ),
+        votes AS (
+            SELECT probe_id, label, COUNT(*) AS votes
+            FROM top5 GROUP BY probe_id, label
+        )
+        SELECT probe_id, label AS pred_label, votes FROM (
+            SELECT probe_id, label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY votes DESC, label) AS vr
+            FROM votes) v
+        WHERE vr = 1 ORDER BY probe_id
+    """,
+    tags=("similarity", "vector", "ml"),
+)
+def s_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """5-NN majority-vote classification of 10 probes against the
+    labeled embedding corpus (self-match excluded; cosine ties break by
+    vec_id, vote ties by smaller label — both deterministic
+    cross-engine).
+
+    Plan shape: the s_brute_force kernel (probes broadcast against one
+    corpus scan, JVM higher-order cosine) + two window group-limits.
+    The per-probe vote table never exceeds k rows, so classification
+    adds only a (probe_id)-partitioned window on a k·|probes| row
+    intermediate — negligible at any corpus size; the corpus-side scan
+    dominates exactly as in plain top-k search.
+    """
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    t = Tables(spark, sf)
+    p = _probes(t).select(
+        "probe_id", F.col("embedding").alias("_pvec"), l2_norm("embedding").alias("_pn")
+    )
+    c = t.embeddings.select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("_cn")
+    )
+    den = F.col("_pn") * F.col("_cn")
+    scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        F.when(den != 0, dot("_pvec", "embedding") / den).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    top5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    votes = top5.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "votes")
+        .transform(ordered, "probe_id")
+    )

@@ -401,3 +401,62 @@ def test_scd2_collapses_runs_and_closes_intervals(spark):
     assert u1[2]["valid_to"] is None
     u2 = [r for r in got if r["user_id"] == 2]
     assert [(r["attr"], r["is_current"]) for r in u2] == [(None, False), ("z", True)]
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    """Every group yields exactly min(k, |group|) rows; the selection is
+    identical across invocations (hash-based, no RNG state)."""
+    from sparkflow_spark.operators import sample_k_per_group
+
+    rows = [(g, g * 100 + i) for g in range(4) for i in range(g + 1)]  # sizes 1..4
+    df = spark.createDataFrame(rows, "g int, id long")
+    out1 = sample_k_per_group(df, "g", 3, key_cols=["id"], seed=7)
+    got = {}
+    for r in out1.collect():
+        got.setdefault(r["g"], set()).add(r["id"])
+    assert {g: len(ids) for g, ids in got.items()} == {0: 1, 1: 2, 2: 3, 3: 3}
+    again = {}
+    for r in sample_k_per_group(df, "g", 3, key_cols=["id"], seed=7).collect():
+        again.setdefault(r["g"], set()).add(r["id"])
+    assert got == again
+    other = {}
+    for r in sample_k_per_group(df, "g", 3, key_cols=["id"], seed=8).collect():
+        other.setdefault(r["g"], set()).add(r["id"])
+    assert other[3] != got[3] or other[2] != got[2]  # seed moves the sample
+
+
+def test_sample_weighted_prefers_heavy_and_guards_domain(spark):
+    """A-ES weighted sampling: weight-100 items crowd out weight-0.01
+    items; NULL/non-positive weights never appear; k<=0 raises."""
+    from sparkflow_spark.operators import sample_k_per_group
+
+    rows = [(0, i, 100.0 if i < 5 else 0.01) for i in range(40)]
+    rows += [(0, 98, None), (0, 99, -1.0)]
+    df = spark.createDataFrame(rows, "g int, id long, w double")
+    heavy = light = 0
+    for seed in range(5):
+        ids = {r["id"] for r in
+               sample_k_per_group(df, "g", 5, key_cols=["id"], seed=seed,
+                                  weight_col="w").collect()}
+        assert not ids & {98, 99}
+        heavy += len([i for i in ids if i < 5])
+        light += len([i for i in ids if 5 <= i < 40])
+    assert heavy >= 20, (heavy, light)  # 25 picks total across 5 seeds
+    try:
+        sample_k_per_group(df, "g", 0, key_cols=["id"])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus an edge has 2 triangles: nodes on the shared edge sit in
+    both, the others in one; orientation/dup/self-loop input noise is
+    canonicalized away."""
+    from sparkflow_spark.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # triangles: {1,2,3} and {1,2,4}; edge 3-4 absent so no {1,3,4}/{2,3,4}/{3,4,x}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
