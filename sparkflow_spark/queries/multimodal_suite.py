@@ -63,3 +63,36 @@ def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.sample_frames(wrapped, n_frames=4).transform(
         ordered, "doc_id", "frame_idx"
     )
+
+
+@register(
+    "mm_binary_dup_groups",
+    oracle="""
+        SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+               COUNT(*) AS n_copies,
+               COUNT(DISTINCT md5(text)) AS n_distinct_full,
+               MIN(doc_id) AS keeper
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY prefix_md5
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_binary_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level byte dedup for opaque media blobs: candidate groups by
+    prefix fingerprint (md5 of the first 64 chars — the cheap prescreen
+    that avoids hashing full payloads for singletons), with the exact
+    distinct-full-digest count inside each group and keeper = lowest
+    doc_id. Only 16-byte digests shuffle; payloads never do."""
+    t = Tables(spark, sf)
+    docs = t.documents.select("doc_id", "text")
+    return (
+        docs.groupBy(F.md5(F.substring("text", 1, 64)).alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.md5("text")).alias("n_distinct_full"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_copies") > 1)
+        .transform(ordered, "prefix_md5")
+    )

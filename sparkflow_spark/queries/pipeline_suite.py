@@ -997,3 +997,127 @@ def q69_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "c_mktsegment").transform(
         ordered, "c_mktsegment", "c_custkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# event funnel: view → click → purchase (strictly ordered stages)
+
+
+@register(
+    "q70_funnel_stages",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id)
+        SELECT v.user_id,
+               CAST(epoch_us(v.t_view) AS BIGINT) AS view_us,
+               CAST(epoch_us(c.t_click) AS BIGINT) AS click_us,
+               CAST(epoch_us(p.t_purchase) AS BIGINT) AS purchase_us
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        ORDER BY user_id
+    """,
+    tags=("pipeline", "window"),
+)
+def q70_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user conversion funnel with strict stage ordering: first
+    view, first click AFTER that view, first purchase AFTER that click
+    (NULL = stage not reached). Three aggregate-then-join stages, all
+    hash-partitioned on user_id — Catalyst reuses the exchange, and at
+    100 TB each stage input shrinks monotonically (funnel property), so
+    the first agg dominates."""
+    t = Tables(spark, sf)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("view_us"),
+            F.unix_micros("t_click").alias("click_us"),
+            F.unix_micros("t_purchase").alias("purchase_us"),
+        )
+        .transform(ordered, "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (weekly)
+
+
+@register(
+    "q71_cohort_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+        act AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                                 CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                        AS INT) AS week_offset
+            FROM events e JOIN first f USING (user_id))
+        SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        FROM act GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    tags=("pipeline", "agg"),
+)
+def q71_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the Monday-truncated
+    week of their first event; n_active = distinct users of each cohort
+    seen again N weeks later. First-event agg + broadcast-back join +
+    distinct — the cohort table is |users| rows, tiny next to the event
+    log it joins."""
+    t = Tables(spark, sf)
+    ev = t.events.select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week"))
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .transform(ordered, "cohort_week", "week_offset")
+    )
