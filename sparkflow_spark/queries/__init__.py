@@ -129,13 +129,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # approx-distinct boolean, UDTF lateral join, UNPIVOT, two TPC-H
     # decorrelation shapes, and the two LLM-pipeline ops (mixture
     # sampling, sequence packing).
+    # round-5c swaps: five more r4-green redundant siblings rotated out
+    # for the five newest never-driver-checked families (each outgoing
+    # row keeps an in-window family rep + its local oracle + pytest):
+    # q03→p_chunk_documents (q02 keeps filters), q05→g_triangle_count
+    # (q06 keeps joins incl. broadcast dims), q09→s_knn_classify (q10
+    # keeps semi/anti), q21→q65_scd2_history (q19 keeps windows),
+    # st_sliding_counts→q70_funnel_stages (st_tumbling/st_session keep
+    # the windowed-streaming reps).
     "q01_scan_project",
     "q02_filter_and",
-    "q03_filter_in_between_like",
-    "q05_broadcast_inner_join",
+    "p_chunk_documents",
+    "g_triangle_count",
     "q06_multiway_join",
     "q07_left_outer_join",
-    "q09_left_semi_join",
+    "s_knn_classify",
     "q10_left_anti_join",
     "q11_theta_join",
     "q13_hash_agg_tpch_q1",
@@ -149,7 +157,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q17_having",
     "q18_scalar_subquery",
     "q19_window_topk_per_group",
-    "q21_window_running_sum",
+    "q65_scd2_history",
     "q22_topk_global",
     "q23_union_distinct",
     "q25_string_functions",
@@ -183,7 +191,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # have driver records; q40_python_udtf_lateral (two sibling UDF rows
     # already in-window) moved past 50 to make room for st_sliding_counts
     "st_tumbling_hour_counts",
-    "st_sliding_counts",
+    "q70_funnel_stages",
     "st_stream_dedup",
     "st_session_counts",
     "st_stream_stream_join",
