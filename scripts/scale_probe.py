@@ -70,6 +70,18 @@ PROBES = [
     "t_bm25_scores",
     "a_frequent_item_pairs",
     "s_pq_ann_top1",
+    # round-5c additions: chunking scales with documents; SCD2 / funnel /
+    # cohort with events (user_id shifts keep per-user histories intact
+    # per copy); table diff with customer (the key shift rotates WHICH
+    # residues mod 97/13 drift, but the drift FRACTIONS are constant, so
+    # diff output stays linear in m); triangles with lineitem
+    # (co-purchase edges never cross copies — orderkeys are shifted)
+    "p_chunk_documents",
+    "q65_scd2_history",
+    "q70_funnel_stages",
+    "q71_cohort_retention",
+    "q64_table_diff",
+    "g_triangle_count",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

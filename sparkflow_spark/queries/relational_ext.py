@@ -603,3 +603,40 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     return t.lineitem.agg(
         (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias("ok")
     )
+
+
+@register(
+    "q72_running_median",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(ROUND(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) + 0.0
+                 AS med
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    tags=("relational", "window", "percentile"),
+)
+def q72_runmed(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 6-row median per user (time-series denoising): the exact
+    ordered-set aggregate as a WINDOW function over a rows frame —
+    continuous-interpolated on both engines (the X12 rule), event_id
+    tiebreak for a total order. One key exchange like any window; the
+    frame is rows-bounded so state per partition is O(frame)."""
+    from sparkflow_spark.queries.relational import dec2  # noqa: F401
+
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    return (
+        t.events.select(
+            "user_id",
+            "event_id",
+            (F.round(F.percentile("value", 0.5).over(w), 4).cast("double") + F.lit(0.0)).alias("med"),
+        )
+        .transform(ordered, "user_id", "event_id")
+    )

@@ -436,3 +436,47 @@ def t_top_bigram_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+@register(
+    "p_quality_percentile_filter",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                            'are','was','it','that','this','with','for',
+                                            'as','on','at','by','be'], x))) AS BIGINT)
+                     AS stop_hits
+            FROM documents),
+        thr AS (SELECT quantile_cont(stop_hits, 0.1) AS t FROM s)
+        SELECT s.doc_id, s.stop_hits
+        FROM s, thr WHERE s.stop_hits >= thr.t
+        ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "text", "percentile"),
+)
+def p_quality_pctl(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-threshold corpus filter: drop the bottom decile by
+    stopword-hit count (a fluency proxy). The threshold is ONE exact
+    percentile aggregate on a 1-row broadcast — no global sort/window,
+    so the filter is a scan + scalar compare at any corpus size (the
+    percent_rank formulation would need a total order; this is the
+    100 TB shape, with percentile_approx as the even-cheaper drop-in
+    when exactness isn't required)."""
+    from sparkflow_spark.functions.text import ENGLISH_STOPWORDS, lower_tokens
+
+    t = Tables(spark, sf)
+    s = t.documents.select(
+        "doc_id",
+        F.size(
+            F.filter(lower_tokens("text"), lambda tok: tok.isin(*ENGLISH_STOPWORDS))
+        ).cast("bigint").alias("stop_hits"),
+    )
+    thr = s.agg(F.percentile("stop_hits", 0.1).alias("t"))
+    return (
+        s.join(F.broadcast(thr))
+        .where(F.col("stop_hits") >= F.col("t"))
+        .select("doc_id", "stop_hits")
+        .transform(ordered, "doc_id")
+    )

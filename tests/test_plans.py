@@ -223,3 +223,65 @@ def test_self_join_python_stages_run_once(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = plan.count("ArrowEvalPython")
         assert n <= 1, f"{name}: python stage planned {n}x (self-join re-execution)"
+
+
+def test_chunk_documents_is_shuffle_free_and_jvm_only(spark, sf_dir):
+    """The chunking operator itself plans NO exchange (embarrassingly
+    parallel: tokenize → sequence-explode → slice, all Catalyst) and no
+    Python stage; the registry query's only exchange is the final
+    1-partition deterministic-order sink."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.operators import chunk_documents
+
+    df = chunk_documents(Tables(spark, sf_dir).documents)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate" in plan  # the explode fan-out
+    for py in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """Both SCD2 windows (lag change-detect, lead interval-close) share
+    one user_id hash partitioning — exactly one key exchange in the
+    whole query (the second Exchange is the final 1-partition order;
+    formatted mode prints the partitioning on the Arguments line)."""
+    plan = plan_of(spark, sf_dir, "q65_scd2_history")
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+
+
+def test_outlier_mad_broadcasts_group_stats(spark, sf_dir):
+    """Per-group median/MAD tables ride broadcast joins back onto the
+    fact — no fact-sized shuffle for the join, no sort-merge."""
+    plan = plan_of(spark, sf_dir, "q66_outlier_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_and_diff_have_no_cartesian(spark, sf_dir):
+    """The wedge-closing joins and the snapshot-diff full outer join
+    stay keyed — never BroadcastNestedLoop/Cartesian."""
+    for name in ("g_triangle_count", "q64_table_diff", "q70_funnel_stages"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sample_k_per_group_single_exchange(spark, sf_dir):
+    """The deterministic sampler is one group-window pass: exactly one
+    key exchange, and a WindowGroupLimit prunes to k per group on the
+    map side before the shuffle."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.operators import sample_k_per_group
+
+    df = sample_k_per_group(
+        Tables(spark, sf_dir).customer.select("c_custkey", "c_nationkey"),
+        "c_nationkey", 3, key_cols=["c_custkey"],
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("hashpartitioning(") == 1
+    assert "WindowGroupLimit" in plan
