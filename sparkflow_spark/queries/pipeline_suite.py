@@ -1121,3 +1121,48 @@ def q71_cohort(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .transform(ordered, "cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# user journey paths (ordered event sequences)
+
+
+@register(
+    "q73_journey_paths",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list(event_type ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id)
+        SELECT array_to_string(seq[1:5], '>') AS path,
+               COUNT(*) AS n_users
+        FROM s GROUP BY 1 ORDER BY path
+    """,
+    tags=("pipeline", "agg", "array"),
+)
+def q73_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Path analysis: users grouped by their first five event types in
+    time order. Spark's collect_list is unordered by contract, so the
+    order rides the DATA — structs of (ts, event_id, type) sorted with
+    array_sort after collection (one grouped agg, no window), then
+    sliced and joined into the path label. Per-user arrays are bounded
+    by history length; the second agg is on path labels (tiny)."""
+    t = Tables(spark, sf)
+    s = t.events.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ).alias("_e"),
+    )
+    seqs = s.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("_e")).alias("_seq")
+    )
+    path = F.concat_ws(
+        ">", F.transform(F.slice("_seq", 1, 5), lambda x: x["event_type"])
+    )
+    return (
+        seqs.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .transform(ordered, "path")
+    )

@@ -640,3 +640,32 @@ def q72_runmed(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "user_id", "event_id")
     )
+
+
+@register(
+    "q74_quantile_normalize",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(percent_rank() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id), 4) AS DOUBLE)
+                 + 0.0 AS qnorm
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("relational", "window", "ml-prep"),
+)
+def q74_qnorm(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization (rank-to-[0,1] feature scaling) of the
+    value column within each event type — the distribution-free scaler
+    ML pipelines apply before training. percent_rank with an event_id
+    tiebreak is a total order, so the mapping is bit-stable
+    cross-engine; one key exchange like any window."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t.events.select(
+            "event_id",
+            (F.round(F.percent_rank().over(w), 4).cast("double") + F.lit(0.0)).alias("qnorm"),
+        )
+        .transform(ordered, "event_id")
+    )
