@@ -1166,3 +1166,65 @@ def q73_paths(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .transform(ordered, "path")
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution with a conversion window
+
+
+@register(
+    "q75_attribution_daily",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, ts AS click_ts FROM events
+              WHERE event_type = 'click'),
+        j AS (
+            SELECT p.event_id, p.ts, p.value, c.click_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(ROUND(SUM(CASE WHEN click_ts IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000
+                             THEN value ELSE 0 END), 3) AS DOUBLE) + 0.0
+                 AS attributed_value
+        FROM j GROUP BY 1 ORDER BY day
+    """,
+    tags=("pipeline", "asof", "agg"),
+)
+def q75_attr(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click at-or-before it, counted only inside a 24 h conversion
+    window (exact integer-µs predicate), rolled up per purchase day —
+    operators.asof_join (one user_id exchange) + one small agg. The
+    attribution join never materializes candidate pairs: the as-of is a
+    single window pass however dense the click stream is."""
+    from sparkflow_spark.operators import asof_join
+
+    t = Tables(spark, sf)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(p, c, on="ts", by=["user_id"], value_cols=["click_ts"])
+    within = F.col("click_ts_asof").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("click_ts_asof") <= 86_400_000_000
+    )
+    return (
+        j.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(within, 1).otherwise(0)).cast("bigint").alias("n_attributed"),
+            (
+                F.round(F.sum(F.when(within, F.col("value")).otherwise(0.0)), 3)
+                .cast("double") + F.lit(0.0)
+            ).alias("attributed_value"),
+        )
+        .transform(ordered, "day")
+    )

@@ -669,3 +669,43 @@ def q74_qnorm(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "event_id")
     )
+
+
+@register(
+    "q76_winsorize",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type)
+        SELECT e.event_id,
+               CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 4) AS DOUBLE) + 0.0
+                 AS winsorized
+        FROM events e JOIN b USING (event_type)
+        ORDER BY e.event_id
+    """,
+    tags=("relational", "percentile", "ml-prep"),
+)
+def q76_winsor(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization: clip values to the per-group [p05, p95] band —
+    the standard outlier-robust feature clamp. Per-group exact
+    percentiles (X12 continuous interpolation) ride a broadcast join
+    back onto the fact; the clip is a scalar LEAST/GREATEST."""
+    t = Tables(spark, sf)
+    ev = t.events.select("event_id", "event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            (
+                F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4)
+                .cast("double") + F.lit(0.0)
+            ).alias("winsorized"),
+        )
+        .transform(ordered, "event_id")
+    )

@@ -211,3 +211,37 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in StAX source). Same schema discipline
+    as CSV: pass one, or pay a sampling pass for inference. Row
+    boundaries split on ``row_tag``, so files parallelize like any
+    text-based source."""
+    ensure_runtime_configs(spark)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (one file per partition, rows under ``root_tag``)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

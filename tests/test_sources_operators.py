@@ -330,3 +330,19 @@ def test_prop_connected_components_vs_union_find(edges):
         roots[find(n)] = min(roots[find(n)], n)
     expected = {n: roots[find(n)] for n in parent}
     assert comp == expected
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source: write → read back identical rows
+    (struct nesting survives; schema passed explicitly on read)."""
+    from sparkflow_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a&b <c>", 1.5), (2, None, -0.25)],
+        "id long, v string, x double",
+    )
+    dest = str(tmp_path / "xml_rt")
+    write_xml(df, dest, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, dest, row_tag="rec", schema="id long, v string, x double")
+    got = sorted((r["id"], r["v"], r["x"]) for r in back.collect())
+    assert got == [(1, "a&b <c>", 1.5), (2, None, -0.25)]
