@@ -166,3 +166,52 @@ def st_stream_static(spark: SparkSession, sf: str) -> DataFrame:
 # raises a loud NotImplementedError there, and tests/test_streaming.py
 # pins that refusal. applyInPandasWithState (st_stateful_user_counts)
 # is the oracle-checked stateful surface.
+
+
+@register(
+    "st_cdc_upsert_snapshot",
+    oracle="""
+        SELECT user_id,
+               CAST(max_by(event_id, ts) AS BIGINT) AS event_id,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS ts_us,
+               CAST(ROUND(max_by(value, ts), 4) AS DOUBLE) + 0.0 AS value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "sink"),
+    memo=False,  # runs a full streaming job + filesystem sink per call
+)
+def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end CDC MERGE sink equivalence: stream the event log as
+    per-user deltas through streaming/sinks.stream_merge_to_parquet
+    (order-column arbitration on event time, one micro-batch per file
+    via maxFilesPerTrigger=1 so several real MERGEs happen), then read
+    the FINAL snapshot back — it must equal the batch latest-row-per-key
+    aggregate, whatever the batch split was. (user_id, ts) is unique in
+    the fixtures (pinned by the oracle's max_by determinism), so
+    arbitration ties cannot occur."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.streaming.sinks import stream_merge_to_parquet
+    from sparkflow_spark.streaming.windows import stream_events
+
+    sdf = stream_events(
+        spark, sf, watermark=None, state_partitions=None, max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="cdc_snap_")
+    try:
+        final_dir = stream_merge_to_parquet(
+            sdf, work, keys=["user_id"], order_col="ts"
+        )
+        snap = spark.read.parquet(final_dir)
+        out = snap.select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            (F.round("value", 4).cast("double") + F.lit(0.0)).alias("value"),
+        ).transform(ordered, "user_id")
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).transform(ordered, "user_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

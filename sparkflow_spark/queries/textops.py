@@ -480,3 +480,57 @@ def p_quality_pctl(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "stop_hits")
         .transform(ordered, "doc_id")
     )
+
+
+@register(
+    "t_skipgram_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS t
+            FROM documents),
+        pos AS (SELECT doc_id, t[i] AS tok, i
+                FROM toks, UNNEST(range(1, len(t)+1)) AS u(i))
+        SELECT a.tok AS l, b.tok AS r, COUNT(*) AS cnt
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        ORDER BY l, r
+    """,
+    tags=("pipeline", "text", "agg"),
+)
+def t_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional skip-gram co-occurrence counts (window 2 ahead, the
+    word2vec training-pair shape), min count 5. The Spark side expands
+    pairs with one bounded HOF per document — each token pairs with at
+    most the next two — so work is 2·tokens with NO positional
+    self-join and no shuffle before the count agg; the oracle is the
+    equivalent positional join."""
+    from sparkflow_spark.functions.text import bind, lower_tokens
+
+    t = Tables(spark, sf)
+    # bind() pins ONE tokenizer evaluation — the arr reference appears
+    # both as the transform source and inside the slice lambda, and the
+    # optimizer would otherwise inline the whole tokenize tree per
+    # reference (the round-4 d_ngram lesson)
+    pair = bind(
+        lower_tokens(F.col("text")),
+        lambda arr: F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + F.lit(2), F.lit(2)),
+                    lambda y: F.struct(x.alias("l"), y.alias("r")),
+                ),
+            )
+        ),
+    )
+    return (
+        t.documents.select(F.explode(pair).alias("_p"))
+        .select("_p.l", "_p.r")
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+        .transform(ordered, "l", "r")
+    )

@@ -77,6 +77,7 @@ def stream_events(
     sf_dir: str,
     watermark: str | None = "2 hours",
     state_partitions: int | None = 4,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """``readStream`` over the events parquet with event-time ``ts``.
 
@@ -106,7 +107,14 @@ def stream_events(
         if len(_SCHEMA_CACHE) >= 64:
             _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
         _SCHEMA_CACHE[skey] = (spark, batch_schema)
-    sdf = spark.readStream.schema(batch_schema).parquet(_as_stream_dir(path))
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        # one micro-batch per N source files — the way to exercise real
+        # multi-batch behavior (CDC merges, state evolution) against an
+        # AvailableNow static directory, which otherwise arrives as a
+        # single batch
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.parquet(_as_stream_dir(path))
     # Handle every ts arrival shape the fixtures have shipped (bigint
     # nanos / timestamp_ntz / timestamp) — withWatermark requires LTZ.
     sdf = normalize_event_time(sdf)
