@@ -606,3 +606,51 @@ def sample_k_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rk", "_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/test/val) by content hash:
+    each row's split is a pure function of (id, seed) — stable under
+    retries, cluster resizing, re-runs on different engines, and
+    incremental data arrival (a row keeps its split when the corpus
+    grows: the property that prevents train/test leakage across
+    pipeline versions, which rand()-based splits silently violate).
+
+    The uniform variate is the first 8 hex chars of md5(id || ':' ||
+    seed) mapped to [0, 1) — md5 exists bit-identically in every
+    engine, so the SAME SQL reproduces the split anywhere (the DuckDB
+    oracle literally re-derives it). Fractions must sum to ≤ 1; any
+    remainder falls into the last split.
+    """
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be a non-empty dict of non-negatives")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

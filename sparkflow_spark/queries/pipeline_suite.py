@@ -13,7 +13,7 @@ brief's LLM-pipeline inventory, not from reference files.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark import dedup
 from sparkflow_spark.catalog import Tables
@@ -1227,4 +1227,69 @@ def q75_attr(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("attributed_value"),
         )
         .transform(ordered, "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (cross-engine reproducible train/test)
+
+
+@register(
+    "q77_hash_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::UBIGINT
+                         / 4294967296.0 < 0.8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q77_split(spark: SparkSession, sf: str) -> DataFrame:
+    """80/20 train/test split by content hash — operators.hash_split.
+    Fully oracle-checked: the DuckDB SQL re-derives the identical md5
+    variate, proving the split is engine-independent (a row keeps its
+    assignment across engines, retries, and corpus growth — no
+    train/test leakage between pipeline versions)."""
+    from sparkflow_spark.operators import hash_split
+
+    t = Tables(spark, sf)
+    return (
+        hash_split(
+            t.documents.select("doc_id"), "doc_id",
+            {"train": 0.8, "test": 0.2}, seed=42,
+        )
+        .select("doc_id", "split")
+        .transform(ordered, "doc_id")
+    )
+
+
+@register(
+    "q78_md5_sample_per_group",
+    oracle="""
+        SELECT c_custkey, c_nationkey FROM (
+            SELECT c_custkey, c_nationkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+            FROM customer) t
+        WHERE rn <= 3 ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q78_md5_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-3-per-nation sample ranked by md5 of the key — the
+    cross-engine-checkable twin of q68's xxhash64 reservoir (md5 exists
+    on both engines, xxhash64 only in Spark). Same single window-pass
+    plan with map-side WindowGroupLimit pruning."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        t.customer.select("c_custkey", "c_nationkey")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "c_nationkey")
+        .transform(ordered, "c_nationkey", "c_custkey")
     )

@@ -460,3 +460,28 @@ def test_triangle_counts_known_graph(spark):
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     # triangles: {1,2,3} and {1,2,4}; edge 3-4 absent so no {1,3,4}/{2,3,4}/{3,4,x}
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_hash_split_stable_under_growth(spark):
+    """The leakage property: a row's split assignment is unchanged when
+    the corpus grows (pure function of id+seed), fractions land near
+    their targets, and bad fractions raise."""
+    from sparkflow_spark.operators import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "test": 0.2}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", fr).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id", fr).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth never reassigns
+    n_test = sum(1 for v in s2.values() if v == "test")
+    assert 0.14 <= n_test / 2000 <= 0.26  # binomial-loose around 0.20
+    for bad in ({}, {"a": -0.1}, {"a": 0.7, "b": 0.5}):
+        try:
+            hash_split(small, "doc_id", bad)
+            assert False, f"expected ValueError for {bad}"
+        except ValueError:
+            pass
+    three = hash_split(small, "doc_id", {"a": 0.5, "b": 0.3, "c": 0.2})
+    counts = {r["split"]: 1 for r in three.collect()}
+    assert set(counts) == {"a", "b", "c"}
