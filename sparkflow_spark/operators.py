@@ -654,3 +654,32 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum → one row (n_rows, checksum):
+    SUM over all rows of a 32-bit md5 slice of the canonicalized column
+    tuple, accumulated in DECIMAL(38,0) so it never overflows or loses
+    exactness. Replication / migration validation: compute on both
+    sides of a copy (any engine that has md5 — the DuckDB oracle
+    re-derives it bit-for-bit) and compare two scalars instead of
+    re-reading either table twice.
+
+    Canonical form: each column CAST to string, NULL → the '<NULL>'
+    sentinel, joined with '|'. Floating-point columns are the caller's
+    responsibility (engines format doubles differently — round and cast
+    to DECIMAL/string first); the checksum contract is for
+    int/string/date/decimal columns.
+
+    Commutative+associative accumulation means partial aggregation is
+    map-side and the whole check is ONE scan with a 1-row result,
+    whatever the table size or row order.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+    )

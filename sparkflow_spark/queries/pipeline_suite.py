@@ -1293,3 +1293,52 @@ def q78_md5_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "c_nationkey")
         .transform(ordered, "c_nationkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# order-independent table checksums (replication validation)
+
+
+@register(
+    "q79_table_checksums",
+    oracle="""
+        SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+               CAST(SUM(('0x' || substr(md5(
+                   COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(c_name, '<NULL>') || '|' ||
+                   COALESCE(c_mktsegment, '<NULL>')), 1, 8))::UBIGINT::HUGEINT)
+                   AS VARCHAR) AS checksum
+        FROM customer
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               CAST(SUM(('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+                   COALESCE(o_orderstatus, '<NULL>')), 1, 8))::UBIGINT::HUGEINT)
+                   AS VARCHAR)
+        FROM orders
+        ORDER BY tbl
+    """,
+    tags=("pipeline", "integrity"),
+)
+def q79_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """Content checksums of two tables in one result — the replication
+    validation pattern (compare scalars, not tables). Each is one scan
+    with map-side partial SUM; the checksum value is compared as a
+    string so DECIMAL(38) vs HUGEINT render identically."""
+    from sparkflow_spark.operators import table_checksum
+
+    t = Tables(spark, sf)
+    c = table_checksum(
+        t.customer, ["c_custkey", "c_name", "c_mktsegment"]
+    ).select(
+        F.lit("customer").alias("tbl"), "n_rows",
+        F.col("checksum").cast("string").alias("checksum"),
+    )
+    o = table_checksum(
+        t.orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).select(
+        F.lit("orders").alias("tbl"), "n_rows",
+        F.col("checksum").cast("string").alias("checksum"),
+    )
+    return c.unionByName(o).transform(ordered, "tbl")
