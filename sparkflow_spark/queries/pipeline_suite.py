@@ -1342,3 +1342,74 @@ def q79_checksums(spark: SparkSession, sf: str) -> DataFrame:
         F.col("checksum").cast("string").alias("checksum"),
     )
     return c.unionByName(o).transform(ordered, "tbl")
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (interval join, credit conserved)
+
+
+@register(
+    "q80_multitouch_attribution",
+    oracle="""
+        WITH p AS (SELECT event_id AS pid, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS cid, user_id, ts AS cts FROM events
+              WHERE event_type = 'click'),
+        touches AS (
+            SELECT p.pid, p.value, c.cid, c.cts
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.cts <= p.ts
+             AND epoch_us(p.ts) - epoch_us(c.cts) < 86400000000),
+        credit AS (
+            SELECT cid, cts,
+                   CAST(FLOOR(value * 1000000 / COUNT(*) OVER (PARTITION BY pid))
+                        AS BIGINT) AS share_micro
+            FROM touches)
+        SELECT CAST(date_trunc('day', cts) AS DATE) AS day,
+               COUNT(*) AS n_touches,
+               CAST(SUM(share_micro) AS BIGINT) AS credited_micro
+        FROM credit GROUP BY 1 ORDER BY day
+    """,
+    tags=("pipeline", "join", "window"),
+)
+def q80_multitouch(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 24 h before a
+    purchase shares that purchase's value equally; credit is aggregated
+    to the CLICK day (the marketing-spend view; credit is conserved up
+    to integer truncation). Shares are EXACT integer micro-units — the
+    double value*1e6/n is computed identically on both engines, floor
+    makes it discrete, and the BIGINT sum is order-independent (a float
+    SUM of shares diverged by 1 ulp at the sf0.1 rounding boundary; the
+    integer form is the scale-safe contract). The interval join keeps
+    user_id as the equi key with the time window as a residual
+    predicate, so it shuffles once on user and never builds a
+    cartesian; the share division is one purchase-keyed window."""
+    t = Tables(spark, sf)
+    ev = t.events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    touches = p.join(c, "user_id").where(
+        (F.col("cts") <= F.col("ts"))
+        & (F.unix_micros("ts") - F.unix_micros("cts") < 86_400_000_000)
+    )
+    w = Window.partitionBy("pid")
+    credit = touches.select(
+        "cid",
+        "cts",
+        F.floor(F.col("value") * 1000000 / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    return (
+        credit.groupBy(F.date_trunc("day", "cts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share_micro").alias("credited_micro"),
+        )
+        .transform(ordered, "day")
+    )
