@@ -215,3 +215,46 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).transform(ordered, "user_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "st_windowed_topk",
+    oracle="""
+        WITH wc AS (
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w,
+                   event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2)
+        SELECT w, event_type, c FROM (
+            SELECT w, event_type, c,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM wc) t
+        WHERE rn = 1 ORDER BY w
+    """,
+    tags=("streaming", "window", "topk"),
+    memo=False,  # runs a streaming job per call
+)
+def st_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming windowed top-k: the busiest event type of every hour.
+    The stream computes per-(window, type) counts (the stateful part —
+    state is |windows|·|types|, bounded); ranking runs on the finished
+    micro-batch output, which is the idiomatic split — Structured
+    Streaming cannot rank inside an unfinished window, and the sink
+    table is tiny. Equivalence: == batch GROUP BY + window rank."""
+    from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
+
+    sdf = stream_events(spark, sf)
+    agg = sdf.groupBy(
+        F.window("ts", "1 hour").alias("win"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    sink = run_stream_to_memory(agg, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("w").orderBy(F.col("c").desc(), F.col("event_type"))
+    return (
+        sink.select(F.col("win.start").alias("w"), "event_type", "c")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("w", "event_type", "c")
+        .transform(ordered, "w")
+    )

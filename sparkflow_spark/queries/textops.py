@@ -534,3 +534,68 @@ def t_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("cnt") >= 5)
         .transform(ordered, "l", "r")
     )
+
+
+@register(
+    "t_term_drift",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        c AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cnt_train,
+                   CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cnt_eval
+            FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(cnt_train) AS nt, SUM(cnt_eval) AS ne FROM c)
+        SELECT tok, cnt_train, cnt_eval,
+               CAST(ROUND(cnt_train * 1.0 / tot.nt - cnt_eval * 1.0 / tot.ne, 6)
+                    AS DOUBLE) + 0.0 AS drift
+        FROM c, tot
+        WHERE cnt_train + cnt_eval >= 50
+        ORDER BY tok
+    """,
+    tags=("pipeline", "text", "agg"),
+)
+def t_term_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift between the train and eval splits: per-term
+    relative-frequency deltas (≥50 total occurrences). The monitoring
+    op a data pipeline runs between corpus versions — every number is a
+    single division of exact integer counts (no float SUM anywhere), so
+    the check is bit-stable at any scale; totals ride a 1-row
+    broadcast."""
+    from sparkflow_spark.functions.text import lower_tokens
+
+    t = Tables(spark, sf)
+    toks = t.documents.select(
+        "doc_id", F.explode(lower_tokens(F.col("text"))).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
+        .cast("bigint").alias("cnt_train"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        .cast("bigint").alias("cnt_eval"),
+    )
+    tot = c.agg(
+        F.sum("cnt_train").alias("nt"), F.sum("cnt_eval").alias("ne")
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .where(F.col("cnt_train") + F.col("cnt_eval") >= 50)
+        .select(
+            "tok",
+            "cnt_train",
+            "cnt_eval",
+            (
+                F.round(
+                    F.col("cnt_train") / F.col("nt") - F.col("cnt_eval") / F.col("ne"),
+                    6,
+                ).cast("double") + F.lit(0.0)
+            ).alias("drift"),
+        )
+        .transform(ordered, "tok")
+    )

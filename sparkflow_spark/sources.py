@@ -245,3 +245,30 @@ def write_xml(
         .option("rootTag", root_tag)
         .save(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈rows / target⌉ similarly-sized files; returns the output file
+    count. The small-files problem is the canonical table-maintenance
+    job at scale (every downstream scan pays per-file open/footer
+    costs, and 100 TB tables accrete micro-files from streaming sinks);
+    this is the plain-parquet version of OPTIMIZE/rewrite_data_files.
+
+    One count (metadata-cheap on parquet) + one repartition(n) write.
+    Content equality under compaction is checkable with
+    operators.table_checksum — the order-independent checksum is
+    invariant to the rewrite (pinned in tests).
+    """
+    import os
+
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return len([f for f in os.listdir(dest) if f.endswith(".parquet")])

@@ -346,3 +346,27 @@ def test_xml_roundtrip(spark, tmp_path):
     back = read_xml(spark, dest, row_tag="rec", schema="id long, v string, x double")
     got = sorted((r["id"], r["v"], r["x"]) for r in back.collect())
     assert got == [(1, "a&b <c>", 1.5), (2, None, -0.25)]
+
+
+def test_compact_parquet_preserves_content(spark, tmp_path):
+    """Compaction collapses a many-file table to the computed file
+    count and the order-independent checksum is invariant — the
+    rewrite-safety property that lets a maintenance job run without a
+    verification re-read of the source."""
+    from sparkflow_spark.operators import table_checksum
+    from sparkflow_spark.sources import compact_parquet
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("g")
+    )
+    df.repartition(64).write.parquet(src)  # fragment: 64 small files
+    import os
+
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 64
+    n = compact_parquet(spark, src, dest, target_rows_per_file=2500)
+    assert n == 4  # ceil(10000 / 2500)
+    before = table_checksum(spark.read.parquet(src), ["id", "g"]).collect()[0]
+    after = table_checksum(spark.read.parquet(dest), ["id", "g"]).collect()[0]
+    assert before["n_rows"] == after["n_rows"] == 10_000
+    assert before["checksum"] == after["checksum"]
