@@ -709,3 +709,56 @@ def q76_winsor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "event_id")
     )
+
+
+@register(
+    "q81_customer_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM orders GROUP BY o_custkey),
+        ranked AS (
+            SELECT o_custkey, cents,
+                   NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+            FROM spend)
+        SELECT decile,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    tags=("relational", "window", "agg"),
+)
+def q81_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer revenue deciles: per-customer spend in EXACT integer
+    cents (two-decimal prices → round(x*100) is lossless, and the
+    BIGINT sums are order-independent — no float aggregation anywhere),
+    NTILE(10) with a custkey tiebreak for a deterministic split, then
+    per-decile totals. The NTILE needs a total order (Spark warns and
+    plans a single-partition window) — acceptable because the ranked
+    input is one row per customer, the standard cardinality-reduction
+    before a global window; at billion-customer cardinality swap the
+    NTILE for percentile-threshold bucketing (the
+    p_quality_percentile_filter shape: k-1 exact quantiles on a 1-row
+    broadcast, then a scalar compare — same buckets up to ties, no
+    global sort)."""
+    t = Tables(spark, sf)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .transform(ordered, "decile")
+    )
