@@ -279,9 +279,47 @@ def _stringfn(rng: random.Random, t: Tables):
     return df, sql
 
 
+def _groupingsets(rng: random.Random, t: Tables):
+    """ROLLUP / CUBE over two keys with an exact integer aggregate —
+    pins super-aggregate row synthesis and NULL-marker semantics."""
+    import pyspark.sql.functions as F
+
+    op = rng.choice(["ROLLUP", "CUBE"])
+    keys = ["l_returnflag", "l_linestatus"]
+    agg = F.sum(F.col("l_quantity").cast("bigint")).alias("s")
+    g = t.lineitem.rollup(*keys) if op == "ROLLUP" else t.lineitem.cube(*keys)
+    df = g.agg(agg)
+    sql = (
+        f"SELECT l_returnflag, l_linestatus, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s "
+        f"FROM lineitem GROUP BY {op}(l_returnflag, l_linestatus)"
+    )
+    return df, sql
+
+
+def _percentile(rng: random.Random, t: Tables):
+    """Exact grouped percentile (continuous interpolation on both
+    engines — the X12 rule) at a random quantile."""
+    import pyspark.sql.functions as F
+
+    q = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    df = t.lineitem.groupBy("l_returnflag").agg(
+        (F.round(F.percentile("l_extendedprice", q), 4).cast("double") + F.lit(0.0)).alias("p")
+    )
+    sql = (
+        "SELECT l_returnflag, CAST(ROUND(quantile_cont(l_extendedprice, "
+        f"{q}), 4) AS DOUBLE) + 0.0 AS p FROM lineitem GROUP BY l_returnflag"
+    )
+    return df, sql
+
+
 def _one(rng: random.Random, t: Tables):
     shape = rng.random()
+    if shape < 0.06:
+        return _groupingsets(rng, t)
     if shape < 0.12:
+        return _percentile(rng, t)
+    if shape < 0.2:
         return _outer_join(rng, t)
     if shape < 0.24:
         return _window_frame(rng, t)

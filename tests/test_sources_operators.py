@@ -370,3 +370,20 @@ def test_compact_parquet_preserves_content(spark, tmp_path):
     after = table_checksum(spark.read.parquet(dest), ["id", "g"]).collect()[0]
     assert before["n_rows"] == after["n_rows"] == 10_000
     assert before["checksum"] == after["checksum"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: files written before a column existed read
+    back as NULL for that column under mergeSchema — the contract that
+    lets a 100 TB table add columns without rewriting history."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        base + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(base + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) >= {"id", "v", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
