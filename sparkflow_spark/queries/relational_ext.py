@@ -762,3 +762,131 @@ def q81_deciles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "decile")
     )
+
+
+@register(
+    "q82_approx_distinct_hourly",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w,
+               COUNT(DISTINCT user_id) AS exact_users,
+               ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                 <= GREATEST(0.15 * COUNT(DISTINCT user_id), 20) AS sketch_ok
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "approx", "window"),
+)
+def q82_approx_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour distinct users: exact count plus a thresholded check
+    that EACH ENGINE'S own HLL sketch lands inside max(15%, 20) of its
+    exact value (the q15 pattern, here per group — sketches aren't
+    cross-engine comparable, booleans are). The bound is sized to
+    HLL++ rsd=5% small-cardinality behavior (measured worst case:
+    Spark 10.8% rel / 15 abs on ~100-user hours; DuckDB 4% / 5) —
+    tight enough that a broken sketch fails, loose enough that healthy
+    engine variance passes. The shape that replaces exact distinct at
+    100 TB: the sketch is mergeable map-side, the exact leg exists only
+    to judge it."""
+    t = Tables(spark, sf)
+    g = t.events.groupBy(F.date_trunc("hour", "ts").alias("w"))
+    return (
+        g.agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id") - F.count_distinct("user_id")
+                )
+                <= F.greatest(0.15 * F.count_distinct("user_id"), F.lit(20.0))
+            ).alias("sketch_ok"),
+        )
+        .transform(ordered, "w")
+    )
+
+
+@register(
+    "q83_not_in_null_semantics",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                                ELSE c_custkey END
+                    FROM customer)) AS with_null_list,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer WHERE c_custkey % 100 <> 0))
+              AS without_nulls
+    """,
+    tags=("relational", "join", "semantics"),
+)
+def q83_not_in(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT IN three-valued-logic corner: one NULL in the subquery makes
+    NOT IN unsatisfiable for every probe (x <> NULL is UNKNOWN), so
+    with_null_list must be 0 while the NULL-free twin counts normally.
+    Spark plans the null-aware anti join; naive LEFT ANTI (which treats
+    NULL as non-matching) silently gets this wrong — the single worst
+    porting trap in the anti-join family, pinned cross-engine here."""
+    t = Tables(spark, sf)
+    with_nulls = t.customer.select(
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    no_nulls = t.customer.where(F.col("c_custkey") % 100 != 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    o = t.orders.select("o_custkey")
+    o.createOrReplaceTempView("_q83_orders")
+    with_nulls.createOrReplaceTempView("_q83_with_nulls")
+    no_nulls.createOrReplaceTempView("_q83_no_nulls")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM _q83_orders
+             WHERE o_custkey NOT IN (SELECT k FROM _q83_with_nulls))
+              AS with_null_list,
+            (SELECT COUNT(*) FROM _q83_orders
+             WHERE o_custkey NOT IN (SELECT k FROM _q83_no_nulls))
+              AS without_nulls
+        """
+    )
+
+
+@register(
+    "q84_dwell_time_stats",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events)
+        SELECT event_type,
+               COUNT(gap_us) AS n_gaps,
+               CAST(ROUND(quantile_cont(gap_us, 0.5), 1) AS DOUBLE) + 0.0
+                 AS median_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM d WHERE gap_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "window", "percentile"),
+)
+def q84_dwell(spark: SparkSession, sf: str) -> DataFrame:
+    """Dwell-time distribution: exact integer-µs gaps between each
+    user's consecutive events (lag on one user_id exchange), summarized
+    per arriving event type with an exact median. Integer gaps make the
+    percentile's interpolation the only float op — deterministic
+    cross-engine."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = t.events.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.round(F.percentile("gap_us", 0.5), 1).cast("double") + F.lit(0.0)).alias("median_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .transform(ordered, "event_type")
+    )
