@@ -1,0 +1,155 @@
+"""Persistent MinHash-LSH index lifecycle: build / append / query.
+
+The one-shot :func:`dedup.minhash_candidate_pairs` recomputes every
+signature per run — right for a batch dedup pass, wrong for the
+production shape where a corpus GROWS and each increment must be checked
+against everything already indexed. This module persists the banded
+bucket table as parquet (partitioned by band) plus a params sidecar, so:
+
+- **append** computes signatures for the NEW docs only (O(delta)), with
+  the stored params — a mismatched-params index is unusable, so params
+  ride the index, not the call site;
+- **query** joins probe signatures against the bucket table on
+  (band, bucket) — partition pruning keeps the scan per-band, the join
+  is keyed (never cartesian), and verification re-ranks candidates by
+  estimated jaccard from the stored signatures;
+- append == rebuild (same params ⇒ signatures are pure functions of
+  text), pinned by tests — the invariant that makes incremental
+  maintenance trustworthy.
+
+At 100 TB the bucket table is the only persistent state (K·bands small
+rows per doc); no signature is ever recomputed for old docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark.dedup import minhash_signatures
+
+_PARAMS_FILE = "_lsh_params.json"
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int, id_col: str) -> DataFrame:
+    """(id, sig, band, bucket) — one row per (doc, band); bucket is the
+    64-bit hash of the band's signature slice (same keying as
+    dedup.minhash_candidate_pairs)."""
+    rows_per_band = num_hashes // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> None:
+    """Create the index: banded buckets partitioned by band + params
+    sidecar. Overwrites an existing index at ``path``."""
+    params = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": seed,
+    }
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    out = _banded(sigs, num_hashes, bands, id_col)
+    out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
+    with open(os.path.join(path, _PARAMS_FILE), "w") as f:
+        json.dump(params, f)
+
+
+def load_params(path: str) -> dict:
+    with open(os.path.join(path, _PARAMS_FILE)) as f:
+        return json.load(f)
+
+
+def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> None:
+    """Index the NEW docs only (O(delta) signature work) using the
+    STORED params; appends to the bucket table. Caller guarantees new
+    ids are disjoint from indexed ids (enforce upstream with
+    operators.merge_upsert semantics if re-indexing changed docs)."""
+    p = load_params(path)
+    sigs = minhash_signatures(
+        new_df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
+    )
+    out = _banded(sigs, p["num_hashes"], p["bands"], p["id_col"])
+    out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
+
+
+def query_lsh_index(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Find indexed near-duplicates of ``probes`` → (probe_id, match_id,
+    est_jaccard): probe docs are signed with the stored params, joined
+    to the bucket table on (band, bucket), candidates deduped and
+    re-ranked by the fraction of matching minhashes from the STORED
+    signatures (no text ever leaves the probe side)."""
+    p = load_params(path)
+    idx = spark.read.parquet(os.path.join(path, "buckets"))
+    psigs = minhash_signatures(
+        probes, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
+    )
+    pb = _banded(psigs, p["num_hashes"], p["bands"], p["id_col"]).select(
+        F.col(p["id_col"]).alias("probe_id"),
+        F.col("sig").alias("probe_sig"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        pb.join(idx, on=["band", "bucket"])
+        .filter(F.col("probe_id") != F.col(p["id_col"]))
+        .select(
+            "probe_id",
+            F.col(p["id_col"]).alias("match_id"),
+            "probe_sig",
+            F.col("sig").alias("match_sig"),
+        )
+        .dropDuplicates(["probe_id", "match_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("probe_sig", "match_sig", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(p["num_hashes"]))
+    ).alias("est_jaccard")
+    return cand.select("probe_id", "match_id", est).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )

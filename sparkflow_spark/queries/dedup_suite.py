@@ -267,3 +267,45 @@ def d_edit_join(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.edit_distance_join(
         names, string_col="p_name", id_col="pid", max_dist=1, q=2
     ).withColumn("dist", F.col("dist").cast("long")).transform(ordered, "id_a", "id_b")
+
+
+@register(
+    "d_lsh_index_query",
+    oracle=None,  # xxhash64 signatures are Spark-side only; lifecycle
+    # invariants (append==rebuild, planted-dup recall, keyed-join plan)
+    # pinned in tests/test_lsh_index.py
+    tags=("dedup", "lsh", "index"),
+    memo=False,  # builds a temp on-disk index per call
+)
+def d_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent LSH index lifecycle demo: build the banded bucket
+    index over the even-id half of the corpus, APPEND the odd-id half
+    (O(delta) signature work), then query the first 20 docs against it
+    — the grows-forever corpus shape. Returns (probe_id, match_id)
+    candidates above 0.5 estimated jaccard, self-matches excluded by
+    the query path."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    t = Tables(spark, sf)
+    docs = t.documents.select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        build_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), work)
+        append_to_lsh_index(spark, work, docs.filter(F.col("doc_id") % 2 == 1))
+        probes = docs.orderBy("doc_id").limit(20)
+        out = query_lsh_index(spark, work, probes, min_est_jaccard=0.5).select(
+            "probe_id", "match_id"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).transform(
+            ordered, "probe_id", "match_id"
+        ) if rows else spark.createDataFrame([], out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

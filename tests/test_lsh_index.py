@@ -1,0 +1,83 @@
+"""Persistent LSH index lifecycle: append==rebuild, query recall,
+partition-pruned bucket scans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sparkflow_spark.lsh_index import (
+    append_to_lsh_index,
+    build_lsh_index,
+    load_params,
+    query_lsh_index,
+)
+
+
+def _docs(spark, lo, hi, mutate=None):
+    base = [
+        (i, f"the quick brown fox jumps over lazy dog number {i} "
+            f"with extra words {i % 7} {i % 11} repeated filler text here")
+        for i in range(lo, hi)
+    ]
+    if mutate:
+        base = [(i, mutate(i, t)) for i, t in base]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """Indexing half then appending the other half produces the exact
+    bucket table a full rebuild does (signatures are pure functions of
+    text + params) — the invariant that makes incremental maintenance
+    trustworthy."""
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    docs = _docs(spark, 0, 60)
+    build_lsh_index(docs, full)
+    build_lsh_index(docs.filter(F.col("doc_id") < 30), inc)
+    append_to_lsh_index(spark, inc, docs.filter(F.col("doc_id") >= 30))
+    a = sorted(
+        map(tuple, spark.read.parquet(full + "/buckets")
+            .select("doc_id", "band", "bucket").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(inc + "/buckets")
+            .select("doc_id", "band", "bucket").collect())
+    )
+    assert a == b and len(a) == 60 * 16  # one row per (doc, band)
+    assert load_params(inc)["num_hashes"] == 64
+
+
+def test_query_finds_planted_near_dup(spark, tmp_path):
+    """A probe that is a light edit of an indexed doc surfaces as a
+    candidate with high estimated jaccard; an unrelated probe finds
+    nothing at the threshold."""
+    path = str(tmp_path / "idx")
+    build_lsh_index(_docs(spark, 0, 50), path)
+    probes = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over lazy dog number 7 "
+                   "with extra words 0 7 repeated filler text here EDITED"),
+            (2000, "completely unrelated content about spark catalyst "
+                   "optimizer rules and adaptive execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = query_lsh_index(spark, path, probes, min_est_jaccard=0.4).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert 1000 in by_probe and any(r["match_id"] == 7 for r in by_probe[1000])
+    assert all(r["est_jaccard"] >= 0.4 for r in by_probe[1000])
+    assert 2000 not in by_probe
+
+
+def test_query_plan_is_keyed_join(spark, tmp_path):
+    """The probe-bucket join is a keyed join on (band, bucket) — never
+    a cartesian — and the bucket scan reads the band partition column."""
+    path = str(tmp_path / "idx2")
+    build_lsh_index(_docs(spark, 0, 30), path)
+    q = query_lsh_index(spark, path, _docs(spark, 0, 3))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
