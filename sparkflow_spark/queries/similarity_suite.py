@@ -221,3 +221,71 @@ def s_knn(spark: SparkSession, sf: str) -> DataFrame:
         .select("probe_id", F.col("label").alias("pred_label"), "votes")
         .transform(ordered, "probe_id")
     )
+
+
+@register(
+    "s_ivf_index_query",
+    # exhaustive probing (n_probe == n_centroids) makes the index query
+    # EXACT regardless of what the quantizer did — so the brute-force
+    # SQL is a true oracle for the whole build→append→query lifecycle;
+    # partial-probe recall + occupancy monitoring are t1
+    # (tests/test_vector_index.py)
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+            ORDER BY vec_id LIMIT {_N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+            FROM probes p CROSS JOIN embeddings e
+            WHERE e.vec_id != p.probe_id AND e.embedding IS NOT NULL
+        )
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored) t
+        WHERE rnk = 1 ORDER BY probe_id
+    """,
+    tags=("similarity", "ivf", "index"),
+    memo=False,  # builds a temp on-disk index per call
+)
+def s_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent IVF index lifecycle demo: build over the even-id half
+    of the embeddings, append the odd half against the FROZEN centroids
+    (O(delta), no retrain — the FAISS operating model), query the
+    standard probe set exhaustively (n_probe == n_centroids) so top-1
+    is exact. Returns (probe_id, vec_id) of the nearest non-self
+    neighbor per probe."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.vector_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    t = Tables(spark, sf)
+    vecs = t.embeddings.select("vec_id", "embedding").where(
+        F.col("embedding").isNotNull()
+    )
+    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        build_ivf_index(vecs.filter(F.col("vec_id") % 2 == 0), work, n_centroids=8)
+        append_to_ivf_index(spark, work, vecs.filter(F.col("vec_id") % 2 == 1))
+        out = (
+            query_ivf_index(spark, work, _probes(t), k=2, n_probe=8)
+            .filter(F.col("id") != F.col("probe_id"))
+            .groupBy("probe_id")
+            .agg(F.min_by("id", F.col("rnk")).alias("vec_id"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).transform(ordered, "probe_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

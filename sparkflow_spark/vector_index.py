@@ -1,0 +1,161 @@
+"""Persistent IVF vector index lifecycle: build / append / query.
+
+The embedding-store twin of :mod:`lsh_index`: a corpus of vectors grows
+continuously (new documents embedded per batch), and re-training the
+coarse quantizer + re-assigning every old vector per increment is the
+O(corpus) trap. Here the index persists as:
+
+- ``centroids.json`` — the trained k-means centers (O(k·dim), tiny);
+- ``cells/`` — (id, vec, norm, cell) parquet partitioned by cell.
+
+**append** assigns NEW vectors to the FROZEN centroids (one broadcast
+matmul pass over the delta — the FAISS operating model: the quantizer
+is trained once on a representative sample, additions never retrain);
+**query** scans only each probe's n_probe nearest cells with exact
+cosine re-rank, and partition pruning keeps the scan to those cells.
+
+Drift contract: a frozen quantizer degrades if the embedding
+distribution shifts — callers monitor cell-occupancy skew (a cheap
+GROUP BY over the cells table) and rebuild when it exceeds bounds;
+append-after-distribution-shift is still CORRECT (exact re-rank), just
+less selective.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkflow_spark.functions.vector import dot, l2_norm
+
+_CENTROIDS_FILE = "centroids.json"
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, norm, cell): nearest-centroid assignment as one Arrow
+    pass with the centroid matrix broadcast in the UDF closure."""
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(v):
+        out = []
+        for arr in v:
+            x = np.asarray(arr, dtype=np.float64)
+            out.append(int(((centroids - x) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out, dtype="int32")
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> None:
+    """Train the coarse quantizer (distributed k-means) and persist
+    centroids + cell-partitioned assignments. Overwrites ``path``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("_fv"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell"
+    ).fit(feats)
+    centroids = np.stack(model.clusterCenters())
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _CENTROIDS_FILE), "w") as f:
+        json.dump({"centroids": centroids.tolist(), "id_col": id_col, "vec_col": vec_col}, f)
+    assigned = model.transform(feats).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+        F.col("_cell").cast("int").alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "cells"))
+
+
+def load_centroids(path: str) -> np.ndarray:
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+
+def append_to_ivf_index(spark: SparkSession, path: str, new_vecs: DataFrame) -> None:
+    """Assign the DELTA to the frozen centroids (one Arrow pass, no
+    retrain, no old-row touch) and append to the cells table."""
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    out = _assign_cells(new_vecs, centroids, meta["id_col"], meta["vec_col"])
+    out.write.mode("append").partitionBy("cell").parquet(os.path.join(path, "cells"))
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors from the index → (probe_id, id, cosine,
+    rnk): each probe explodes to its n_probe nearest cells, the cell
+    join prunes the scan to those partitions, exact re-rank inside."""
+    centroids = load_centroids(path)
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    n_probe_eff = min(n_probe, centroids.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(v):
+        out = []
+        for arr in v:
+            x = np.asarray(arr, dtype=np.float64)
+            d = ((centroids - x) ** 2).sum(axis=1)
+            out.append(np.argsort(d)[:n_probe_eff].astype("int32").tolist())
+        return pd.Series(out)
+
+    p = probes.select(
+        F.col(probe_id),
+        F.col(vec_col).alias("_pvec"),
+        l2_norm(vec_col).alias("_pn"),
+        F.explode(nearest_cells(F.col(vec_col))).alias("cell"),
+    )
+    den = F.col("_pn") * F.col("norm")
+    scored = cells.join(F.broadcast(p), on="cell").select(
+        probe_id,
+        "id",
+        F.when(den != 0, dot("_pvec", "vec") / den).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n) — the drift monitor: skewed occupancy means the frozen
+    quantizer no longer matches the distribution; rebuild when the
+    max/median ratio exceeds the caller's bound."""
+    return (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
