@@ -192,3 +192,40 @@ def latest_version(path: str) -> str:
     if not versions:
         raise FileNotFoundError(f"no v=N snapshots under {path}")
     return os.path.join(path, f"v={max(versions)}")
+
+
+def stream_append_to_lsh_index(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuously maintain a persistent MinHash-LSH dedup index from a
+    document stream: each micro-batch's docs are signed with the
+    index's STORED params and appended to the banded bucket table
+    (lsh_index.append_to_lsh_index — O(batch) work, no old-row touch).
+
+    The index must exist (build_lsh_index, possibly on an empty seed
+    frame: that persists the params sidecar that every append reads).
+    Exactly-once: parquet append per batch is idempotent only through
+    the checkpoint — a replayed batch after checkpoint loss would
+    duplicate bucket rows, which the QUERY path tolerates
+    (dropDuplicates on candidate pairs) but inflates; production sinks
+    put the bucket table in a table format with MERGE. Returns the
+    started StreamingQuery (AvailableNow trigger; caller awaits)."""
+    from sparkflow_spark.lsh_index import append_to_lsh_index
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(index_path, "_stream_checkpoint")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_lsh_index(batch_df.sparkSession, index_path, batch_df)
+
+    return (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,3 +81,31 @@ def test_query_plan_is_keyed_join(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_maintained_index_equals_batch_build(spark, tmp_path):
+    """A document stream appending into the index (one micro-batch per
+    file) converges to the same bucket table a batch build produces —
+    the streaming-ingest dedup-index shape."""
+    from sparkflow_spark.streaming.sinks import stream_append_to_lsh_index
+
+    docs = _docs(spark, 0, 40)
+    src = str(tmp_path / "doc_stream")
+    docs.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_lsh_index(docs, batch_idx)
+
+    stream_idx = str(tmp_path / "stream_idx")
+    build_lsh_index(docs.limit(0), stream_idx)  # params-only seed
+    sdf = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_append_to_lsh_index(sdf, stream_idx)
+    q.awaitTermination()
+
+    a = sorted(map(tuple, spark.read.parquet(batch_idx + "/buckets")
+                   .select("doc_id", "band", "bucket").collect()))
+    b = sorted(map(tuple, spark.read.parquet(stream_idx + "/buckets")
+                   .select("doc_id", "band", "bucket").collect()))
+    assert a == b and len(a) == 40 * 16
