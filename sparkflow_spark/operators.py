@@ -493,6 +493,11 @@ def table_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in target.columns if c not in keys]
+    if not compare_cols:
+        raise ValueError(
+            "table_diff needs at least one compare column (all columns are keys); "
+            "a keys-only diff is a semi/anti-join question, not a change audit"
+        )
     t = target.select(*keys, *compare_cols).alias("t")
     s = source.select(*keys, *compare_cols).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
@@ -587,6 +592,11 @@ def sample_k_per_group(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if not key_cols:
+        # an empty key would hash the constant seed for every row →
+        # all rank keys tie → row_number order is partition-layout
+        # dependent, silently breaking the determinism contract
+        raise ValueError("key_cols must be non-empty (the determinism source)")
     h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
     # map int64 hash → u ∈ (0,1): shift to unsigned range, add ½ ulp so
     # u is never exactly 0 (ln(0) = -inf) or 1
@@ -632,6 +642,9 @@ def hash_split(
         raise ValueError("fractions must be a non-empty dict of non-negatives")
     if sum(fractions.values()) > 1.0 + 1e-9:
         raise ValueError("fractions must sum to <= 1")
+    # NULL id → NULL split (explicit), not a silent fall-through to the
+    # last bucket: md5(NULL) is NULL so u is NULL, every `u < cum` is
+    # UNKNOWN, and the otherwise() branch would swallow the row
     u = (
         F.conv(
             F.substring(
@@ -653,6 +666,7 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
+    expr = F.when(F.col(id_col).isNotNull(), expr)
     return df.withColumn(split_col, expr)
 
 
@@ -675,6 +689,8 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     map-side and the whole check is ONE scan with a 1-row result,
     whatever the table size or row order.
     """
+    if not cols:
+        raise ValueError("table_checksum needs at least one column")
     canon = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
     )

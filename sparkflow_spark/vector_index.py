@@ -49,7 +49,10 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: st
             out.append(int(((centroids - x) ** 2).sum(axis=1).argmin()))
         return pd.Series(out, dtype="int32")
 
-    return df.select(
+    # NULL vectors would throw inside the Arrow batch (np.asarray(None));
+    # they carry no index information — drop them here, matching the
+    # build path's model.transform contract
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(vec_col).alias("norm"),

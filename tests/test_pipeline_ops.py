@@ -485,3 +485,52 @@ def test_hash_split_stable_under_growth(spark):
     three = hash_split(small, "doc_id", {"a": 0.5, "b": 0.3, "c": 0.2})
     counts = {r["split"]: 1 for r in three.collect()}
     assert set(counts) == {"a", "b", "c"}
+
+
+def test_round5c_operator_edge_guards(spark):
+    """Edge hardening: NULL ids get NULL split (not a silent bucket),
+    keys-only table_diff / empty key_cols / empty checksum cols raise,
+    NULL vectors are dropped by the IVF append path."""
+    from sparkflow_spark.operators import (
+        hash_split,
+        sample_k_per_group,
+        table_checksum,
+        table_diff,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    out = {r["doc_id"]: r["split"] for r in
+           hash_split(df, "doc_id", {"train": 0.8, "test": 0.2}).collect()}
+    assert out[1] in ("train", "test") and out[None] is None
+    kv = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    for bad_call in (
+        lambda: table_diff(kv.select("k"), kv.select("k"), keys=["k"]),
+        lambda: sample_k_per_group(kv, "k", 1, key_cols=[]),
+        lambda: table_checksum(kv, []),
+    ):
+        try:
+            bad_call()
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+def test_ivf_append_drops_null_vectors(spark, tmp_path):
+    import numpy as np
+
+    from sparkflow_spark.vector_index import append_to_ivf_index, build_ivf_index
+
+    rng = np.random.default_rng(1)
+    vecs = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 8).astype("float32").tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(vecs, path, n_centroids=2)
+    withnull = spark.createDataFrame(
+        [(100, rng.normal(0, 1, 8).astype("float32").tolist()), (101, None)],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_index(spark, path, withnull)
+    ids = {r["id"] for r in spark.read.parquet(path + "/cells").select("id").collect()}
+    assert 100 in ids and 101 not in ids and len(ids) == 31
