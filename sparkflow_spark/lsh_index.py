@@ -3,8 +3,11 @@
 The one-shot :func:`dedup.minhash_candidate_pairs` recomputes every
 signature per run — right for a batch dedup pass, wrong for the
 production shape where a corpus GROWS and each increment must be checked
-against everything already indexed. This module persists the banded
-bucket table as parquet (partitioned by band) plus a params sidecar, so:
+against everything already indexed. This module persists the index as
+parquet — ``buckets/`` (doc_id, band, bucket), partitioned by band, and
+``sigs/`` (doc_id, sig) holding each signature ONCE (bucket rows carry
+only 8-byte hashes; storing the K-hash signature per band row would be
+a bands-fold write/storage amplification) — plus a params sidecar, so:
 
 - **append** computes signatures for the NEW docs only (O(delta)), with
   the stored params — a mismatched-params index is unusable, so params
@@ -75,6 +78,14 @@ def build_lsh_index(
 ) -> None:
     """Create the index: banded buckets partitioned by band + params
     sidecar. Overwrites an existing index at ``path``."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # rows_per_band = num_hashes // bands would silently drop tail
+        # hashes (recall loss) or, for bands > num_hashes, hash an EMPTY
+        # slice so every doc lands in one bucket — a de-facto cross join
+        # at query time
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) exactly"
+        )
     params = {
         "text_col": text_col,
         "id_col": id_col,
@@ -84,8 +95,11 @@ def build_lsh_index(
         "seed": seed,
     }
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    out = _banded(sigs, num_hashes, bands, id_col)
+    # the signature pandas stage feeds two writers; materialize once
+    sigs = sigs.localCheckpoint(eager=False)
+    out = _banded(sigs, num_hashes, bands, id_col).drop("sig")
     out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     with open(os.path.join(path, _PARAMS_FILE), "w") as f:
         json.dump(params, f)
 
@@ -104,8 +118,10 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
     sigs = minhash_signatures(
         new_df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
     )
-    out = _banded(sigs, p["num_hashes"], p["bands"], p["id_col"])
+    sigs = sigs.localCheckpoint(eager=False)
+    out = _banded(sigs, p["num_hashes"], p["bands"], p["id_col"]).drop("sig")
     out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
+    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
 
 
 def query_lsh_index(
@@ -121,6 +137,9 @@ def query_lsh_index(
     signatures (no text ever leaves the probe side)."""
     p = load_params(path)
     idx = spark.read.parquet(os.path.join(path, "buckets"))
+    stored = spark.read.parquet(os.path.join(path, "sigs")).select(
+        F.col(p["id_col"]).alias("match_id"), F.col("sig").alias("match_sig")
+    )
     psigs = minhash_signatures(
         probes, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
     )
@@ -133,13 +152,9 @@ def query_lsh_index(
     cand = (
         pb.join(idx, on=["band", "bucket"])
         .filter(F.col("probe_id") != F.col(p["id_col"]))
-        .select(
-            "probe_id",
-            F.col(p["id_col"]).alias("match_id"),
-            "probe_sig",
-            F.col("sig").alias("match_sig"),
-        )
+        .select("probe_id", F.col(p["id_col"]).alias("match_id"), "probe_sig")
         .dropDuplicates(["probe_id", "match_id"])
+        .join(stored, on="match_id")
     )
     est = (
         F.size(

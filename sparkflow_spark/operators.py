@@ -469,6 +469,11 @@ def chunk_documents(
             F.size(chunk).alias("n_tokens"),
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
+        # gapped sampling (stride > chunk_tokens) can place the last
+        # start exactly at n, yielding an empty slice — drop it; for
+        # stride <= chunk_tokens the predicate is always true (the last
+        # start is provably < n), so the overlap path is unchanged
+        .where(F.col("n_tokens") > 0)
     )
 
 
@@ -498,16 +503,22 @@ def table_diff(
             "table_diff needs at least one compare column (all columns are keys); "
             "a keys-only diff is a semi/anti-join question, not a change audit"
         )
-    t = target.select(*keys, *compare_cols).alias("t")
-    s = source.select(*keys, *compare_cols).alias("s")
+    # explicit presence markers, NOT key-column nullity: the join below
+    # deliberately matches NULL keys via eqNullSafe, so a row whose key
+    # IS NULL would otherwise read as "absent" on its own side and be
+    # misclassified (NULL-key row only in target → 'added' instead of
+    # 'removed'; identical NULL-key rows in both → 'added' instead of
+    # dropped). Markers are added BEFORE the alias so t.<col> refs hold.
+    t = target.select(
+        *keys, *compare_cols, F.lit(True).alias("_t_present")
+    ).alias("t")
+    s = source.select(
+        *keys, *compare_cols, F.lit(True).alias("_s_present")
+    ).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     j = t.join(s, cond, "full_outer")
-    t_present = sum(
-        (F.when(F.col(f"t.{k}").isNotNull(), 1).otherwise(0) for k in keys), F.lit(0)
-    ) > 0
-    s_present = sum(
-        (F.when(F.col(f"s.{k}").isNotNull(), 1).otherwise(0) for k in keys), F.lit(0)
-    ) > 0
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
     changed_flags = [
         (~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))).alias(f"changed_{c}")
         for c in compare_cols

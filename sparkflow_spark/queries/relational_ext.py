@@ -825,6 +825,8 @@ def q83_not_in(spark: SparkSession, sf: str) -> DataFrame:
     Spark plans the null-aware anti join; naive LEFT ANTI (which treats
     NULL as non-matching) silently gets this wrong — the single worst
     porting trap in the anti-join family, pinned cross-engine here."""
+    import uuid
+
     t = Tables(spark, sf)
     with_nulls = t.customer.select(
         F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
@@ -835,20 +837,34 @@ def q83_not_in(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     o = t.orders.select("o_custkey")
-    o.createOrReplaceTempView("_q83_orders")
-    with_nulls.createOrReplaceTempView("_q83_with_nulls")
-    no_nulls.createOrReplaceTempView("_q83_no_nulls")
-    return spark.sql(
-        """
-        SELECT
-            (SELECT COUNT(*) FROM _q83_orders
-             WHERE o_custkey NOT IN (SELECT k FROM _q83_with_nulls))
-              AS with_null_list,
-            (SELECT COUNT(*) FROM _q83_orders
-             WHERE o_custkey NOT IN (SELECT k FROM _q83_no_nulls))
-              AS without_nulls
-        """
-    )
+    # unique view names per invocation (concurrent runs on one session
+    # must not clobber each other), dropped right after spark.sql() —
+    # safe because analysis resolves views eagerly at construction, so
+    # the returned plan no longer references them
+    tag = uuid.uuid4().hex[:12]
+    names = {
+        "o": f"_q83_orders_{tag}",
+        "wn": f"_q83_with_nulls_{tag}",
+        "nn": f"_q83_no_nulls_{tag}",
+    }
+    o.createOrReplaceTempView(names["o"])
+    with_nulls.createOrReplaceTempView(names["wn"])
+    no_nulls.createOrReplaceTempView(names["nn"])
+    try:
+        return spark.sql(
+            f"""
+            SELECT
+                (SELECT COUNT(*) FROM {names["o"]}
+                 WHERE o_custkey NOT IN (SELECT k FROM {names["wn"]}))
+                  AS with_null_list,
+                (SELECT COUNT(*) FROM {names["o"]}
+                 WHERE o_custkey NOT IN (SELECT k FROM {names["nn"]}))
+                  AS without_nulls
+            """
+        )
+    finally:
+        for v in names.values():
+            spark.catalog.dropTempView(v)
 
 
 @register(

@@ -23,6 +23,29 @@ def _probes(t: Tables) -> DataFrame:
     )
 
 
+def _cosine_scored(t: Tables, extra_cols: tuple = ()) -> "DataFrame":
+    """The brute-force scoring kernel shared by s_brute_force_top1 and
+    s_knn_classify: probes broadcast against one corpus scan, cosine as
+    a JVM higher-order expression, self-matches excluded, zero-norm
+    denominators → NULL. One definition so the den-guard/tie-break
+    semantics cannot diverge between the queries built on it."""
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    p = _probes(t).select(
+        "probe_id", F.col("embedding").alias("_pvec"), l2_norm("embedding").alias("_pn")
+    )
+    c = t.embeddings.select(
+        "vec_id", *extra_cols, "embedding", l2_norm("embedding").alias("_cn")
+    )
+    den = F.col("_pn") * F.col("_cn")
+    return c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        *extra_cols,
+        F.when(den != 0, dot("_pvec", "embedding") / den).alias("cosine"),
+    )
+
+
 @register(
     "s_brute_force_top1",
     oracle=f"""
@@ -53,24 +76,11 @@ def s_brute(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-1 neighbor for 10 probes (self-match excluded).
 
     Plan shape: probes broadcast against the corpus scan, cosine as a
-    JVM higher-order expression, per-probe top-1 via window group-limit.
+    JVM higher-order expression, per-probe top-1 via window group-limit
+    (scoring kernel shared with s_knn_classify — _cosine_scored).
     """
-    from sparkflow_spark.functions.vector import dot, l2_norm
-
     t = Tables(spark, sf)
-    p = _probes(t).select(
-        "probe_id", F.col("embedding").alias("_pvec"), l2_norm("embedding").alias("_pn")
-    )
-    c = t.embeddings.select("vec_id", "embedding", l2_norm("embedding").alias("_cn"))
-    den = F.col("_pn") * F.col("_cn")
-    scored = (
-        c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.when(den != 0, dot("_pvec", "embedding") / den).alias("cosine"),
-        )
-    )
+    scored = _cosine_scored(t)
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -195,22 +205,8 @@ def s_knn(spark: SparkSession, sf: str) -> DataFrame:
     intermediate — negligible at any corpus size; the corpus-side scan
     dominates exactly as in plain top-k search.
     """
-    from sparkflow_spark.functions.vector import dot, l2_norm
-
     t = Tables(spark, sf)
-    p = _probes(t).select(
-        "probe_id", F.col("embedding").alias("_pvec"), l2_norm("embedding").alias("_pn")
-    )
-    c = t.embeddings.select(
-        "vec_id", "label", "embedding", l2_norm("embedding").alias("_cn")
-    )
-    den = F.col("_pn") * F.col("_cn")
-    scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
-        "probe_id",
-        "vec_id",
-        "label",
-        F.when(den != 0, dot("_pvec", "embedding") / den).alias("cosine"),
-    )
+    scored = _cosine_scored(t, extra_cols=("label",))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     top5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
     votes = top5.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("votes"))

@@ -265,10 +265,11 @@ def compact_parquet(
     operators.table_checksum — the order-independent checksum is
     invariant to the rewrite (pinned in tests).
     """
-    import os
-
     df = spark.read.parquet(src)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
-    return len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    # count via Spark's FS layer, not os.listdir — dest may be
+    # hdfs:///s3a:// where a local listing would raise after the
+    # rewrite already succeeded
+    return len(spark.read.parquet(dest).inputFiles())

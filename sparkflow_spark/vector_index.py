@@ -50,8 +50,8 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: st
         return pd.Series(out, dtype="int32")
 
     # NULL vectors would throw inside the Arrow batch (np.asarray(None));
-    # they carry no index information — drop them here, matching the
-    # build path's model.transform contract
+    # they carry no index information — drop them here (build and query
+    # apply the same isNotNull guard on their own inputs)
     return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -73,7 +73,7 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    feats = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("_fv"),
@@ -134,7 +134,7 @@ def query_ivf_index(
             out.append(np.argsort(d)[:n_probe_eff].astype("int32").tolist())
         return pd.Series(out)
 
-    p = probes.select(
+    p = probes.where(F.col(vec_col).isNotNull()).select(
         F.col(probe_id),
         F.col(vec_col).alias("_pvec"),
         l2_norm(vec_col).alias("_pn"),

@@ -534,3 +534,46 @@ def test_ivf_append_drops_null_vectors(spark, tmp_path):
     append_to_ivf_index(spark, path, withnull)
     ids = {r["id"] for r in spark.read.parquet(path + "/cells").select("id").collect()}
     assert 100 in ids and 101 not in ids and len(ids) == 31
+
+
+def test_table_diff_null_key_classification(spark):
+    """NULL keys match via eqNullSafe and must classify by PRESENCE,
+    not key nullity: identical NULL-key rows drop, a NULL-key row only
+    in the target is 'removed', changed NULL-key rows are 'changed'."""
+    from sparkflow_spark.operators import table_diff
+
+    tgt = spark.createDataFrame(
+        [(None, "same"), (1, "only-in-target")], "k long, v string"
+    )
+    src = spark.createDataFrame([(None, "same")], "k long, v string")
+    out = table_diff(tgt, src, keys=["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == 1 and out[0]["diff_kind"] == "removed"
+    src2 = spark.createDataFrame([(None, "CHANGED")], "k long, v string")
+    out2 = table_diff(tgt.where(F.col("k").isNull()), src2, keys=["k"]).collect()
+    assert len(out2) == 1 and out2[0]["diff_kind"] == "changed"
+
+
+def test_chunk_documents_gapped_sampling_no_empty_tail(spark):
+    """stride > chunk_tokens (gapped sampling) must not emit an empty
+    trailing chunk when the final start lands exactly at n."""
+    from sparkflow_spark.operators import chunk_documents
+
+    doc = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100)))], ["doc_id", "text"]
+    )
+    rows = chunk_documents(doc, chunk_tokens=10, stride=50).collect()
+    got = {(r["chunk_id"]): (r["n_tokens"], r["chunk_text"].split(" ")[0]) for r in rows}
+    assert got == {0: (10, "t0"), 1: (10, "t50")}  # no (2, 0, '') row
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_lsh_index_rejects_bad_bands(spark, tmp_path):
+    from sparkflow_spark.lsh_index import build_lsh_index
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bands in (0, 12, 100):
+        try:
+            build_lsh_index(docs, str(tmp_path / f"i{bands}"), bands=bands)
+            assert False, f"expected ValueError for bands={bands}"
+        except ValueError:
+            pass
