@@ -273,3 +273,28 @@ def compact_parquet(
     # hdfs:///s3a:// where a local listing would raise after the
     # rewrite already succeeded
     return len(spark.read.parquet(dest).inputFiles())
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Selective partition overwrite (idempotent backfill): rewrite ONLY
+    the partitions present in ``df``, leaving every other partition
+    untouched — Spark's dynamic partitionOverwriteMode, scoped to this
+    write instead of mutating session config.
+
+    The backfill primitive at scale: re-deriving one bad day of a
+    date-partitioned 100 TB table writes that day's directories and
+    nothing else, and re-running the same backfill converges to the
+    same state (idempotent). STATIC mode (the default) would silently
+    DELETE every partition not present in the incoming frame — the
+    classic destroyed-table incident this helper exists to prevent.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

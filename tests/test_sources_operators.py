@@ -387,3 +387,36 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert set(merged.columns) >= {"id", "v", "score"}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_overwrite_partitions_touches_only_present_ones(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one partition rewrites
+    it and leaves the others byte-identical; re-running the backfill is
+    idempotent. (Static mode would delete the absent partitions — the
+    incident class this helper prevents.)"""
+    from sparkflow_spark.operators import table_checksum
+    from sparkflow_spark.sources import overwrite_partitions
+
+    dest = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [(d, i, f"v{d}-{i}") for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, id long, v string",
+    )
+    overwrite_partitions(full, dest, ["day"])
+    d2_before = table_checksum(
+        spark.read.parquet(dest).where(F.col("day") == "d2"), ["id", "v"]
+    ).collect()[0]
+    fix = spark.createDataFrame(
+        [("d1", i, f"FIXED-{i}") for i in range(5)], "day string, id long, v string"
+    )
+    overwrite_partitions(fix, dest, ["day"])
+    overwrite_partitions(fix, dest, ["day"])  # idempotent re-run
+    back = spark.read.parquet(dest)
+    assert back.where(F.col("day") == "d1").count() == 5
+    assert back.where(F.col("day") == "d2").count() == 10
+    assert back.where(F.col("day") == "d3").count() == 10
+    d2_after = table_checksum(
+        back.where(F.col("day") == "d2"), ["id", "v"]
+    ).collect()[0]
+    assert (d2_before["n_rows"], d2_before["checksum"]) == (
+        d2_after["n_rows"], d2_after["checksum"])
