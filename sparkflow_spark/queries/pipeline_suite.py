@@ -1413,3 +1413,86 @@ def q80_multitouch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy: k-anonymity audit + DP noisy counts
+
+
+@register(
+    "q85_k_anonymity_audit",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        HAVING COUNT(*) < 25
+        ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("pipeline", "privacy", "agg"),
+)
+def q85_kanon(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment) quasi-identifier
+    pair: equivalence classes smaller than k=25 — the re-identifiable
+    groups a release pipeline must suppress or generalize. One grouped
+    count with map-side partials; output ∝ violations, not data."""
+    t = Tables(spark, sf)
+    return (
+        t.customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 25)
+        .transform(ordered, "c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q86_dp_noisy_counts",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey, COUNT(*) AS true_count FROM customer
+            GROUP BY c_nationkey),
+        u AS (
+            SELECT c_nationkey, true_count,
+                   ('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || ':dp42'), 1, 8))::UBIGINT
+                     / 4294967296.0 AS u
+            FROM c)
+        SELECT c_nationkey,
+               CAST(ROUND(true_count
+                    + CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+                           ELSE -2.0 * ln(2.0 * (1.0 - u)) END, 4) AS DOUBLE) + 0.0
+                 AS noisy_count
+        FROM u ORDER BY c_nationkey
+    """,
+    tags=("pipeline", "privacy", "agg"),
+)
+def q86_dp(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private noisy counts (Laplace mechanism,
+    sensitivity 1, ε=0.5 → scale b=2): noise = inverse-CDF of a
+    uniform variate. The variate is the md5-derived u (the q77
+    cross-engine trick) so BOTH engines produce bit-identical noise —
+    the testing mode for a DP release pipeline; production swaps the
+    hash for a real RNG and keeps everything else. No per-row data
+    leaves the aggregate: noise attaches to the 1-row-per-group
+    result."""
+    t = Tables(spark, sf)
+    c = t.customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_nationkey").cast("string"), F.lit(":dp42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    noise = F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
+        -2.0 * F.log(2.0 * (1.0 - u))
+    )
+    return c.select(
+        "c_nationkey",
+        (F.round(F.col("true_count") + noise, 4).cast("double") + F.lit(0.0)).alias(
+            "noisy_count"
+        ),
+    ).transform(ordered, "c_nationkey")
