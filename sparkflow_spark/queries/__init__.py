@@ -179,20 +179,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q40_grouped_map_applyinpandas",
     "q40_python_udtf_lateral",
     # dedup family (Q34/Q35)
-    "q34_exact_dedup_count",
+    # round-5d swap: q34_exact_dedup_count rotated out (exact dedup is
+    # ALSO exercised in-window by p_clean_corpus's dedup stage; d_* keep
+    # three dedup rows) for the persistent-IVF-index lifecycle check
+    "s_ivf_index_query",
     "d_ngram_jaccard_pairs",
     "d_near_dedup_keep",
     "d_embedding_near_dup_ann",
     # text analysis (Q36) + the end-to-end cleaning pipeline
+    # round-5d swap: t_token_count rotated out (text family keeps
+    # q36_lang_stats + p_clean_corpus + t_pii_redact in-window) for the
+    # end-to-end streaming CDC MERGE equivalence check
     "q36_lang_stats",
-    "t_token_count",
+    "st_cdc_upsert_snapshot",
     "p_clean_corpus",
     # streaming (Q37–Q39 + streaming dedup) — all four watermark queries
     # have driver records; q40_python_udtf_lateral (two sibling UDF rows
     # already in-window) moved past 50 to make room for st_sliding_counts
+    # round-5d swap: st_stream_dedup rotated out (streaming keeps five
+    # in-window rows incl. the new CDC check; its dedup semantics stay
+    # covered by the d_* family) for the deterministic hash split
     "st_tumbling_hour_counts",
     "q70_funnel_stages",
-    "st_stream_dedup",
+    "q77_hash_split",
     "st_session_counts",
     "st_stream_stream_join",
     "st_stateful_user_counts",
