@@ -298,3 +298,45 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """Resilient JSON ingest → (clean_rows, quarantine): PERMISSIVE
+    parsing with the corrupt raw line captured in a rescue column;
+    malformed records land in the quarantine frame (raw text + file)
+    instead of failing the job or silently disappearing.
+
+    The dead-letter pattern every 100 TB ingest needs: FAILFAST kills a
+    billion-row job on one bad line, DROPMALFORMED silently loses data
+    — this keeps the job running AND the evidence queryable. The split
+    is one predicate on the rescue column; both frames share the single
+    scan until the filter, so quarantining costs nothing extra.
+    """
+    ensure_runtime_configs(spark)
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    rescued = schema.add("_corrupt_record", T.StringType())
+    df = (
+        spark.read.schema(rescued)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("_source_file", F.input_file_name())
+    )
+    # Spark forbids queries that reference ONLY the corrupt column of a
+    # raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the supported
+    # pattern is caching the parsed frame, which also means the two
+    # returned frames share ONE parse of the input. Caller unpersists
+    # (or lets the ContextCleaner reclaim it) when done.
+    df = df.cache()
+    clean = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "_source_file"
+    )
+    quarantine = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw"), F.col("_source_file").alias("source_file")
+    )
+    return clean, quarantine

@@ -420,3 +420,25 @@ def test_overwrite_partitions_touches_only_present_ones(spark, tmp_path):
     ).collect()[0]
     assert (d2_before["n_rows"], d2_before["checksum"]) == (
         d2_after["n_rows"], d2_after["checksum"])
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine frame with their raw
+    text; clean rows parse fully; nothing is silently dropped."""
+    from sparkflow_spark.sources import read_json_with_quarantine
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        '{"id": 2, "v": "also ok"}\n'
+        "{this is not json}\n"
+        '{"id": "not-a-long", "v": 3}\n'
+    )
+    clean, quarantine = read_json_with_quarantine(
+        spark, str(p), "id long, v string"
+    )
+    good = sorted((r["id"], r["v"]) for r in clean.collect())
+    bad = [r["raw"] for r in quarantine.collect()]
+    assert good == [(1, "ok"), (2, "also ok")]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+    assert all(r["source_file"].endswith("in.json") for r in quarantine.collect())
