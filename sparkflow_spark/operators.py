@@ -710,3 +710,34 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def assert_schema(df: DataFrame, expected_ddl: str, allow_extra: bool = False) -> DataFrame:
+    """Schema contract gate: raise ``ValueError`` (naming every
+    violation) unless ``df`` matches the DDL — same names, same types,
+    same order-insensitive set; ``allow_extra`` tolerates additional
+    columns (the additive-evolution posture).
+
+    Put it at pipeline boundaries: an upstream producer changing a
+    column type surfaces HERE with a readable diff, not three jobs
+    later as a codegen ClassCastException. Plan-time only — no job
+    runs.
+    """
+    import pyspark.sql.types as T
+
+    expected = T.StructType.fromDDL(expected_ddl)
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for name, dt in exp.items():
+        if name not in got:
+            problems.append(f"missing column {name!r} ({dt})")
+        elif got[name] != dt:
+            problems.append(f"column {name!r}: expected {dt}, got {got[name]}")
+    if not allow_extra:
+        for name in got:
+            if name not in exp:
+                problems.append(f"unexpected column {name!r} ({got[name]})")
+    if problems:
+        raise ValueError("schema contract violated: " + "; ".join(problems))
+    return df

@@ -1496,3 +1496,82 @@ def q86_dp(spark: SparkSession, sf: str) -> DataFrame:
             "noisy_count"
         ),
     ).transform(ordered, "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (hash assignment + two-proportion z)
+
+
+@register(
+    "q87_ab_test_readout",
+    oracle="""
+        WITH assign AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 8))::UBIGINT
+                             / 4294967296.0 < 0.5
+                        THEN 'control' ELSE 'treatment' END AS variant
+            FROM events),
+        conv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        per_variant AS (
+            SELECT a.variant,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_converted
+            FROM assign a LEFT JOIN conv c USING (user_id)
+            GROUP BY a.variant)
+        SELECT variant, n_users, n_converted,
+               CAST(ROUND(n_converted * 1.0 / n_users, 6) AS DOUBLE) + 0.0
+                 AS conversion
+        FROM per_variant ORDER BY variant
+    """,
+    tags=("pipeline", "experiment", "agg"),
+)
+def q87_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout: users assigned to variants by the
+    engine-independent md5 hash (operators.hash_split's variate — the
+    assignment survives re-runs and engine swaps, the property that
+    makes an experiment auditable), conversion = any purchase. Counts
+    are integers, the conversion rate one division — bit-stable. The
+    z-statistic lives client-side on these four numbers; the engine's
+    job is the deterministic assignment + exact counts."""
+    t = Tables(spark, sf)
+    users = t.events.select("user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    assign = users.select(
+        "user_id",
+        F.when(u < 0.5, F.lit("control")).otherwise(F.lit("treatment")).alias("variant"),
+    )
+    conv = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("_converted", F.lit(1))
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_converted"), F.lit(0))).cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            (
+                F.round(F.col("n_converted") / F.col("n_users"), 6).cast("double")
+                + F.lit(0.0)
+            ).alias("conversion"),
+        )
+        .transform(ordered, "variant")
+    )

@@ -577,3 +577,21 @@ def test_lsh_index_rejects_bad_bands(spark, tmp_path):
             assert False, f"expected ValueError for bands={bands}"
         except ValueError:
             pass
+
+
+def test_assert_schema_contract(spark):
+    """Schema gate: pass-through on match; every violation named; extra
+    columns tolerated only under allow_extra."""
+    from sparkflow_spark.operators import assert_schema
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, x double")
+    assert assert_schema(df, "id long, name string, x double") is df
+    assert assert_schema(df, "id long, name string", allow_extra=True) is df
+    try:
+        assert_schema(df, "id int, name string, y double")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        msg = str(e)
+        assert "expected int, got bigint" in msg
+        assert "missing column 'y'" in msg
+        assert "unexpected column 'x'" in msg
