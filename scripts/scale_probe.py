@@ -82,6 +82,13 @@ PROBES = [
     "q71_cohort_retention",
     "q64_table_diff",
     "g_triangle_count",
+    # round-5d additions: checksum (customer+orders scans), multi-touch
+    # interval join (events), dwell-time window+percentile (events),
+    # A/B readout (events distinct+join)
+    "q79_table_checksums",
+    "q80_multitouch_attribution",
+    "q84_dwell_time_stats",
+    "q87_ab_test_readout",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
