@@ -1575,3 +1575,89 @@ def q87_ab(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionized conversion (view → purchase inside one session)
+
+
+@register(
+    "q88_session_conversion",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 21600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (
+            SELECT user_id, ts, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked),
+        v AS (
+            SELECT user_id, session_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM sid GROUP BY user_id, session_id),
+        s AS (
+            SELECT v.user_id, v.session_id,
+                   v.first_view IS NOT NULL AS has_view,
+                   MAX(CASE WHEN sid.event_type = 'purchase'
+                                 AND v.first_view IS NOT NULL
+                                 AND sid.ts > v.first_view
+                            THEN 1 ELSE 0 END) AS converted
+            FROM v JOIN sid USING (user_id, session_id)
+            GROUP BY v.user_id, v.session_id, v.first_view)
+        SELECT COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN has_view THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_view,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM s
+    """,
+    tags=("pipeline", "window", "session"),
+)
+def q88_sess_conv(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized conversion: of all 6-hour-gap sessions, how many
+    contain a view, and how many convert (a purchase strictly after the
+    session's first view). Three window/agg stages all on ONE user_id
+    partitioning (session ids, first-view, conversion flag); the
+    session split is exact integer microseconds, counts are integers —
+    bit-stable cross-engine."""
+    t = Tables(spark, sf)
+    ev = t.events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 21_600_000_000), 1).otherwise(0),
+    )
+    sid = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_id")
+    with_v = sid.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w2),
+    )
+    per_session = (
+        with_v.groupBy("user_id", "session_id", "first_view")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("first_view").isNotNull()
+                    & (F.col("ts") > F.col("first_view")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_with_view"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
