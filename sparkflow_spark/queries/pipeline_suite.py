@@ -1661,3 +1661,70 @@ def q88_sess_conv(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint").alias("n_with_view"),
         F.sum("converted").cast("bigint").alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness (rolling exact distinct users)
+
+
+@register(
+    "q89_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+            FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        wau AS (
+            SELECT d.day, COUNT(DISTINCT du.user_id) AS wau7
+            FROM days d JOIN du
+              ON du.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day),
+        dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+        SELECT dau.day, dau.dau, wau.wau7,
+               CAST(ROUND(dau.dau * 1.0 / wau.wau7, 4) AS DOUBLE) + 0.0
+                 AS stickiness
+        FROM dau JOIN wau USING (day)
+        ORDER BY day
+    """,
+    tags=("pipeline", "agg", "window"),
+)
+def q89_active(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — EXACT rolling
+    distinct (sliding distinct is not frame-aggregatable, and sketches
+    change the answer): each (day, user) pair fans out to the ≤7 window
+    days it supports, then one distinct count per window day. Fan-out
+    is a constant 7 — linear, shuffle-keyed on the window day; at
+    100 TB the (day, user) dedup is the only user-cardinality stage.
+    Stickiness is one division of exact integers."""
+    t = Tables(spark, sf)
+    du = (
+        t.events.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wday"),
+        "user_id",
+    )
+    days = du.select(F.col("day")).distinct()
+    wau = (
+        expanded.join(days, expanded["wday"] == days["day"])
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau7"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            (F.round(F.col("dau") / F.col("wau7"), 4).cast("double") + F.lit(0.0)).alias(
+                "stickiness"
+            ),
+        )
+        .transform(ordered, "day")
+    )
