@@ -118,3 +118,64 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         F.explode(F.array("ta", "tb", "tc")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation →
+    (node, community): every node repeatedly adopts the most frequent
+    label among its neighbors AND itself (self-vote damps the
+    oscillation plain synchronous LPA exhibits on bipartite structure),
+    ties to the smallest label; stops early when an iteration changes
+    nothing. Deterministic by construction — no random visit order.
+
+    Scale shape per iteration: one edge⋈labels join (labels is
+    |V| rows, edges dominate) + a (node, label) count + per-node argmax
+    window — all hash-partitioned on node; lineage is truncated every
+    ``checkpoint_every`` rounds exactly like :func:`pagerank`. Like the
+    dedup connected-components loop, iterations are driver-coordinated
+    but ALL data work is distributed.
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("s"), b.alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .unionByName(edges.select(b.alias("s"), a.alias("d")))
+        .distinct()
+    )
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("community", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("community"))
+    for i in range(max_iter):
+        neighbor_votes = (
+            und.join(labels, und["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "community")
+        )
+        votes = neighbor_votes.unionByName(labels.select("node", "community"))
+        new_labels = (
+            votes.groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

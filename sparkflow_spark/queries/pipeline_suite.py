@@ -1728,3 +1728,33 @@ def q89_active(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "day")
     )
+
+
+@register(
+    "g_label_prop_communities",
+    oracle=None,  # iterative fixpoint labels are engine-defined;
+    # synchronous-rule parity vs a python reference + determinism pinned
+    # in tests/test_graph.py
+    tags=("pipeline", "graph"),
+)
+def g_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection on the co-purchase graph (min_support=2
+    edges) — graph.label_propagation; returns community sizes (a stable
+    small summary of an engine-defined fixpoint)."""
+    from sparkflow_spark.graph import label_propagation
+
+    edges = frequent_item_pairs(
+        Tables(spark, sf).lineitem.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+        min_support=2,
+        max_basket=1000,
+    ).select("item_a", "item_b")
+    labels = label_propagation(edges, "item_a", "item_b", max_iter=5)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .transform(ordered, "community")
+    )

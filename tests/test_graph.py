@@ -56,3 +56,45 @@ def test_pagerank_duplicate_edges_collapse(spark):
     exp = _numpy_pagerank([(1, 2), (2, 1)], iters=5)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], rel=1e-9)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4 cliques joined by one bridge edge resolve into two
+    communities; result matches a python implementation of the same
+    synchronous most-frequent-neighbor-label-with-self-vote rule, and
+    repeated runs are identical (no random visit order)."""
+    from sparkflow_spark.graph import label_propagation
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = k4a + k4b + [(3, 10)]  # bridge
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+
+    # python reference: identical synchronous rule
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    lab = {n: n for n in adj}
+    for _ in range(10):
+        new = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            c[lab[n]] += 1
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            # tie → smallest label
+            topcnt = max(c.values())
+            best = min(l for l, cnt in c.items() if cnt == topcnt)
+            new[n] = best
+        if new == lab:
+            break
+        lab = new
+    assert got == lab
+    # the cliques end up internally uniform
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(10, 14)}) == 1
+    again = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert again == got
