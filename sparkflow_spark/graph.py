@@ -179,3 +179,49 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    source_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distances on an undirected graph →
+    (node, distance): distance = fewest edges from ANY source node
+    (0 for the sources themselves); unreachable nodes are absent.
+
+    Frontier-expansion as DataFrame ops: each round joins the current
+    frontier to the edge list, anti-joins already-visited nodes, and
+    unions into the visited set — per-round cost ∝ edges touched by the
+    frontier, the textbook distributed BFS. Lineage truncates every
+    round via localCheckpoint (the visited set is re-referenced each
+    iteration); stops when the frontier empties or ``max_hops``.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("s"), b.alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .unionByName(edges.select(b.alias("s"), a.alias("d")))
+        .distinct()
+    )
+    visited = sources.select(F.col(source_col).alias("node")).distinct().withColumn(
+        "distance", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, und["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

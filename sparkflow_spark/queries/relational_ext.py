@@ -906,3 +906,51 @@ def q84_dwell(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "event_type")
     )
+
+
+@register(
+    "q90_referential_integrity",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+              AS orphan_lineitems,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+              AS childless_orders,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+              AS orphan_orders
+        """,
+    tags=("relational", "integrity", "join"),
+    memo=False,  # fn runs the three audit counts eagerly per call
+)
+def q90_ri(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit: FK orphans in both directions
+    across the order graph, as three LEFT ANTI joins (each a plain
+    keyed join — NOT the NOT-IN trap q83 pins, since NOT EXISTS is
+    NULL-safe by construction). The post-load data-quality gate: three
+    counts, each shuffle-keyed, output O(1)."""
+    t = Tables(spark, sf)
+    orphan_li = t.lineitem.join(
+        t.orders.select("o_orderkey"),
+        t.lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).count()
+    childless_o = t.orders.join(
+        t.lineitem.select("l_orderkey"),
+        t.orders["o_orderkey"] == F.col("l_orderkey"),
+        "left_anti",
+    ).count()
+    orphan_o = t.orders.join(
+        t.customer.select("c_custkey"),
+        t.orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_li, childless_o, orphan_o)],
+        "orphan_lineitems bigint, childless_orders bigint, orphan_orders bigint",
+    )

@@ -98,3 +98,39 @@ def test_label_propagation_two_cliques(spark):
     assert len({got[i] for i in range(10, 14)}) == 1
     again = {r["node"]: r["community"] for r in label_propagation(df).collect()}
     assert again == got
+
+
+def test_bfs_distances_vs_python(spark):
+    """Multi-source BFS distances on a path + branch graph equal a
+    python BFS; unreachable nodes are absent; sources are distance 0."""
+    from collections import deque
+
+    from sparkflow_spark.graph import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (8, 9)]  # 8-9 disconnected
+    df = spark.createDataFrame(edges, "a long, b long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["distance"] for r in bfs_distances(df, srcs).collect()}
+
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    dist = {1: 0}
+    q = deque([1])
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    assert got == dist
+    assert 8 not in got and 9 not in got
+    # multi-source: both endpoints at distance 0, middle at 1
+    got2 = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(
+            df, spark.createDataFrame([(1,), (3,)], "node long")
+        ).collect()
+    }
+    assert got2[1] == 0 and got2[3] == 0 and got2[2] == 1 and got2[4] == 1
