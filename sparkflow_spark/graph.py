@@ -125,7 +125,6 @@ def label_propagation(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 10,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Community detection by synchronous label propagation →
     (node, community): every node repeatedly adopts the most frequent
@@ -144,12 +143,21 @@ def label_propagation(
     from pyspark.sql import Window
 
     a, b = F.col(src), F.col(dst)
+    # self-loop/NULL filter AFTER the union so BOTH orientations are
+    # cleaned (filtering only the forward branch lets (x,x) re-enter
+    # via the reversed select and double-count x's self vote)
     und = (
         edges.select(a.alias("s"), b.alias("d"))
-        .where(F.col("s") != F.col("d"))
         .unionByName(edges.select(b.alias("s"), a.alias("d")))
+        .where(
+            F.col("s").isNotNull() & F.col("d").isNotNull()
+            & (F.col("s") != F.col("d"))
+        )
         .distinct()
     )
+    # every iteration joins the same edge frame — materialize it once
+    # (the pagerank pattern); blocks are reclaimed when labels drop
+    und = und.localCheckpoint(eager=False)
     nodes = und.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("community", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("community"))
@@ -166,8 +174,11 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("node", "community")
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+        # truncate lineage EVERY round: the changed-count action below
+        # materializes the checkpoint, and the next iteration (plus the
+        # second reference in the join) reuses the blocks instead of
+        # re-running up to checkpoint_every rounds of join/agg/window
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -203,10 +214,14 @@ def bfs_distances(
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(a.alias("s"), b.alias("d"))
-        .where(F.col("s") != F.col("d"))
         .unionByName(edges.select(b.alias("s"), a.alias("d")))
+        .where(
+            F.col("s").isNotNull() & F.col("d").isNotNull()
+            & (F.col("s") != F.col("d"))
+        )
         .distinct()
     )
+    und = und.localCheckpoint(eager=False)  # reused every hop
     visited = sources.select(F.col(source_col).alias("node")).distinct().withColumn(
         "distance", F.lit(0)
     )

@@ -629,6 +629,26 @@ def sample_k_per_group(
     )
 
 
+def md5_uniform(col: Column, salt: str) -> Column:
+    """Uniform variate in [0, 1) derived from md5(col || salt) — the
+    engine-independent "randomness" primitive: md5 is bit-identical in
+    every engine (the DuckDB twin is
+    ``('0x'||substr(md5(x||salt),1,8))::UBIGINT / 2^32``), so anything
+    built on it (splits, samples, DP noise, experiment assignment) is
+    reproducible across engines, retries, and cluster layouts. NULL
+    input → NULL variate (callers decide the NULL policy). One shared
+    definition: widening the hex slice or changing the salt scheme must
+    happen HERE or the cross-engine contract silently forks."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -656,18 +676,7 @@ def hash_split(
     # NULL id → NULL split (explicit), not a silent fall-through to the
     # last bucket: md5(NULL) is NULL so u is NULL, every `u < cum` is
     # UNKNOWN, and the otherwise() branch would swallow the row
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(F.col(id_col), f":{seed}")
     names = list(fractions)
     expr = None
     cum = 0.0
@@ -729,6 +738,11 @@ def assert_schema(df: DataFrame, expected_ddl: str, allow_extra: bool = False) -
     exp = {f.name: f.dataType.simpleString() for f in expected.fields}
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     problems = []
+    # dict-keying collapses duplicates — a join can legally produce two
+    # same-named columns, which must FAIL the contract, not slip past it
+    names = [f.name for f in df.schema.fields]
+    for n in sorted({n for n in names if names.count(n) > 1}):
+        problems.append(f"duplicate column {n!r} ({names.count(n)}x)")
     for name, dt in exp.items():
         if name not in got:
             problems.append(f"missing column {name!r} ({dt})")

@@ -1473,20 +1473,11 @@ def q86_dp(spark: SparkSession, sf: str) -> DataFrame:
     hash for a real RNG and keeps everything else. No per-row data
     leaves the aggregate: noise attaches to the 1-row-per-group
     result."""
+    from sparkflow_spark.operators import md5_uniform
+
     t = Tables(spark, sf)
     c = t.customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_count"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("c_nationkey").cast("string"), F.lit(":dp42"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(F.col("c_nationkey"), ":dp42")
     noise = F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
         -2.0 * F.log(2.0 * (1.0 - u))
     )
@@ -1535,18 +1526,11 @@ def q87_ab(spark: SparkSession, sf: str) -> DataFrame:
     are integers, the conversion rate one division — bit-stable. The
     z-statistic lives client-side on these four numbers; the engine's
     job is the deterministic assignment + exact counts."""
+    from sparkflow_spark.operators import md5_uniform
+
     t = Tables(spark, sf)
     users = t.events.select("user_id").distinct()
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab1"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(F.col("user_id"), ":ab1")
     assign = users.select(
         "user_id",
         F.when(u < 0.5, F.lit("control")).otherwise(F.lit("treatment")).alias("variant"),

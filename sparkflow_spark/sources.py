@@ -319,7 +319,12 @@ def read_json_with_quarantine(
     ensure_runtime_configs(spark)
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    rescued = schema.add("_corrupt_record", T.StringType())
+    # COPY the field list: StructType.add mutates and returns the same
+    # object, which would permanently graft _corrupt_record onto the
+    # caller's schema (and duplicate it on a second call)
+    rescued = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     df = (
         spark.read.schema(rescued)
         .option("mode", "PERMISSIVE")

@@ -84,9 +84,7 @@ def test_label_propagation_two_cliques(spark):
         for n in adj:
             c = Counter(lab[m] for m in adj[n])
             c[lab[n]] += 1
-            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
-            # tie → smallest label
-            topcnt = max(c.values())
+            topcnt = max(c.values())  # tie → smallest label
             best = min(l for l, cnt in c.items() if cnt == topcnt)
             new[n] = best
         if new == lab:

@@ -595,3 +595,43 @@ def test_assert_schema_contract(spark):
         assert "expected int, got bigint" in msg
         assert "missing column 'y'" in msg
         assert "unexpected column 'x'" in msg
+
+
+def test_assert_schema_flags_duplicate_columns(spark):
+    """A join can legally produce duplicate-named columns — the gate
+    must fail them, not let dict-keying collapse the duplicates."""
+    from sparkflow_spark.operators import assert_schema
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(1, "y")], "id long, w string")
+    dup = a.join(b, a["id"] == b["id"])  # two 'id' columns
+    try:
+        assert_schema(dup, "id long, v string, w string", allow_extra=True)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "duplicate column 'id'" in str(e)
+
+
+def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from sparkflow_spark.sources import read_json_with_quarantine
+
+    p = tmp_path / "x.json"
+    p.write_text('{"id": 1}\nnot-json\n')
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    for _ in range(2):  # a second call must not see a grafted field
+        clean, quarantine = read_json_with_quarantine(spark, str(p), schema)
+        assert clean.columns == ["id"] and quarantine.count() == 1
+    assert [f.name for f in schema.fields] == ["id"]
+
+
+def test_label_propagation_ignores_self_loops(spark):
+    """A self-loop edge must not double a node's self vote: with edge
+    (2,2) present, node 2 still ties 1-vs-2 on the (1,2) bridge and
+    adopts the smaller label — the documented rule."""
+    from sparkflow_spark.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (2, 2)], "a long, b long")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert got == {1: 1, 2: 1}
