@@ -1742,3 +1742,45 @@ def g_lpa(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .transform(ordered, "community")
     )
+
+
+@register(
+    "q91_weighted_sample_md5",
+    oracle="""
+        WITH u AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':aes7'), 1, 8))::UBIGINT
+                     / 4294967296.0 AS u
+            FROM customer WHERE c_acctbal > 0),
+        ranked AS (
+            SELECT c_custkey, c_mktsegment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY -ln(u) / c_acctbal, c_custkey) AS rn
+            FROM u)
+        SELECT c_custkey, c_mktsegment FROM ranked
+        WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q91_weighted_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-proportional (Efraimidis–Spirakis A-ES) 5-per-segment
+    sample, fully ORACLE-CHECKED: the rank key -ln(u)/w uses the
+    md5_uniform variate, so DuckDB re-derives the identical exponential
+    keys and the selection hash-matches — upgrading weighted sampling
+    from the t1-only xxhash64 variant (q69). Same one-window-pass plan
+    with map-side WindowGroupLimit pruning."""
+    from sparkflow_spark.operators import md5_uniform
+
+    t = Tables(spark, sf)
+    src = t.customer.where(F.col("c_acctbal") > 0)
+    u = md5_uniform(F.col("c_custkey"), ":aes7")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        (-F.log(u) / F.col("c_acctbal")).asc(), F.col("c_custkey")
+    )
+    return (
+        src.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_custkey", "c_mktsegment")
+        .transform(ordered, "c_mktsegment", "c_custkey")
+    )

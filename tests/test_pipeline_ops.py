@@ -635,3 +635,24 @@ def test_label_propagation_ignores_self_loops(spark):
     df = spark.createDataFrame([(1, 2), (2, 2)], "a long, b long")
     got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_md5_uniform_matches_duckdb_exactly(spark):
+    """The cross-engine determinism primitive, pinned directly: 200
+    variates computed by Spark equal DuckDB's bit for bit."""
+    import duckdb
+
+    from sparkflow_spark.operators import md5_uniform
+
+    df = spark.range(0, 200).select(
+        F.col("id"), md5_uniform(F.col("id"), ":pin").alias("u")
+    )
+    got = {r["id"]: r["u"] for r in df.collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':pin'), 1, 8))::UBIGINT"
+            " / 4294967296.0 FROM range(200) t(i)"
+        ).fetchall()
+    )
+    assert got == want  # exact float equality, no tolerance
