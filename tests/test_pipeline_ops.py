@@ -656,3 +656,32 @@ def test_md5_uniform_matches_duckdb_exactly(spark):
         ).fetchall()
     )
     assert got == want  # exact float equality, no tolerance
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Coverage property: for stride <= chunk_tokens, concatenating the
+    first `stride` tokens of every chunk plus the tail of the last
+    chunk reproduces the document exactly (no token lost or duplicated
+    beyond the declared overlap)."""
+    from sparkflow_spark.operators import chunk_documents
+
+    for n in (1, 47, 48, 64, 65, 100, 112, 113, 200):
+        toks = [f"t{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        rebuilt = []
+        for i, r in enumerate(rows):
+            ctoks = r["chunk_text"].split(" ")
+            rebuilt += ctoks if i == len(rows) - 1 else ctoks[:48]
+        # the final chunk may re-cover up to (chunk-stride) tokens the
+        # previous chunk already contributed — dedupe the seam
+        assert rebuilt[-len(toks):] == toks or rebuilt == toks, n
+        # and every token index is covered at least once
+        covered = set()
+        for r in rows:
+            start = r["chunk_id"] * 48
+            covered.update(range(start, start + r["n_tokens"]))
+        assert covered == set(range(n)), n

@@ -285,3 +285,11 @@ def test_sample_k_per_group_single_exchange(spark, sf_dir):
     )
     assert plan.count("hashpartitioning(") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_dau_wau_no_cartesian(spark, sf_dir):
+    """The 7-day fan-out formulation must stay keyed — exploding to
+    window days then joining on the day key, never a range cross."""
+    plan = plan_of(spark, sf_dir, "q89_active_users")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
