@@ -1784,3 +1784,58 @@ def q91_weighted_md5(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
         .transform(ordered, "c_mktsegment", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov behavior model)
+
+
+@register(
+    "q92_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type),
+        tot AS (
+            SELECT prev_type, SUM(n) AS row_n FROM pairs GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type, p.n,
+               CAST(ROUND(p.n * 1.0 / t.row_n, 6) AS DOUBLE) + 0.0 AS prob
+        FROM pairs p JOIN tot t USING (prev_type)
+        ORDER BY prev_type, next_type
+    """,
+    tags=("pipeline", "window", "agg"),
+)
+def q92_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    and row-normalized probabilities of event-type B following A in a
+    user's timeline (event_id tiebreak = total order). One user_id
+    window + one small agg; probabilities are single divisions of
+    exact integer counts — bit-stable. The output is |types|² rows
+    regardless of corpus size."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.round(F.col("n") / F.col("row_n"), 6).cast("double") + F.lit(0.0)).alias(
+                "prob"
+            ),
+        )
+        .transform(ordered, "prev_type", "next_type")
+    )
