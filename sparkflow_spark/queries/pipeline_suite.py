@@ -1839,3 +1839,70 @@ def q92_transitions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# spend concentration (Gini coefficient per segment)
+
+
+@register(
+    "q93_spend_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_mktsegment, o.o_custkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey),
+        ranked AS (
+            SELECT c_mktsegment, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY cents, o_custkey) AS i
+            FROM spend),
+        agg AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(i * cents) AS BIGINT) AS sw
+            FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+               CAST(ROUND(2.0 * sw / (n * CAST(s AS DOUBLE))
+                          - (n + 1.0) / n, 6) AS DOUBLE) + 0.0 AS gini
+        FROM agg ORDER BY c_mktsegment
+    """,
+    tags=("pipeline", "agg", "window"),
+)
+def q93_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality/concentration metric (0 = uniform, →1 = concentrated).
+    Spend in exact integer cents, rank-weighted sums as exact BIGINTs
+    (Σi·xᵢ), so the only float ops are the two final divisions — the
+    same closed-form both engines evaluate identically. Per-segment
+    window after per-customer reduction (the q81 cardinality
+    argument)."""
+    t = Tables(spark, sf)
+    spend = (
+        t.orders.join(t.customer, t.orders["o_custkey"] == t.customer["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("sw"),
+    )
+    gini = (
+        2.0 * F.col("sw") / (F.col("n") * F.col("s").cast("double"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        (F.round(gini, 6).cast("double") + F.lit(0.0)).alias("gini"),
+    ).transform(ordered, "c_mktsegment")
