@@ -1906,3 +1906,70 @@ def q93_gini(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (F.round(gini, 6).cast("double") + F.lit(0.0)).alias("gini"),
     ).transform(ordered, "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# signup-anchored day-N retention curve
+
+
+@register(
+    "q94_retention_curve",
+    oracle="""
+        WITH signup AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        act AS (
+            SELECT DISTINCT e.user_id,
+                   datediff('day', s.d0, CAST(date_trunc('day', e.ts) AS DATE))
+                     AS day_n
+            FROM events e JOIN signup s USING (user_id)),
+        base AS (SELECT COUNT(*) AS n0 FROM signup)
+        SELECT act.day_n,
+               COUNT(*) AS n_active,
+               CAST(ROUND(COUNT(*) * 1.0 / base.n0, 6) AS DOUBLE) + 0.0
+                 AS retention
+        FROM act, base
+        WHERE act.day_n BETWEEN 0 AND 14
+        GROUP BY act.day_n, base.n0
+        ORDER BY act.day_n
+    """,
+    tags=("pipeline", "agg"),
+)
+def q94_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup-anchored retention curve: of users with a signup event,
+    the fraction active N days after their first signup (N = 0..14).
+    The anchor table is |users| rows riding a broadcast-eligible join
+    back onto the event log; day offsets are integer date arithmetic
+    and retention one division of exact counts."""
+    t = Tables(spark, sf)
+    ev = t.events
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"))
+    )
+    act = (
+        ev.join(signup, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("d0")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    n0 = signup.agg(F.count(F.lit(1)).alias("n0"))
+    return (
+        act.where(F.col("day_n").between(0, 14))
+        .groupBy("day_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(n0))
+        .select(
+            "day_n",
+            "n_active",
+            (F.round(F.col("n_active") / F.col("n0"), 6).cast("double") + F.lit(0.0)).alias(
+                "retention"
+            ),
+        )
+        .transform(ordered, "day_n")
+    )
