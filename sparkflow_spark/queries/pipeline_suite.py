@@ -1973,3 +1973,64 @@ def q94_retention(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "day_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# order fulfillment lead time
+
+
+@register(
+    "q95_fulfillment_leadtime",
+    oracle="""
+        WITH ship AS (
+            SELECT l_orderkey,
+                   MAX(CAST(date_trunc('day', l_shipdate) AS DATE)) AS last_ship
+            FROM lineitem GROUP BY l_orderkey),
+        lead AS (
+            SELECT o.o_orderpriority,
+                   datediff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                            s.last_ship) AS lead_days
+            FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(quantile_cont(lead_days, 0.5), 1) AS DOUBLE) + 0.0
+                 AS median_days,
+               CAST(ROUND(quantile_cont(lead_days, 0.95), 1) AS DOUBLE) + 0.0
+                 AS p95_days,
+               CAST(MAX(lead_days) AS BIGINT) AS max_days
+        FROM lead GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("pipeline", "agg", "percentile"),
+)
+def q95_leadtime(spark: SparkSession, sf: str) -> DataFrame:
+    """Fulfillment lead time per order priority: days from order date
+    to the LAST line shipment (the customer-visible completion),
+    summarized with exact percentiles over integer day diffs — the
+    operations-SLA readout. One per-order max + one keyed join + one
+    grouped ordered-set agg."""
+    t = Tables(spark, sf)
+    ship = t.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.date_trunc("day", "l_shipdate").cast("date")).alias("last_ship")
+    )
+    lead = t.orders.join(
+        ship, t.orders["o_orderkey"] == ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("last_ship"), F.date_trunc("day", "o_orderdate").cast("date")
+        ).alias("lead_days"),
+    )
+    return (
+        lead.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.percentile("lead_days", 0.5), 1).cast("double") + F.lit(0.0)).alias(
+                "median_days"
+            ),
+            (F.round(F.percentile("lead_days", 0.95), 1).cast("double") + F.lit(0.0)).alias(
+                "p95_days"
+            ),
+            F.max("lead_days").cast("bigint").alias("max_days"),
+        )
+        .transform(ordered, "o_orderpriority")
+    )
