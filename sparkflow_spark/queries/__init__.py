@@ -137,13 +137,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # keeps semi/anti), q21→q65_scd2_history (q19 keeps windows),
     # st_sliding_counts→q70_funnel_stages (st_tumbling/st_session keep
     # the windowed-streaming reps).
-    "q01_scan_project",
+    # round-6 rotation: twelve r5-driver-green redundant siblings move
+    # past 50 (each keeps an in-window family rep + local oracle +
+    # pytest) for twelve never-driver-checked families:
+    # q01→q71_cohort_retention (q02 keeps scan/filter/project),
+    # q07→q79_table_checksums (q06/q10/q11 keep joins),
+    # q17→q80_multitouch_attribution + q18→q89_active_users (q13+q16
+    # keep aggs/rollup/subquery shapes), q23→q90_referential_integrity
+    # (q22 keeps the topk/set-finals family),
+    # q25→q92_event_transitions + q27→q93_spend_gini (q28/q30/q36 keep
+    # scalar string/date/json exprs), q32→q94_retention_curve (q31
+    # keeps arrays/structs), tpch_q21→q95_fulfillment_leadtime
+    # (tpch_q17 keeps TPC-H decorrelation),
+    # p_pack_sequences→t_bm25_scores (p_source_mixture keeps the LLM
+    # sampling/packing family), q40_python_udtf_lateral→
+    # a_frequent_item_pairs (q40_grouped_map + m02 keep Python-UDF
+    # surfaces), st_stream_stream_join→q60_merge_upsert (five streaming
+    # rows remain in-window incl. the CDC MERGE equivalence).
+    # round-6b (graph t2 upgrade): g_triangle_count / d_near_dedup_keep
+    # / s_knn_classify (all r5-driver-green; dedup keeps d_ngram +
+    # d_embedding_ann, similarity keeps s_brute_force + s_ivf) rotate
+    # out for the three newly oracle-backed graph fixpoints
+    # g_pagerank_top / g_lpa_communities / g_bfs_depths (recursive-CTE
+    # DuckDB oracles — the r5 verdict's t1→t2 ask).
+    "q71_cohort_retention",
     "q02_filter_and",
     "p_chunk_documents",
-    "g_triangle_count",
+    "g_pagerank_top",
     "q06_multiway_join",
-    "q07_left_outer_join",
-    "s_knn_classify",
+    "q79_table_checksums",
+    "g_lpa_communities",
     "q10_left_anti_join",
     "q11_theta_join",
     "q13_hash_agg_tpch_q1",
@@ -154,37 +177,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "c_contamination",
     "q15_approx_within_5pct",
     "q16_rollup",
-    "q17_having",
-    "q18_scalar_subquery",
+    "q80_multitouch_attribution",
+    "q89_active_users",
     "q19_window_topk_per_group",
     "q65_scd2_history",
     "q22_topk_global",
-    "q23_union_distinct",
-    "q25_string_functions",
-    "q27_date_trunc_group",
+    "q90_referential_integrity",
+    "q92_event_transitions",
+    "q93_spend_gini",
     "q28_math_functions",
     "q30_json_extract",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_supplier",
+    "q95_fulfillment_leadtime",
     "p_source_mixture",
-    "p_pack_sequences",
+    "t_bm25_scores",
     # array / struct / UDF families (Q31/Q32/Q40)
     "q31_array_dot_norm",
-    "q32_struct_map_access",
+    "q94_retention_curve",
     # round-5 swap #2: q40_pandas_udf_scalar rotated out (the scalar
     # pandas_udf path stays driver-covered via m02_linear_inference;
     # grouped-map + UDTF keep their rows) for PII redaction
     "t_pii_redact",
     "q40_grouped_map_applyinpandas",
-    "q40_python_udtf_lateral",
+    "a_frequent_item_pairs",
     # dedup family (Q34/Q35)
     # round-5d swap: q34_exact_dedup_count rotated out (exact dedup is
     # ALSO exercised in-window by p_clean_corpus's dedup stage; d_* keep
     # three dedup rows) for the persistent-IVF-index lifecycle check
     "s_ivf_index_query",
     "d_ngram_jaccard_pairs",
-    "d_near_dedup_keep",
+    "g_bfs_depths",
     "d_embedding_near_dup_ann",
     # text analysis (Q36) + the end-to-end cleaning pipeline
     # round-5d swap: t_token_count rotated out (text family keeps
@@ -203,7 +226,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q70_funnel_stages",
     "q77_hash_split",
     "st_session_counts",
-    "st_stream_stream_join",
+    "q60_merge_upsert",
     "st_stateful_user_counts",
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
     "s_brute_force_top1",
@@ -228,6 +251,7 @@ def load_all() -> dict[str, Query]:
         multimodal_suite,
         ml_suite,
         pipeline_suite,
+        graph_suite,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
