@@ -95,11 +95,20 @@ def build_lsh_index(
         "seed": seed,
     }
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    # the signature pandas stage feeds two writers; materialize once
+    # the signature pandas stage feeds two writers; materialize once.
+    # WRITE ORDER CONTRACT (here and in append_to_lsh_index): sigs/
+    # BEFORE buckets/. The two writes are separate jobs, not a
+    # transaction — a failure between them must leave the index
+    # QUERY-CONSISTENT. query_lsh_index inner-joins bucket candidates
+    # against sigs/ on match_id, so a stored signature with no bucket
+    # rows is merely unreachable (re-run the append to repair), while a
+    # bucket row with no signature would be SILENTLY DROPPED from every
+    # candidate list — permanent recall loss. Writing sigs first makes
+    # the failure mode the recoverable one.
     sigs = sigs.localCheckpoint(eager=False)
     out = _banded(sigs, num_hashes, bands, id_col).drop("sig")
-    out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
     with open(os.path.join(path, _PARAMS_FILE), "w") as f:
         json.dump(params, f)
 
@@ -113,15 +122,46 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
     """Index the NEW docs only (O(delta) signature work) using the
     STORED params; appends to the bucket table. Caller guarantees new
     ids are disjoint from indexed ids (enforce upstream with
-    operators.merge_upsert semantics if re-indexing changed docs)."""
+    operators.merge_upsert semantics if re-indexing changed docs).
+
+    Partial-append failure mode (two non-atomic jobs): sigs/ is written
+    FIRST — see the write-order contract in build_lsh_index. A crash
+    between the writes leaves orphan signatures (unreachable, repaired
+    by re-running the append with the same delta — the bucket rows are
+    a pure function of the stored signature, and `reconcile_lsh_index`
+    re-derives exactly the missing ones), never bucket rows whose
+    candidates would silently drop from query joins."""
     p = load_params(path)
     sigs = minhash_signatures(
         new_df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
     )
     sigs = sigs.localCheckpoint(eager=False)
     out = _banded(sigs, p["num_hashes"], p["bands"], p["id_col"]).drop("sig")
-    out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
+
+
+def reconcile_lsh_index(spark: SparkSession, path: str) -> int:
+    """Repair an index left inconsistent by a crash between the two
+    append jobs: find stored signatures with no bucket rows (the only
+    inconsistency the sigs-first write order permits) and re-derive
+    their bucket rows. Returns the number of orphan docs repaired.
+    O(index) scan of ids — an offline maintenance pass, not a hot-path
+    operator; the banding is recomputed from the stored signature, so
+    repair needs no access to the original text."""
+    p = load_params(path)
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    orphans = sigs.join(
+        buckets.select(p["id_col"]).distinct(), on=p["id_col"], how="left_anti"
+    )
+    n = orphans.count()
+    if n:
+        out = _banded(orphans, p["num_hashes"], p["bands"], p["id_col"]).drop("sig")
+        out.write.mode("append").partitionBy("band").parquet(
+            os.path.join(path, "buckets")
+        )
+    return n
 
 
 def query_lsh_index(

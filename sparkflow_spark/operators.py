@@ -424,12 +424,21 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 64,
     stride: int = 48,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap →
     (doc_id, chunk_id, n_tokens, chunk_text). The core pre-training /
     RAG chunking op: ``chunk_tokens``-token windows starting every
     ``stride`` tokens (overlap = chunk_tokens - stride), last window
     ragged, empty docs dropped.
+
+    ``preserve_case=False`` (default) LOWERCASES the text before
+    tokenizing — chunk_text is case-folded relative to the source
+    document (the dedup/normalization posture, and what the registry
+    oracle pins). Pass ``preserve_case=True`` for RAG/display chunking
+    where the original casing must survive; token boundaries are
+    whitespace either way, so chunk counts and offsets are identical
+    between the two modes.
 
     Spark shape: tokenize once (whitespace split), derive the chunk
     count as a pure expression, ``explode(sequence(...))`` the chunk
@@ -441,9 +450,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
-    )
+    text = F.trim(F.col(text_col))
+    if not preserve_case:
+        text = F.lower(text)
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != "")
     n = F.size(toks)
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks"), n.alias("_n")
@@ -600,6 +610,11 @@ def sample_k_per_group(
     sample is stable under retries, task re-execution, AND cluster
     resizing — properties per-partition ``rand()`` cannot give, and the
     reason this formulation is the 100 TB-safe one.
+
+    Determinism contract: ``key_cols`` must uniquely identify rows.
+    Ties (duplicate key tuples or hash collisions) are broken by
+    ``key_cols`` order, so only rows IDENTICAL in every key column
+    remain interchangeable at the k-th slot.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -620,7 +635,18 @@ def sample_k_per_group(
         w = F.col(weight_col).cast("double")
         rank_key = -F.log(u) / w
         src = df.where(w.isNotNull() & (w > 0))
-    win = Window.partitionBy(group_col).orderBy(F.col("_rk").asc())
+    # key_cols as tie-breakers after _rk: when key_cols tuples repeat
+    # (duplicate rows) or xxhash64 collides, tied _rk values would make
+    # row_number partition-layout dependent — the determinism contract
+    # would break SILENTLY across retries/resizes. With the tie-break,
+    # determinism degrades only for rows that are FULLY identical in
+    # (key_cols) — document: key_cols should uniquely identify rows for
+    # a fully deterministic sample; exact duplicates tie and either may
+    # win the k-th slot (they are interchangeable rows anyway unless
+    # non-key columns differ).
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_rk").asc(), *[F.col(c) for c in key_cols]
+    )
     return (
         src.withColumn("_rk", rank_key)
         .withColumn("_rn", F.row_number().over(win))
@@ -699,11 +725,21 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     re-derives it bit-for-bit) and compare two scalars instead of
     re-reading either table twice.
 
-    Canonical form: each column CAST to string, NULL → the '<NULL>'
-    sentinel, joined with '|'. Floating-point columns are the caller's
-    responsibility (engines format doubles differently — round and cast
-    to DECIMAL/string first); the checksum contract is for
-    int/string/date/decimal columns.
+    Canonical form (INJECTIVE — round-6 advice fix): each column CAST
+    to string and encoded as ``<charlen>:<value>``, or the bare token
+    ``N`` for NULL, fields joined with '|'. The length prefix makes the
+    row encoding unambiguous even when values contain '|' or ':' (the
+    parse is forced to consume exactly ``charlen`` characters), and
+    ``N`` cannot collide with any value encoding (values always carry a
+    length prefix) — the previous '<NULL>'-sentinel/bare-join form let
+    ('a|b','c') and ('a','b|c') checksum equal. Floating-point columns
+    remain the caller's responsibility (engines format doubles
+    differently — round and cast to DECIMAL/string first); the
+    checksum contract is for int/string/date/decimal columns.
+
+    DuckDB twin of the encoding (oracle parity, q79_table_checksums):
+    ``CASE WHEN x IS NULL THEN 'N' ELSE length(CAST(x AS VARCHAR)) ||
+    ':' || CAST(x AS VARCHAR) END``.
 
     Commutative+associative accumulation means partial aggregation is
     map-side and the whole check is ONE scan with a 1-row result,
@@ -711,9 +747,14 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("table_checksum needs at least one column")
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
-    )
+
+    def enc(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canon = F.concat_ws("|", *[enc(c) for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -1304,17 +1304,28 @@ def q78_md5_sample(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
                CAST(SUM(('0x' || substr(md5(
-                   COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') || '|' ||
-                   COALESCE(c_name, '<NULL>') || '|' ||
-                   COALESCE(c_mktsegment, '<NULL>')), 1, 8))::UBIGINT::HUGEINT)
+                   (CASE WHEN c_custkey IS NULL THEN 'N'
+                         ELSE length(CAST(c_custkey AS VARCHAR)) || ':'
+                              || CAST(c_custkey AS VARCHAR) END) || '|' ||
+                   (CASE WHEN c_name IS NULL THEN 'N'
+                         ELSE length(c_name) || ':' || c_name END) || '|' ||
+                   (CASE WHEN c_mktsegment IS NULL THEN 'N'
+                         ELSE length(c_mktsegment) || ':' || c_mktsegment END)
+                   ), 1, 8))::UBIGINT::HUGEINT)
                    AS VARCHAR) AS checksum
         FROM customer
         UNION ALL
         SELECT 'orders', COUNT(*),
                CAST(SUM(('0x' || substr(md5(
-                   COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
-                   COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
-                   COALESCE(o_orderstatus, '<NULL>')), 1, 8))::UBIGINT::HUGEINT)
+                   (CASE WHEN o_orderkey IS NULL THEN 'N'
+                         ELSE length(CAST(o_orderkey AS VARCHAR)) || ':'
+                              || CAST(o_orderkey AS VARCHAR) END) || '|' ||
+                   (CASE WHEN o_custkey IS NULL THEN 'N'
+                         ELSE length(CAST(o_custkey AS VARCHAR)) || ':'
+                              || CAST(o_custkey AS VARCHAR) END) || '|' ||
+                   (CASE WHEN o_orderstatus IS NULL THEN 'N'
+                         ELSE length(o_orderstatus) || ':' || o_orderstatus END)
+                   ), 1, 8))::UBIGINT::HUGEINT)
                    AS VARCHAR)
         FROM orders
         ORDER BY tbl

@@ -117,10 +117,22 @@ def query_ivf_index(
     n_probe: int = 4,
     probe_id: str = "probe_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors from the index → (probe_id, id, cosine,
     rnk): each probe explodes to its n_probe nearest cells, the cell
-    join prunes the scan to those partitions, exact re-rank inside."""
+    join prunes the scan to those partitions, exact re-rank inside.
+
+    ``broadcast_probes`` (round-6 advice fix): the probe side is
+    exploded n_probe-way CARRYING FULL VECTORS, so an unconditional
+    broadcast blows the driver/broadcast threshold for a large probe
+    batch even though the API accepts an arbitrary DataFrame. Default
+    ``None`` decides from the probe plan's size estimate (parquet
+    footer stats / plan-time sizeInBytes — free, no job): broadcast
+    only when the PRE-explosion estimate × n_probe stays under 64 MiB,
+    else fall back to a shuffled hash join on ``cell``. Pass
+    True/False to pin either strategy (True is the interactive
+    small-probe-batch fast path; False is the bulk re-scoring path)."""
     centroids = load_centroids(path)
     cells = spark.read.parquet(os.path.join(path, "cells"))
     n_probe_eff = min(n_probe, centroids.shape[0])
@@ -140,8 +152,20 @@ def query_ivf_index(
         l2_norm(vec_col).alias("_pn"),
         F.explode(nearest_cells(F.col(vec_col))).alias("cell"),
     )
+    if broadcast_probes is None:
+        est = int(
+            str(probes._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        # the unknown-stats sentinel (defaultSizeInBytes = Long.MaxValue)
+        # must NOT read as "huge": an in-memory probe frame without
+        # stats is far more likely a handful of vectors — but guessing
+        # wrong there OOMs the driver, so treat unknown as NOT
+        # broadcastable and let AQE convert the shuffled join back to a
+        # broadcast at runtime if the built side turns out tiny.
+        broadcast_probes = est < (64 << 20) // max(n_probe_eff, 1)
     den = F.col("_pn") * F.col("norm")
-    scored = cells.join(F.broadcast(p), on="cell").select(
+    probe_side = F.broadcast(p) if broadcast_probes else p
+    scored = cells.join(probe_side, on="cell").select(
         probe_id,
         "id",
         F.when(den != 0, dot("_pvec", "vec") / den).alias("cosine"),

@@ -109,3 +109,35 @@ def test_stream_maintained_index_equals_batch_build(spark, tmp_path):
     b = sorted(map(tuple, spark.read.parquet(stream_idx + "/buckets")
                    .select("doc_id", "band", "bucket").collect()))
     assert a == b and len(a) == 40 * 16
+
+
+def test_reconcile_repairs_partial_append(spark, tmp_path):
+    """Crash-between-writes repair (round-6 advice): sigs/ lands before
+    buckets/, so a partial append leaves ORPHAN signatures (unreachable,
+    recall intact) — never bucket rows whose candidates would silently
+    drop. reconcile_lsh_index re-derives the missing bucket rows from
+    the stored signatures and the repaired index equals a full build."""
+    from sparkflow_spark.lsh_index import reconcile_lsh_index
+    from sparkflow_spark.dedup import minhash_signatures
+    import os
+
+    path = str(tmp_path / "idx")
+    docs = _docs(spark, 0, 40)
+    build_lsh_index(docs.filter(F.col("doc_id") < 30), path)
+    # simulate the crash: delta signatures written, bucket job never ran
+    p = load_params(path)
+    delta = docs.filter(F.col("doc_id") >= 30)
+    minhash_signatures(
+        delta, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
+    ).write.mode("append").parquet(os.path.join(path, "sigs"))
+
+    assert reconcile_lsh_index(spark, path) == 10
+    assert reconcile_lsh_index(spark, path) == 0  # idempotent
+
+    ref = str(tmp_path / "ref")
+    build_lsh_index(docs, ref)
+    a = sorted(map(tuple, spark.read.parquet(path + "/buckets")
+                   .select("doc_id", "band", "bucket").collect()))
+    b = sorted(map(tuple, spark.read.parquet(ref + "/buckets")
+                   .select("doc_id", "band", "bucket").collect()))
+    assert a == b

@@ -685,3 +685,22 @@ def test_chunk_documents_reconstruction_property(spark):
             start = r["chunk_id"] * 48
             covered.update(range(start, start + r["n_tokens"]))
         assert covered == set(range(n)), n
+
+
+def test_table_checksum_canonical_form_is_injective(spark):
+    """Round-6 advice fix: the length-prefixed field encoding makes
+    rows containing the separator or a NULL-lookalike value distinct —
+    ('a|b','c') vs ('a','b|c'), and NULL vs the literal strings 'N' /
+    '<NULL>', must all checksum differently."""
+    from sparkflow_spark.operators import table_checksum
+
+    def ck(rows):
+        df = spark.createDataFrame(rows, "x string, y string")
+        return table_checksum(df, ["x", "y"]).collect()[0]["checksum"]
+
+    assert ck([("a|b", "c")]) != ck([("a", "b|c")])
+    assert ck([(None, "c")]) != ck([("N", "c")])
+    assert ck([(None, "c")]) != ck([("<NULL>", "c")])
+    assert ck([("1:a", "c")]) != ck([("1", ":a|c")])
+    # order independence still holds
+    assert ck([("a", "b"), ("c", "d")]) == ck([("c", "d"), ("a", "b")])

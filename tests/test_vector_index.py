@@ -89,3 +89,28 @@ def test_cell_occupancy_monitor(spark, tmp_path):
     build_ivf_index(_vecs(spark, 0, 80), path, n_centroids=4)
     occ = {r["cell"]: r["n"] for r in cell_occupancy(spark, path).collect()}
     assert sum(occ.values()) == 80 and len(occ) >= 2
+
+
+def test_query_shuffled_join_fallback_matches_broadcast(spark, tmp_path):
+    """Round-6 advice fix: broadcast_probes=False routes the cell join
+    through a shuffled hash join (the bulk re-scoring path for probe
+    batches too large to broadcast) and returns exactly the broadcast
+    path's results; the default picks a strategy from plan-size stats
+    without erroring either way."""
+    path = str(tmp_path / "idx")
+    vecs = _vecs(spark, 0, 80)
+    build_ivf_index(vecs, path, n_centroids=4)
+    probes = vecs.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    def rows(**kw):
+        return sorted(
+            (r["probe_id"], r["id"], r["rnk"])
+            for r in query_ivf_index(spark, path, probes, k=3, n_probe=2, **kw).collect()
+        )
+
+    bcast = rows(broadcast_probes=True)
+    shuffled = rows(broadcast_probes=False)
+    auto = rows()
+    assert bcast == shuffled == auto and len(bcast) > 0
