@@ -82,6 +82,7 @@ def stream_merge_to_parquet(
     keys: list[str],
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
+    batch_listener=None,
 ) -> str:
     """Streaming CDC/upsert sink: maintain a keyed parquet table where
     each micro-batch MERGEs (last-write-wins per key) into the previous
@@ -114,6 +115,15 @@ def stream_merge_to_parquet(
     logic. The dedup-within-batch is a per-key window, keyed shuffle of
     the (small) delta only.
 
+    ``batch_listener`` (optional ``Callable[[int], None]``) is invoked
+    with the batch id BEFORE each merge — an observability hook for
+    metrics/logging. An exception it raises fails the query mid-stream
+    exactly like an executor-side fault, which is also how the
+    checkpoint-recovery test simulates a crash: committed batches stay
+    committed, the in-flight batch replays on restart (same batch id,
+    same file set from the offset log) and deterministically overwrites
+    its own ``v=N``.
+
     Returns the path of the final version directory.
     """
     from pyspark.sql import Window
@@ -124,6 +134,8 @@ def stream_merge_to_parquet(
         checkpoint_dir = os.path.join(path, "_checkpoint")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_listener is not None:
+            batch_listener(batch_id)
         spark = batch_df.sparkSession
         cols = batch_df.columns
         ver_dir = os.path.join(path, f"v={batch_id}")
