@@ -94,6 +94,60 @@ PROBES = [
 # Tables the probe queries never touch are symlinked, not rewritten.
 COPY_AS_IS = ("region", "nation", "supplier", "part")
 
+# --skew mode (round-6): the uniform key-shift keeps every key's mass
+# constant; real corpora are Zipfian. The skew variant plants ONE hot
+# key carrying ~10% of total mass in each window-heavy domain (plus a
+# boilerplate shingle in ~30% of docs — above the d_ngram frequency
+# cap, which must drop it) and compares steady-state wall clock against
+# the uniform variant at the same scale. Expected behavior, recorded in
+# SCALE.md: window operators (q19/sessionize/conversion/dwell) CANNOT
+# be AQE-split on a hot PARTITION BY key — one task owns the hot key's
+# 10% — so wall clock degrades by at most that serial fraction, not
+# collapse; d_ngram must stay flat because the cap filter drops the
+# planted stop-shingle before any pair is built.
+HOT_CUST = 55_555_555
+HOT_USER = 77_777_777
+SKEW_PROBES = [
+    "q19_window_topk_per_group",
+    "q61_sessionize",
+    "q88_session_conversion",
+    "q84_dwell_time_stats",
+    "d_ngram_jaccard_pairs",
+]
+
+
+def generate_skew(spark, src_dir: str, dest: str) -> None:
+    """Skewed twin of a generated dir: ~10% of orders to one customer,
+    ~10% of events to one user, a hot 3-token shingle into ~30% of
+    docs. Deterministic row selection (key mod 10) so reruns agree."""
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    for name in ("region", "nation", "supplier", "part", "customer",
+                 "lineitem", "embeddings"):
+        os.symlink(os.path.realpath(table_path(src_dir, name)),
+                   table_path(dest, name))
+    orders = spark.read.parquet(table_path(src_dir, "orders"))
+    orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(HOT_CUST))
+        .otherwise(F.col("o_custkey")),
+    ).write.mode("overwrite").parquet(table_path(dest, "orders"))
+    events = spark.read.parquet(table_path(src_dir, "events"))
+    events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(HOT_USER))
+        .otherwise(F.col("user_id")),
+    ).write.mode("overwrite").parquet(table_path(dest, "events"))
+    docs = spark.read.parquet(table_path(src_dir, "documents"))
+    docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.col("text"), F.lit(" hotaa hotbb hotcc")),
+        ).otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(table_path(dest, "documents"))
+
 
 def _scaled(df, m: int, shift):
     """Union m key-shifted copies of df. shift(df, i) -> DataFrame."""
@@ -180,11 +234,43 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--keep", action="store_true", help="keep generated parquet")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run the Zipfian hot-key comparison (uniform vs skewed at "
+        "the largest scale) instead of the uniform sweep",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
     spark = build_session(app_name="scale_probe")
     registry = load_all()
+
+    if args.skew:
+        m = scales[-1]
+        uni = os.path.join(WORK, f"x{m}")
+        skw = os.path.join(WORK, f"x{m}skew")
+        print(f"# generating x{m} + skewed twin", file=sys.stderr)
+        generate(spark, m, uni)
+        generate_skew(spark, uni, skw)
+        for name in SKEW_PROBES:  # warm shapes on the uniform dir
+            registry[name].fn(spark, uni).write.format("noop").mode("overwrite").save()
+        rows = []
+        for name in SKEW_PROBES:
+            ru = run_probe(spark, registry, name, uni)
+            rs = run_probe(spark, registry, name, skw)
+            print(json.dumps({"query": name, "scale": m, "uniform": ru, "skewed": rs}))
+            rows.append((name, ru, rs))
+        print(f"\n| query (x{m}) | uniform steady (s) | skewed steady (s) | skew/uniform |")
+        print("|---|---|---|---|")
+        for name, ru, rs in rows:
+            r = rs["steady"] / max(ru["steady"], 1e-9)
+            print(f"| {name} | {ru['steady']:.2f} | {rs['steady']:.2f} | {r:.2f}x |")
+        inv = check_invariants(spark, registry, skw)
+        print(json.dumps({"invariants_at_skew": inv}))
+        if not args.keep:
+            shutil.rmtree(WORK, ignore_errors=True)
+        return 0 if all(inv.values()) else 1
 
     dirs = {}
     for m in scales:
