@@ -159,10 +159,13 @@ class HogwildSparkModel:
     def __init__(self, *args, **kwargs):
         raise NotImplementedError(
             "HogwildSparkModel's per-iteration HTTP parameter server is "
-            "replaced by DistributedDL (synchronous partition-local training "
-            "with sample-weighted averaging). Use DistributedDL / the "
-            "SparkAsyncDL shim; loss observation is available via "
-            "lossCallback(loss, epoch, partition_id)."
+            "replaced by DistributedDL. Two modes cover the design space: "
+            "trainingMode='average' (per-epoch partition-local SGD with "
+            "sample-weighted averaging) and trainingMode='allreduce' "
+            "(per-step tree-aggregated exact global gradients — the "
+            "no-staleness semantics Hogwild's fresh-weight polling was "
+            "after, without the driver round-trips). Loss observation is "
+            "available via lossCallback(loss, epoch, partition_id)."
         )
 
 

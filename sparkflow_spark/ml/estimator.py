@@ -108,6 +108,18 @@ class DistributedDL(
         "uniform without-replacement sample of miniBatchSize rows (reference "
         "HogwildSparkModel.py:62-67, ml_util.py:104-127 third branch)",
         typeConverter=TypeConverters.toInt)
+    trainingMode = Param(
+        Params._dummy(), "trainingMode",
+        "'average' (default): one job per epoch, localIters local passes per "
+        "partition, sample-weighted model averaging — the local-SGD family. "
+        "'allreduce': one job per STEP, gradients tree-aggregated to an exact "
+        "global mean and applied by a driver-held optimizer — synchronous "
+        "data-parallel SGD, numerically equivalent to single-node training on "
+        "the union of the data (the idiomatic Spark stand-in for the "
+        "reference's asynchronous Hogwild mode, reference "
+        "HogwildSparkModel.py:103-272: same convergence-fidelity goal, no "
+        "parameter server, no stale gradients)",
+        typeConverter=TypeConverters.toString)
 
     @keyword_only
     def __init__(
@@ -128,6 +140,7 @@ class DistributedDL(
         unsupervised: bool = False,
         seed: int = 42,
         verbose: bool = False,
+        trainingMode: str = "average",
         lossCallback=None,
     ):
         super().__init__()
@@ -136,7 +149,7 @@ class DistributedDL(
             networkSpec="", tfOptimizer="adam", tfLearningRate=0.01, iters=10,
             localIters=10, miniBatchSize=-1, miniStochasticIters=-1, partitions=-1,
             shufflePerIter=False, optimizerOptions="{}", unsupervised=False, seed=42,
-            verbose=False,
+            verbose=False, trainingMode="average",
         )
         kwargs = dict(self._input_kwargs)
         # a callable is not Param-serializable — held as a plain attribute
@@ -179,6 +192,17 @@ class DistributedDL(
             )
         if parts > 0:
             train_df = train_df.coalesce(parts)
+
+        mode = self.getOrDefault(self.trainingMode)
+        if mode not in ("average", "allreduce"):
+            raise ValueError(
+                f"trainingMode must be 'average' or 'allreduce', got {mode!r}"
+            )
+        if mode == "allreduce":
+            return self._fit_allreduce(
+                train_df, spec, opt_name, lr, opt_options,
+                epochs, local_iters, batch, unsup, seed, verbose,
+            )
 
         model = make_network({**spec, "seed": seed})
         weights = model.get_weights()
@@ -276,6 +300,143 @@ class DistributedDL(
             modelWeights=model.weights_to_json(),
         )
         return fitted
+
+    def _fit_allreduce(
+        self, train_df, spec, opt_name, lr, opt_options,
+        epochs, local_iters, batch, unsup, seed, verbose,
+    ) -> "DistributedDLModel":
+        """Synchronous data-parallel SGD: one Spark job per STEP.
+
+        Each step broadcasts the current weights, every partition
+        computes the mean gradient over its rows (or a seeded
+        minibatch), and ``treeAggregate`` reduces the n-weighted mean —
+        the EXACT global gradient, so with the optimizer state held on
+        the driver the trajectory is numerically equivalent (up to
+        float summation order) to single-node full-batch training on
+        the union of the data. This is the idiomatic-Spark answer to
+        the reference's Hogwild mode (reference
+        HogwildSparkModel.py:103-272): the async design bought gradient
+        freshness with a driver HTTP parameter server hit per
+        iteration; tree aggregation gets the same no-staleness
+        semantics in O(log P) combine depth with zero driver polling.
+
+        Trade-off vs the default 'average' mode (measured in SCALE.md):
+        per-step scheduling overhead × (epochs·localIters) jobs, against
+        exact-gradient convergence; 'average' amortizes one job over
+        localIters local passes but its averaged model drifts from the
+        true loss surface between syncs. Prefer allreduce for small/
+        medium models where steps are gradient-bound; prefer averaging
+        when scheduling dominates (many cheap steps) or partitions are
+        data-homogeneous. Dropout requires per-partition RNG state that
+        would break the single-node equivalence contract — rejected
+        loudly. Arrow → numpy conversion happens ONCE: partitions are
+        pre-blocked into numpy arrays and persisted, steps re-read the
+        blocks, not the DataFrame.
+        """
+        from pyspark import StorageLevel
+
+        model = make_network({**spec, "seed": seed})
+        if getattr(model, "dropout", None) is not None:
+            raise ValueError(
+                "trainingMode='allreduce' computes deterministic global "
+                "gradients; dropout would need per-partition RNG that breaks "
+                "the single-node-equivalence contract. Use "
+                "trainingMode='average' for dropout networks."
+            )
+        weights = model.get_weights()
+        sc = train_df.sparkSession.sparkContext
+        spec_json = json.dumps({**spec, "seed": seed})
+
+        def to_block(rows):
+            rows = list(rows)
+            if not rows:
+                return
+            X = np.asarray([r["_x"] for r in rows], dtype=np.float64)
+            Y = X if unsup else np.asarray(
+                [r["_y"] for r in rows], dtype=np.float64
+            ).reshape(-1, 1)
+            yield (X, Y)
+
+        blocks = train_df.rdd.mapPartitions(to_block).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        opt = build_optimizer(opt_name, lr, opt_options)
+        try:
+            for epoch in range(epochs):
+                epoch_loss = None
+                for step in range(local_iters):
+                    bc = sc.broadcast(json.dumps([w.tolist() for w in weights]))
+                    step_seed = seed + (epoch * local_iters + step) * 7919
+
+                    def grad_of(blk):
+                        from pyspark import TaskContext
+
+                        X, Y = blk
+                        n = X.shape[0]
+                        if batch >= 1 and batch < n:
+                            ctx = TaskContext.get()
+                            pid = ctx.partitionId() if ctx is not None else 0
+                            rng = np.random.default_rng(step_seed + pid)
+                            idx = rng.choice(n, size=batch, replace=False)
+                            X, Y = X[idx], Y[idx]
+                            n = batch
+                        local = make_network(json.loads(spec_json))
+                        local.set_weights(
+                            [np.asarray(w) for w in json.loads(bc.value)]
+                        )
+                        g = local.gradients(X, Y, None)
+                        return ([gi * n for gi in g], n, local.loss_value(X, Y) * n)
+
+                    def seq(acc, blk):
+                        g, n, ls = grad_of(blk)
+                        if acc is None:
+                            return (g, n, ls)
+                        return (
+                            [a + b for a, b in zip(acc[0], g)],
+                            acc[1] + n,
+                            acc[2] + ls,
+                        )
+
+                    def comb(a, b):
+                        if a is None:
+                            return b
+                        if b is None:
+                            return a
+                        return (
+                            [x + y for x, y in zip(a[0], b[0])],
+                            a[1] + b[1],
+                            a[2] + b[2],
+                        )
+
+                    agg = blocks.treeAggregate(None, seq, comb)
+                    bc.destroy()
+                    if agg is None:
+                        raise ValueError(
+                            "allreduce training saw an empty dataset"
+                        )
+                    gsum, total, loss_sum = agg
+                    weights = opt.apply(
+                        weights, [g / float(total) for g in gsum]
+                    )
+                    epoch_loss = loss_sum / float(total)
+                cb = getattr(self, "_loss_callback", None)
+                if cb is not None:
+                    cb(epoch_loss, epoch, -1)
+                if verbose:
+                    print(
+                        f"[DistributedDL allreduce] epoch {epoch + 1}/{epochs} "
+                        f"loss={epoch_loss:.6f}"
+                    )
+        finally:
+            blocks.unpersist(blocking=False)
+
+        model.set_weights(weights)
+        return DistributedDLModel(
+            inputCol=self.getOrDefault(self.inputCol),
+            predictionCol=self.getOrDefault(self.predictionCol),
+            networkSpec=json.dumps(spec),
+            modelWeights=model.weights_to_json(),
+        )
 
 
 class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsReadable):
