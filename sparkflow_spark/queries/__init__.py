@@ -69,6 +69,15 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     small enough for one task — registry finals are ≤ a few thousand
     rows by construction (they are collected for the oracle compare).
     Chained form: ``df.transform(ordered, "col_a", "col_b")``.
+
+    REGISTRY-AUTHORING RULE (round-6, enforced by
+    tests/test_plans.py::test_large_output_queries_have_no_single_partition_sort):
+    a query whose result set SCALES with the input must register with
+    the ``"large-output"`` tag and must NOT call ``ordered`` (the
+    driver's value-hash compare is order-insensitive, so an unsorted
+    final is fine). ``ordered`` is acceptable up to single-task-sort
+    scale (tens of thousands of small rows — the mid-size sessionize /
+    SCD2 / merge finals); beyond that, tag it and leave it unsorted.
     """
     return df.repartition(1).sortWithinPartitions(*cols)
 

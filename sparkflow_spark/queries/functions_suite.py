@@ -61,7 +61,7 @@ def q31b(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_id, user_id AS uid, event_type AS et, 1 AS mv
         FROM events ORDER BY event_id
     """,
-    tags=("functions", "struct", "map"),
+    tags=("functions", "struct", "map", "large-output",),
 )
 def q32(spark: SparkSession, sf: str) -> DataFrame:
     """Build struct + map in-engine, then access fields/keys — the oracle
@@ -86,7 +86,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_id, CAST(ROUND(value * 2, 2) AS DOUBLE) + 0.0 AS v2
         FROM events ORDER BY event_id
     """,
-    tags=("functions", "udf"),
+    tags=("functions", "udf", "large-output",),
 )
 def q40(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-vectorized scalar pandas_udf — the engine's sanctioned slow
@@ -173,7 +173,7 @@ def q40d(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_id, CAST(ROUND(value * 3, 2) AS DOUBLE) + 0.0 AS v3
         FROM events ORDER BY event_id
     """,
-    tags=("functions", "udf", "arrow"),
+    tags=("functions", "udf", "arrow", "large-output",),
 )
 def q40e(spark: SparkSession, sf: str) -> DataFrame:
     """mapInArrow: the lowest-overhead Python exchange — RecordBatches

@@ -175,7 +175,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
         LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 90000
         ORDER BY c_custkey, o_orderkey NULLS LAST
     """,
-    tags=("relational", "join"),
+    tags=("relational", "join", "large-output",),
 )
 def q07(spark: SparkSession, sf: str) -> DataFrame:
     """Left outer join with a non-key predicate inside the join condition
@@ -471,7 +471,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders
         ORDER BY o_custkey, o_orderkey NULLS LAST
     """,
-    tags=("relational", "window"),
+    tags=("relational", "window", "large-output",),
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
@@ -492,7 +492,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber
     """,
-    tags=("relational", "window"),
+    tags=("relational", "window", "large-output",),
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
     """ROWS-frame running sum. (l_orderkey, l_linenumber) is not unique in
@@ -629,7 +629,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
                CAST(MONTH(o_orderdate) AS INT) AS m
         FROM orders ORDER BY o_orderkey
     """,
-    tags=("relational", "functions"),
+    tags=("relational", "functions", "large-output",),
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
@@ -668,7 +668,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ROUND(SQRT(l_extendedprice), 2) AS DOUBLE) + 0.0 AS sq
         FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
-    tags=("relational", "functions"),
+    tags=("relational", "functions", "large-output",),
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
@@ -692,7 +692,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
                     ELSE 'lo' END AS band
         FROM orders ORDER BY o_orderkey
     """,
-    tags=("relational", "functions"),
+    tags=("relational", "functions", "large-output",),
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
@@ -713,7 +713,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_id, CAST(props->>'$.k' AS INT) AS k
         FROM events ORDER BY event_id
     """,
-    tags=("relational", "functions", "json"),
+    tags=("relational", "functions", "json", "large-output",),
 )
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     """JSON path extraction — dialect split per SURVEY.md §2c: Spark

@@ -78,7 +78,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey
     """,
-    tags=("relational", "window"),
+    tags=("relational", "window", "large-output",),
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
@@ -135,7 +135,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
                CAST(datediff('day', DATE '1995-06-15', o_orderdate) AS INT) AS dd
         FROM orders ORDER BY o_orderkey
     """,
-    tags=("relational", "functions"),
+    tags=("relational", "functions", "large-output",),
 )
 def q45(spark: SparkSession, sf: str) -> DataFrame:
     """ISO day-of-week bridges the dialect split (Spark weekday()=0 for
@@ -364,7 +364,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_id, CAST(props->>'$.k' AS INT) AS k2
         FROM events ORDER BY event_id
     """,
-    tags=("relational", "json"),
+    tags=("relational", "json", "large-output",),
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     """Schema-full JSON parse (from_json → typed struct), vs q30's
@@ -430,7 +430,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
             FROM events
         )
     """,
-    tags=("relational", "window"),
+    tags=("relational", "window", "large-output",),
 )
 def q56(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding TIME-RANGE window in batch: per user, the 1-hour

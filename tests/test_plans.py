@@ -293,3 +293,25 @@ def test_dau_wau_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q89_active_users")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_output_queries_have_no_single_partition_sort(spark, sf_dir):
+    """Registry-authoring contract (round-6): `ordered()`'s
+    repartition(1) final is safe ONLY for small finals — any query
+    tagged `large-output` (result set scales with the input) must NOT
+    funnel its result through a 1-partition exchange. The guard is
+    non-vacuous: 14 scaling-output entries carry the tag today, and a
+    future registry entry that adds `ordered()` to a tagged query (or
+    forgets the tag rules documented on `ordered()`) fails here."""
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    tagged = [q for q in reg.values() if "large-output" in q.tags]
+    assert len(tagged) >= 14, "large-output tags went missing"
+    for q in tagged:
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition 1," not in plan, (
+            f"{q.name} is tagged large-output but plans a 1-partition "
+            "repartition — use an un-sorted final (the oracle compare is "
+            "order-insensitive) or drop the tag if the result is bounded"
+        )
