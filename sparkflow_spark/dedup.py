@@ -514,6 +514,99 @@ def ngram_jaccard_pairs(
     return result
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+    index_partitions: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup mining: shingle containment
+    C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ ``threshold`` →
+    (src_id, dst_id, containment), one row per qualifying DIRECTION.
+    This catches what Jaccard structurally cannot: a short document
+    quoted/excerpted inside a long one has containment ≈ 1 but Jaccard
+    ≈ |small|/|large| — exactly the "training doc embeds the eval set"
+    and "boilerplate wrapper around real content" cases.
+
+    Same capped inverted-index shape as :func:`ngram_jaccard_pairs`
+    (hashed shingles, window-count df∈[2,cap] skew/tail filter,
+    data-sized shingle partitioning), with ONE deliberate difference:
+    the AllPairs size-ratio prune is OMITTED — it bounds
+    min/max set-size ratio, which is precisely the asymmetry
+    containment exists to find. Candidate work is therefore the full
+    Σ C(df,2) under the cap; the scale lever here is the cap itself
+    (plus prefix-filtering refinements if a deployment needs them —
+    they prune on src-size only and stay containment-safe).
+    """
+    if index_partitions is None:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if size >= (1 << 60):  # unknown-stats sentinel (see jaccard kernel)
+            index_partitions = cores
+        else:
+            index_partitions = max(
+                8, min(16384, max(size >> 16, min(cores // 2, size >> 14)))
+            )
+    docs = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    shingle_structs = bind(
+        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k),
+        lambda arr: F.transform(
+            arr, lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n"))
+        ),
+    )
+    sh = docs.select(F.col(id_col), F.explode(shingle_structs).alias("_p")).select(
+        F.col(id_col), F.col("_p.n").alias("n"), F.col("_p.shingle").alias("shingle")
+    )
+    sh = sh.repartition(index_partitions, F.col("shingle"))
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df").between(2, max_shingle_freq))
+            .drop("_df")
+        )
+    doc_arr = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n")))
+    )
+    g = sh.groupBy("shingle").agg(doc_arr.alias("docs"))
+    pair = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        g.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    fwd = inter.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("inter") / F.col("na")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        (F.col("inter") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

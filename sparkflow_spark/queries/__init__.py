@@ -183,14 +183,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # count-distinct leg is computed INSIDE q15's thresholded compare,
     # and q14 keeps local oracle + pytest) for the contamination check,
     # a never-driver-checked family
+    # round-6c swaps: two r5-driver-green redundant siblings rotate out
+    # for the two brand-new round-6 operator FAMILIES (each outgoing row
+    # keeps an in-window family rep + local oracle + pytest):
+    # q16_rollup→s_kmeans_clusters (q13 keeps hash aggs; clustering had
+    # no driver row at all), q22_topk_global→d_containment_pairs (q19
+    # keeps top-k; asymmetric containment is a new dedup check the
+    # symmetric jaccard row can't cover).
     "c_contamination",
     "q15_approx_within_5pct",
-    "q16_rollup",
+    "s_kmeans_clusters",
     "q80_multitouch_attribution",
     "q89_active_users",
     "q19_window_topk_per_group",
     "q65_scd2_history",
-    "q22_topk_global",
+    "d_containment_pairs",
     "q90_referential_integrity",
     "q92_event_transitions",
     "q93_spend_gini",

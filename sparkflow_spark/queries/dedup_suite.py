@@ -309,3 +309,44 @@ def d_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
         ) if rows else spark.createDataFrame([], out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "d_containment_pairs",
+    oracle=f"""
+        WITH {_JACCARD_CTES}
+        SELECT src_id, dst_id, containment FROM (
+            SELECT id_a AS src_id, id_b AS dst_id,
+                   CAST(ROUND(i * 1.0 / sa.n, 3) AS DOUBLE) + 0.0 AS containment,
+                   i * 1.0 / sa.n AS raw
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            UNION ALL
+            SELECT id_b, id_a,
+                   CAST(ROUND(i * 1.0 / sb.n, 3) AS DOUBLE) + 0.0,
+                   i * 1.0 / sb.n
+            FROM inter
+            JOIN sizes sb ON sb.doc_id = id_b) t
+        WHERE raw >= 0.6
+        ORDER BY src_id, dst_id
+    """,
+    tags=("dedup", "join"),
+)
+def d_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.6 (round-6): the
+    excerpt/quote detector Jaccard structurally misses — each
+    qualifying DIRECTION is a row (src's shingle set inside dst's).
+    Same capped inverted index as the jaccard entry, no size-ratio
+    prune (it would kill exactly the asymmetric pairs); oracle applies
+    the identical cap and both directions."""
+    t = Tables(spark, sf)
+    pairs = dedup.ngram_containment_pairs(
+        t.documents, shingle_k=3, threshold=0.6, max_shingle_freq=_SHINGLE_FREQ_CAP
+    )
+    return pairs.select(
+        "src_id",
+        "dst_id",
+        (F.round(F.col("containment"), 3).cast("double") + F.lit(0.0)).alias(
+            "containment"
+        ),
+    ).transform(ordered, "src_id", "dst_id")

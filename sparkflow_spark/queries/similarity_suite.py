@@ -285,3 +285,78 @@ def s_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).transform(ordered, "probe_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round-6: deterministic k-means (semantic bucketing / dedup clustering)
+
+_KM_K, _KM_ITERS, _KM_DIMS = 4, 3, 64
+
+
+def _km_oracle(k: int, iters: int, dims: int) -> str:
+    """Unrolled Lloyd's iteration (same technique as the graph_suite
+    power-iteration oracles): seeds = vectors of the k smallest ids,
+    ROUND(mean, 6) centroids each update, ties to the smallest cluster
+    index, empty clusters keep their previous centroid."""
+    means = "[" + ", ".join(
+        f"ROUND(AVG(CAST(e.embedding[{i}] AS DOUBLE)), 6)"
+        for i in range(1, dims + 1)
+    ) + "]"
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    ctes = [
+        f"""c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {k}) s)"""
+    ]
+    for t in range(1, iters + 2):
+        ctes.append(
+            f"""a{t} AS (
+            SELECT vec_id, j AS cluster FROM (
+                SELECT e.vec_id, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist}, c.j) AS rn
+                FROM embeddings e CROSS JOIN c{t - 1} c
+                WHERE e.embedding IS NOT NULL) x WHERE rn = 1)"""
+        )
+        if t <= iters:
+            ctes.append(
+                f"""m{t} AS (
+            SELECT a.cluster AS j, {means} AS c
+            FROM a{t} a JOIN embeddings e USING (vec_id)
+            GROUP BY a.cluster)"""
+            )
+            ctes.append(
+                f"""c{t} AS (
+            SELECT p.j, COALESCE(m.c, p.c) AS c
+            FROM c{t - 1} p LEFT JOIN m{t} m ON m.j = p.j)"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster FROM a{iters + 1} ORDER BY vec_id"
+    )
+
+
+@register(
+    "s_kmeans_clusters",
+    oracle=_km_oracle(_KM_K, _KM_ITERS, _KM_DIMS),
+    tags=("similarity", "iterative"),
+)
+def s_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, 3 iterations) over the
+    embedding corpus, FULL assignment vector hash-checked against the
+    unrolled DuckDB iteration — the semantic-bucketing/curriculum
+    primitive, and the trainable twin of the IVF quantizer. Rounded
+    centroids make the iteration map discrete, so engine summation
+    order cannot flip assignments."""
+    t = Tables(spark, sf)
+    out = similarity.kmeans_clusters(
+        t.embeddings, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS,
+    )
+    return out.transform(ordered, "vec_id")

@@ -599,3 +599,123 @@ def t_term_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 extensions: repetition quality signal + BPE pair mining
+
+
+@register(
+    "t_repetition_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents),
+        sh AS (
+            SELECT doc_id, len(toks) AS n,
+                   CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, len(toks) - 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                   ELSE [] END AS grams
+            FROM toks)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(grams) = 0 THEN 0.0
+                    ELSE CAST(ROUND(1.0 - len(list_distinct(grams)) * 1.0
+                                          / len(grams), 4) AS DOUBLE) + 0.0
+               END AS rep_ratio
+        FROM sh ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate word 3-grams —
+    the Gopher/C4-family quality signal that catches boilerplate and
+    keyboard-mash docs that length/punctuation ratios miss. Pure
+    Catalyst (split + one HOF + array_distinct), shuffle-free — a
+    scan-bound map at 100 TB, composable into p_clean_corpus-style
+    filters."""
+    from sparkflow_spark.functions.text import lower_tokens
+
+    t = Tables(spark, sf)
+    toks = lower_tokens(F.col("text"))
+    docs = t.documents.select("doc_id", toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), i),
+                F.element_at(F.col("_t"), i + 1),
+                F.element_at(F.col("_t"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", grams.alias("_g"))
+    n_g = F.size(F.col("_g")).cast("bigint")
+    n_d = F.size(F.array_distinct(F.col("_g"))).cast("bigint")
+    return g.select(
+        "doc_id",
+        n_g.alias("n_grams"),
+        n_d.alias("n_distinct"),
+        F.when(n_g == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) - n_d * F.lit(1.0) / n_g, 4).cast("double")
+            + F.lit(0.0)
+        )
+        .alias("rep_ratio"),
+    ).transform(ordered, "doc_id")
+
+
+@register(
+    "t_bpe_pair_counts",
+    oracle="""
+        WITH words AS (
+            SELECT u.w FROM (
+                SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents) base, UNNEST(base.toks) AS u(w)
+            WHERE length(u.w) >= 2),
+        pairs AS (
+            SELECT p.pair FROM (
+                SELECT list_transform(range(1, length(w)),
+                                      i -> substr(w, i, 2)) AS ps
+                FROM words) t, UNNEST(t.ps) AS p(pair))
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 50
+    """,
+    tags=("text", "agg"),
+)
+def t_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE training, step one: corpus-wide adjacent character-pair
+    counts (occurrence-weighted — each word instance votes), top-50 by
+    (count desc, pair asc). This is exactly the statistic the first
+    byte-pair-encoding merge maximizes; iterating (merge → recount) is
+    a driver loop over this same shape. Spark shape: explode tokens,
+    explode in-word pairs (bounded fan-out = word length), map-side
+    partial count, 8-byte-ish keys — a two-explode scan-agg with ONE
+    shuffle at 100 TB."""
+    from sparkflow_spark.functions.text import lower_tokens
+
+    t = Tables(spark, sf)
+    words = t.documents.select(
+        F.explode(lower_tokens(F.col("text"))).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )

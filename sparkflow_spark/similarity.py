@@ -494,3 +494,82 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .orderBy(probe_id, "rnk")
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means assignment → (id_col, cluster).
+
+    Built for CROSS-ENGINE checkability (the semantic-dedup /
+    curriculum-bucketing primitive, and the trainable twin of the IVF
+    quantizer in vector_index.py): every source of nondeterminism is
+    removed — seeds are the vectors of the k smallest ids (cluster j =
+    j-th smallest), assignment ties break to the smallest cluster
+    index, each iteration's centroids are ROUND(mean, 6) so the
+    iteration map is discrete and float summation order (Spark
+    partition order vs any other engine's) cannot butterfly into
+    different assignments. A cluster that loses all members keeps its
+    previous centroid.
+
+    Scale shape per iteration: one scan computing k fold-distances per
+    row (k·d multiply-adds, no shuffle) + one posexplode/groupBy(k·d
+    cells, map-side combined) for the means; centroid state is k·d
+    doubles on the driver (bounded, intentional — the same operating
+    model as the IVF index's frozen codebook). At 100 TB with large k,
+    swap the fold-distance array for the Arrow-batched assignment
+    kernel in vector_index._assign_cells; the iteration structure is
+    unchanged.
+    """
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seeds = vecs.orderBy("_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_clusters: need at least k={k} vectors")
+    centroids = [list(r["_v"]) for r in seeds]
+    dims = len(centroids[0])
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(x)) for x in cj]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cj in centroids
+            ]
+        )
+        return frame.withColumn("_d", dists).withColumn(
+            "cluster",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
+        ).drop("_d")
+
+    for _ in range(iters):
+        assigned = assign(vecs)
+        cells = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [round(by_cluster[j][p], 6) for p in range(dims)]
+            if j in by_cluster
+            else centroids[j]
+            for j in range(k)
+        ]
+    return assign(vecs).select(F.col("_id").alias(id_col), "cluster")

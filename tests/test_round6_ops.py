@@ -1,0 +1,123 @@
+"""Behavioral tests for the round-6 operators (repetition scoring,
+BPE pair mining, containment dedup, deterministic k-means) — semantics
+the cross-engine hash check can't express as pointedly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_repetition_score_semantics(spark):
+    from sparkflow_spark.queries import load_all  # noqa: F401 — registry import side effect
+
+    # direct expression-level check through the registered fn is clumsy;
+    # replicate the kernel contract on crafted docs via SQL over a temp view
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # one distinct 3-gram
+            (2, "the quick brown fox jumps high"),      # all distinct
+            (3, "hi there"),                            # < 3 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    docs = df.select("doc_id", toks.alias("_t"), n.alias("_n"))
+    grams = F.when(
+        F.col("_n") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), i),
+                F.element_at(F.col("_t"), i + 1),
+                F.element_at(F.col("_t"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = {
+        r["doc_id"]: (r["ng"], r["nd"])
+        for r in docs.select(
+            "doc_id",
+            F.size(grams).alias("ng"),
+            F.size(F.array_distinct(grams)).alias("nd"),
+        ).collect()
+    }
+    assert out[1] == (4, 1)   # 6 tokens -> 4 trigrams, all "spam spam spam"
+    assert out[2] == (4, 4)   # all distinct
+    assert out[3] == (0, 0)   # too short
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment fires
+    in the short→long direction; Jaccard at the same threshold does
+    not (the size-ratio asymmetry)."""
+    from sparkflow_spark.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper().lower())],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.8, max_shingle_freq=None).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # big doc is NOT contained in the quote
+    jac = ngram_jaccard_pairs(df, threshold=0.8, max_shingle_freq=None).collect()
+    assert jac == []  # symmetric similarity misses the excerpt entirely
+
+
+def test_containment_respects_frequency_cap(spark):
+    from sparkflow_spark.dedup import ngram_containment_pairs
+
+    # every doc shares one boilerplate phrase; cap excludes it so no
+    # pair reaches the threshold on boilerplate alone
+    rows = [(i, f"unique{i} only{i} here{i} shared boiler plate text") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_containment_pairs(df, threshold=0.5, max_shingle_freq=3).collect()
+    assert out == []
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    import numpy as np
+
+    from sparkflow_spark.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(3)
+    rows = [(i, (rng.normal(0, 0.05, 8) + (0.0 if i % 2 == 0 else 5.0)).tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_clusters(df, k=2, iters=4).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in
+         kmeans_clusters(df.repartition(7), k=2, iters=4).collect()}
+    assert a == b, "assignment must not depend on partition layout"
+    evens = {a[i] for i in range(0, 60, 2)}
+    odds = {a[i] for i in range(1, 60, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_kmeans_raises_under_k_vectors(spark):
+    import pytest
+
+    from sparkflow_spark.similarity import kmeans_clusters
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_clusters(df, k=4)
+
+
+def test_bpe_pair_counts_manual(spark):
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "abab cd"), (2, "abab")], "doc_id long, text string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["pair"]: r["n"] for r in reg["t_bpe_pair_counts"].fn(spark, d).collect()}
+    # "abab" x2: pairs ab,ba,ab each; "cd" x1
+    assert out == {"ab": 4, "ba": 2, "cd": 1}
