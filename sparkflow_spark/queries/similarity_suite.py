@@ -360,3 +360,90 @@ def s_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         k=_KM_K, iters=_KM_ITERS,
     )
     return out.transform(ordered, "vec_id")
+
+
+_SEMDUP_THRESHOLD = 0.4  # fixtures have no planted near-dups; max
+# cross-vector cosine ≈0.5, so 0.4 yields a small non-empty pair set.
+# Production embedding spaces run this at 0.9+.
+
+
+@register(
+    "d_semantic_dedup_pairs",
+    oracle=_km_oracle(_KM_K, _KM_ITERS, _KM_DIMS).replace(
+        f"\nSELECT vec_id, cluster FROM a{_KM_ITERS + 1} ORDER BY vec_id",
+        f"""
+        , assign AS (SELECT vec_id, cluster FROM a{_KM_ITERS + 1})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.cluster,
+               CAST(ROUND(
+                   list_sum(list_transform(range(1, {_KM_DIMS + 1}),
+                       i -> CAST(ea.embedding[i] AS DOUBLE)
+                            * CAST(eb.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(ea.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(eb.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+               , 3) AS DOUBLE) + 0.0 AS cosine
+        FROM assign a
+        JOIN assign x ON x.vec_id = a.vec_id
+        JOIN assign b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_sum(list_transform(range(1, {_KM_DIMS + 1}),
+                  i -> CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(ea.embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(eb.embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+              >= {_SEMDUP_THRESHOLD}
+        ORDER BY id_a, id_b""",
+    ),
+    tags=("dedup", "similarity", "iterative"),
+)
+def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup mining: deterministic k-means
+    buckets the corpus, then cosine pairs are generated ONLY within a
+    cluster — the clustering bounds the quadratic pair space to
+    Σ C(|cluster|,2), which is the entire reason SemDeDup scales where
+    brute-force pairwise cosine cannot. Exactness within the bucketed
+    search space is hash-checked against the unrolled-k-means DuckDB
+    oracle. At 100 TB: k grows with corpus size (cells stay
+    ~constant-sized), the within-cluster join is a hash join on the
+    cluster key, and the assignment kernel swaps to the Arrow-batched
+    IVF path — same plan shape."""
+    t = Tables(spark, sf)
+    assign = similarity.kmeans_clusters(
+        t.embeddings, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS,
+    )
+    vecs = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    ).join(assign, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", dot_ab / (norm("_va") * norm("_vb")))
+        .where(F.col("cosine_raw") >= _SEMDUP_THRESHOLD)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cluster",
+        (F.round(F.col("cosine_raw"), 3).cast("double") + F.lit(0.0)).alias("cosine"),
+    ).transform(ordered, "id_a", "id_b")
