@@ -1,0 +1,162 @@
+"""Byte-pair-encoding merge learning as distributed DataFrame jobs.
+
+The t_bpe_pair_counts registry entry checks the STATISTIC the first BPE
+merge maximizes; this module runs the actual training loop: repeatedly
+find the highest-count adjacent symbol pair and merge it corpus-wide.
+
+Scale design (the reason this is a word-frequency algorithm, not a
+corpus-scan algorithm): BPE's working set is the VOCABULARY — the
+corpus collapses to (word, freq) once up front (one shuffle over ~|V|
+keys, |V| ≪ corpus at 100 TB), and every merge iteration then touches
+|V| rows: one weighted pair count (map-side combined) + one argmax
+collect (a single row) + one in-place symbol-array rewrite (a fold
+expression, no shuffle). Lineage is truncated per iteration, exactly
+like the graph fixpoints. n_merges Spark jobs total — the same
+driver-coordinated/data-distributed split as graph.pagerank.
+
+Determinism: ties break by (count desc, left asc, right asc), so the
+merge sequence is a pure function of the corpus — pinned against a
+pure-python reference in tests/test_round6_ops.py.
+
+Reference parity note: the reference engine (lifeomic/sparkflow) has no
+tokenizer surface; this comes from the north-star brief's LLM-pipeline
+inventory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sparkflow_spark.functions.text import lower_tokens
+
+
+def _merge_pair_expr(a: str, b: str):
+    """Fold `syms` left-to-right, replacing non-overlapping adjacent
+    (a, b) with a+b — the standard BPE application order."""
+    empty = F.array().cast("array<string>")
+    null_s = F.lit(None).cast("string")
+    return F.aggregate(
+        F.col("syms"),
+        F.struct(empty.alias("out"), null_s.alias("prev")),
+        lambda acc, x: F.when(
+            acc["prev"].isNull(), F.struct(acc["out"].alias("out"), x.alias("prev"))
+        )
+        .when(
+            (acc["prev"] == F.lit(a)) & (x == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                null_s.alias("prev"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                x.alias("prev"),
+            )
+        ),
+        lambda acc: F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        ),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges → [(left, right, count), …]
+    in merge order. Stops early when the best remaining pair occurs
+    fewer than ``min_pair_count`` times (weighted by word frequency).
+    """
+    vocab = (
+        df.select(F.explode(lower_tokens(F.col(text_col))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("word"), "(?!$)").alias("syms"), "freq")
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("syms"), i).alias("a"),
+            F.element_at(F.col("syms"), i + 1).alias("b"),
+        ),
+    )
+    for _ in range(n_merges):
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.select(
+            _merge_pair_expr(a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list → ``out_col``
+    (array<string> of BPE symbols, document order preserved). Each
+    merge is one fold expression over the per-word symbol arrays —
+    |merges| chained Catalyst expressions, zero Python, no shuffle; at
+    real vocabulary sizes swap in a pandas_udf encoder with a trie, the
+    semantics here are the contract."""
+    words = F.transform(
+        lower_tokens(F.col(text_col)), lambda w: F.split(w, "(?!$)")
+    )
+    out = df.withColumn("_words", words)
+    for m in merges:
+        a, b = m[0], m[1]
+        # re-bind the fold per word array via transform
+        out = out.withColumn(
+            "_words",
+            F.transform(
+                F.col("_words"),
+                lambda syms: F.aggregate(
+                    syms,
+                    F.struct(
+                        F.array().cast("array<string>").alias("out"),
+                        F.lit(None).cast("string").alias("prev"),
+                    ),
+                    lambda acc, x: F.when(
+                        acc["prev"].isNull(),
+                        F.struct(acc["out"].alias("out"), x.alias("prev")),
+                    )
+                    .when(
+                        (acc["prev"] == F.lit(a)) & (x == F.lit(b)),
+                        F.struct(
+                            F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                            F.lit(None).cast("string").alias("prev"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                            x.alias("prev"),
+                        )
+                    ),
+                    lambda acc: F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+                        F.concat(acc["out"], F.array(acc["prev"]))
+                    ),
+                ),
+            ),
+        )
+    return out.withColumn(out_col, F.flatten(F.col("_words"))).drop("_words")

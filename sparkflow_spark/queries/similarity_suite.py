@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark import similarity
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.queries import ordered, register
+from sparkflow_spark.queries import REGISTRY, ordered, register
 
 # Probe set: the first 10 vectors by id — deterministic and expressible
 # in both engines.
@@ -293,11 +293,12 @@ def s_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIMS = 4, 3, 64
 
 
-def _km_oracle(k: int, iters: int, dims: int) -> str:
-    """Unrolled Lloyd's iteration (same technique as the graph_suite
-    power-iteration oracles): seeds = vectors of the k smallest ids,
-    ROUND(mean, 6) centroids each update, ties to the smallest cluster
-    index, empty clusters keep their previous centroid."""
+def _km_ctes(k: int, iters: int, dims: int) -> str:
+    """Unrolled Lloyd's iteration CTEs (same technique as the
+    graph_suite power-iteration oracles): seeds = vectors of the k
+    smallest ids, ROUND(mean, 6) centroids each update, ties to the
+    smallest cluster index, empty clusters keep their previous
+    centroid. Final assignment is ``a{iters+1}``."""
     means = "[" + ", ".join(
         f"ROUND(AVG(CAST(e.embedding[{i}] AS DOUBLE)), 6)"
         for i in range(1, dims + 1)
@@ -336,8 +337,12 @@ def _km_oracle(k: int, iters: int, dims: int) -> str:
             SELECT p.j, COALESCE(m.c, p.c) AS c
             FROM c{t - 1} p LEFT JOIN m{t} m ON m.j = p.j)"""
             )
+    return ",\n".join(ctes)
+
+
+def _km_oracle(k: int, iters: int, dims: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _km_ctes(k, iters, dims)
         + f"\nSELECT vec_id, cluster FROM a{iters + 1} ORDER BY vec_id"
     )
 
@@ -367,37 +372,42 @@ _SEMDUP_THRESHOLD = 0.4  # fixtures have no planted near-dups; max
 # Production embedding spaces run this at 0.9+.
 
 
-@register(
-    "d_semantic_dedup_pairs",
-    oracle=_km_oracle(_KM_K, _KM_ITERS, _KM_DIMS).replace(
-        f"\nSELECT vec_id, cluster FROM a{_KM_ITERS + 1} ORDER BY vec_id",
-        f"""
-        , assign AS (SELECT vec_id, cluster FROM a{_KM_ITERS + 1})
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.cluster,
-               CAST(ROUND(
-                   list_sum(list_transform(range(1, {_KM_DIMS + 1}),
-                       i -> CAST(ea.embedding[i] AS DOUBLE)
-                            * CAST(eb.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(ea.embedding,
-                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(eb.embedding,
-                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
-               , 3) AS DOUBLE) + 0.0 AS cosine
-        FROM assign a
-        JOIN assign x ON x.vec_id = a.vec_id
-        JOIN assign b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
-        WHERE list_sum(list_transform(range(1, {_KM_DIMS + 1}),
+# within-cluster cosine (ea/eb = embeddings rows joined on the pair)
+_SEM_COS = (
+    f"""list_sum(list_transform(range(1, {_KM_DIMS + 1}),
                   i -> CAST(ea.embedding[i] AS DOUBLE)
                        * CAST(eb.embedding[i] AS DOUBLE)))
               / (sqrt(list_sum(list_transform(ea.embedding,
                      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
                * sqrt(list_sum(list_transform(eb.embedding,
-                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
-              >= {_SEMDUP_THRESHOLD}
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"""
+)
+
+# k-means CTEs + the within-cluster qualifying pair set, shared by the
+# pairs entry and the keep-list entry
+_SEM_CTES = (
+    _km_ctes(_KM_K, _KM_ITERS, _KM_DIMS)
+    + f""",
+        assign AS (SELECT vec_id, cluster FROM a{_KM_ITERS + 1}),
+        sem_pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+                   {_SEM_COS} AS cosine
+            FROM assign a
+            JOIN assign b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE {_SEM_COS} >= {_SEMDUP_THRESHOLD})"""
+)
+
+
+@register(
+    "d_semantic_dedup_pairs",
+    oracle=f"""
+        WITH {_SEM_CTES}
+        SELECT id_a, id_b, cluster,
+               CAST(ROUND(cosine, 3) AS DOUBLE) + 0.0 AS cosine
+        FROM sem_pairs
         ORDER BY id_a, id_b""",
-    ),
     tags=("dedup", "similarity", "iterative"),
 )
 def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -447,3 +457,44 @@ def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "cluster",
         (F.round(F.col("cosine_raw"), 3).cast("double") + F.lit(0.0)).alias("cosine"),
     ).transform(ordered, "id_a", "id_b")
+
+
+@register(
+    "d_semantic_dedup_keep",
+    oracle=f"""
+        WITH RECURSIVE {_SEM_CTES},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM sem_pairs
+            UNION SELECT id_b, id_a FROM sem_pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a
+        ),
+        rep AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM rep WHERE node != component)
+        ORDER BY vec_id
+    """,
+    tags=("dedup", "similarity", "iterative"),
+)
+def d_semantic_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    components (min-label propagation with pointer jumping) → keep the
+    min-id representative per semantic-duplicate group; vectors in no
+    pair survive via the anti-join. The oracle closes transitive
+    reachability with a recursive CTE over the same unrolled-k-means
+    pair set, so the full iterative pipeline's fixpoint is
+    hash-checked."""
+    t = Tables(spark, sf)
+    pairs = REGISTRY["d_semantic_dedup_pairs"].fn(spark, sf).select("id_a", "id_b")
+    from sparkflow_spark import dedup
+
+    kept = dedup.near_dedup(
+        t.embeddings.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return kept.select("vec_id").transform(ordered, "vec_id")

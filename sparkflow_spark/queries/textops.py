@@ -719,3 +719,26 @@ def t_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@register(
+    "t_bpe_learn_merges",
+    oracle=None,  # iterative corpus-wide argmax loop (driver-coordinated
+    # like the graph fixpoints); merge-sequence parity vs a pure-python
+    # reference BPE is pinned in tests/test_round6_ops.py
+    tags=("text", "iterative"),
+    memo=False,  # eager training jobs — repeat invocations honestly re-run
+)
+def t_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING (not just the pair statistic): 8 merge
+    rounds over the word-frequency table — each round is one weighted
+    pair-count job + a 1-row argmax collect + a fold-expression rewrite
+    of the symbol arrays. Returns the learned merge sequence."""
+    from sparkflow_spark.bpe import learn_bpe_merges
+
+    t = Tables(spark, sf)
+    merges = learn_bpe_merges(t.documents, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
+    )

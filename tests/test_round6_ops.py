@@ -121,3 +121,77 @@ def test_bpe_pair_counts_manual(spark):
         out = {r["pair"]: r["n"] for r in reg["t_bpe_pair_counts"].fn(spark, d).collect()}
     # "abab" x2: pairs ab,ba,ab each; "cd" x1
     assert out == {"ab": 4, "ba": 2, "cd": 1}
+
+
+def _ref_bpe(word_freq: dict, n_merges: int, min_pair_count: int = 2):
+    """Pure-python reference BPE (count desc, left asc, right asc)."""
+    vocab = {w: [list(w), f] for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = [out, f]
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from sparkflow_spark.bpe import learn_bpe_merges
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest new low"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = learn_bpe_merges(df, n_merges=6)
+
+    freq: dict = {}
+    for _, text in corpus:
+        for w in text.lower().split():
+            freq[w] = freq.get(w, 0) + 1
+    want = _ref_bpe(freq, 6)
+    assert got == want and len(got) == 6
+
+
+rows_text = [(1, "banana bandana banana"), (2, "banana banal bananas")]
+
+
+def test_bpe_apply_preserves_text_and_compresses(spark):
+    from sparkflow_spark.bpe import apply_bpe_merges, learn_bpe_merges
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows_text, "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=4)
+    assert merges, "expected at least one merge on this corpus"
+    out = apply_bpe_merges(df, merges)
+    rows = out.select(
+        "doc_id",
+        F.concat_ws("", "bpe_tokens").alias("joined"),
+        F.size("bpe_tokens").alias("n_syms"),
+        F.length(F.regexp_replace(F.lower("text"), r"\s+", "")).alias("n_chars"),
+    ).collect()
+    for r in rows:
+        # lossless: symbols concatenate back to the whitespace-stripped text
+        assert r["joined"] == "".join(
+            dict(rows_text)[r["doc_id"]].lower().split()
+        )
+        # compression: merges reduced symbol count below character count
+        assert r["n_syms"] < r["n_chars"]
