@@ -89,6 +89,18 @@ PROBES = [
     "q80_multitouch_attribution",
     "q84_dwell_time_stats",
     "q87_ab_test_readout",
+    # round-6 additions: repetition/BPE-pairs scale with documents;
+    # containment shares the capped jaccard index; k-means scales with
+    # embeddings. d_semantic_dedup_pairs is deliberately NOT probed: its
+    # registry form pins k=4 (the oracle-unrollable correctness probe)
+    # and goes quadratic at fixed k — measured timing out at x16, which
+    # is exactly why the production operator
+    # (similarity.semantic_dedup_pairs) derives k from the data; its x16
+    # numbers are recorded in SCALE.md round-6b.
+    "t_repetition_score",
+    "t_bpe_pair_counts",
+    "d_containment_pairs",
+    "s_kmeans_clusters",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

@@ -417,10 +417,13 @@ def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Σ C(|cluster|,2), which is the entire reason SemDeDup scales where
     brute-force pairwise cosine cannot. Exactness within the bucketed
     search space is hash-checked against the unrolled-k-means DuckDB
-    oracle. At 100 TB: k grows with corpus size (cells stay
-    ~constant-sized), the within-cluster join is a hash join on the
-    cluster key, and the assignment kernel swaps to the Arrow-batched
-    IVF path — same plan shape."""
+    oracle. THIS ENTRY PINS k=4 — the oracle-unrollable correctness
+    probe; the production path is similarity.semantic_dedup_pairs,
+    which derives k = ceil(n / cell_size) so cells (and per-cluster
+    pair work) stay constant as the corpus grows, switches to
+    Arrow-batched assignment past k=8, and scores pairs with the Arrow
+    dot kernel (SCALE.md round-6b: fixed k=4 times out at x16; derived
+    k finishes in 14.6 s with 700x the true-dup output)."""
     t = Tables(spark, sf)
     assign = similarity.kmeans_clusters(
         t.embeddings, id_col="vec_id", vec_col="embedding",

@@ -91,7 +91,6 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     import numpy as np
-    import pandas as pd
     import pyspark.sql.types as T
 
     feats = corpus.select(
@@ -573,3 +572,126 @@ def kmeans_clusters(
             for j in range(k)
         ]
     return assign(vecs).select(F.col("_id").alias(id_col), "cluster")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    cell_size: int = 512,
+    iters: int = 3,
+    n_clusters: int | None = None,
+) -> DataFrame:
+    """SemDeDup at scale → (id_a, id_b, cluster, cosine): k-means
+    buckets the corpus, cosine pairs generate ONLY within a cluster.
+
+    THE scale contract (measured, SCALE.md round-6b): with k FIXED,
+    scaling the corpus n× grows within-cluster pairs n²× — the x16
+    probe timed out exactly this way on the fixed-k registry probe. So
+    k derives from the data: k = ⌈n / cell_size⌉ (``n_clusters``
+    overrides), keeping expected cell size — and therefore per-cluster
+    pair work — CONSTANT as the corpus grows; total pair work stays
+    O(n · cell_size). The trade (same as SemDeDup/IVF): smaller cells
+    = faster + more missed cross-cell near-dups.
+
+    Small k (≤ 8) uses the literal-expression k-means
+    (:func:`kmeans_clusters` — cross-engine-checkable); larger k
+    switches to Arrow-batched assignment with the centroid matrix in
+    the UDF closure (plan size stays O(1) instead of O(k·d) literals)
+    — same deterministic contract: seeds = k smallest ids, ROUND(mean,
+    6) centroids, ties to the lowest cluster index. Pair cosines run
+    through the Arrow ``dot_batched`` kernel, norms precomputed
+    per side; the pair join is hash-partitioned on the cluster key
+    with an explicit width so AQE's byte-based coalescing cannot
+    collapse the CPU-bound expansion onto a few cores (the jaccard
+    kernel's lesson).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from sparkflow_spark.functions.vector import dot_batched
+
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if n_clusters is None:
+        n = vecs.count()
+        n_clusters = max(1, min(65536, -(-n // cell_size)))
+    if n_clusters <= 8:
+        assign = kmeans_clusters(
+            df, id_col=id_col, vec_col=vec_col, k=n_clusters, iters=iters
+        ).select(F.col(id_col).alias("_id"), "cluster")
+    else:
+        seeds = vecs.orderBy("_id").limit(n_clusters).collect()
+        if len(seeds) < n_clusters:
+            raise ValueError("semantic_dedup_pairs: fewer vectors than clusters")
+        centroids = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
+
+        def assign_expr(cents: np.ndarray):
+            # no type hints: string annotations under `from __future__
+            # import annotations` break pandas_udf signature inference
+            @F.pandas_udf(T.IntegerType())
+            def cell_of(v):
+                out = []
+                for arr in v:
+                    x = np.asarray(arr, dtype=np.float64)
+                    out.append(int(((cents - x) ** 2).sum(axis=1).argmin()))
+                return pd.Series(out, dtype="int32")
+
+            return cell_of
+
+        vecs = vecs.localCheckpoint(eager=False)  # scanned once per iteration
+        for _ in range(iters):
+            assigned = vecs.withColumn(
+                "cluster", assign_expr(centroids)(F.col("_v"))
+            )
+            cells = (
+                assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new_c = centroids.copy()
+            for r in cells:
+                new_c[r["cluster"], r["pos"]] = round(r["m"], 6)
+            centroids = new_c
+        assign = vecs.withColumn(
+            "cluster", assign_expr(centroids)(F.col("_v"))
+        ).select("_id", "cluster")
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    width = max(cores, min(n_clusters, 8 * cores))
+    sides = (
+        vecs.join(assign, "_id")
+        .withColumn("_n", F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ))
+        .repartition(width, F.col("cluster"))
+        .localCheckpoint(eager=False)  # feeds both join sides
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cluster",
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cluster",
+    )
+    den = F.col("_na") * F.col("_nb")
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.when(den != 0, dot_batched("_va", "_vb") / den),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )

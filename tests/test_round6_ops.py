@@ -195,3 +195,72 @@ def test_bpe_apply_preserves_text_and_compresses(spark):
         )
         # compression: merges reduced symbol count below character count
         assert r["n_syms"] < r["n_chars"]
+
+
+def test_semantic_dedup_scale_path_exact_within_buckets(spark):
+    """The derived-k operator: every emitted pair is same-cluster with
+    cosine ≥ t, and it finds exactly the brute-force ≥ t pairs whose
+    endpoints share a cluster (cross-cluster misses are the declared
+    approximation). Exercises the large-k Arrow path (k > 8)."""
+    import numpy as np
+
+    from sparkflow_spark.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    # 12 well-separated blob centers, 10 points each + planted exact dups
+    base = rng.normal(0, 1, (12, 16)) * 10
+    rows = []
+    vid = 0
+    for c in range(12):
+        for _ in range(10):
+            rows.append((vid, (base[c] + rng.normal(0, 0.01, 16)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup_pairs(
+        df, threshold=0.999, cell_size=10, iters=3
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got, "expected near-dup pairs inside blobs"
+
+    # brute force reference (python)
+    X = np.asarray([r[1] for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(norms, norms)
+    brute = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if cos[i, j] >= 0.999
+    }
+    # every found pair is a true near-dup pair
+    assert got <= brute
+    # blobs are separated by >> threshold, so same-blob pairs are the
+    # whole brute set; with cell_size=blob size the clustering should
+    # recover (almost) all of them — require ≥ 90% recall
+    assert len(got) >= 0.9 * len(brute)
+
+
+def test_semantic_dedup_small_and_large_k_agree_on_threshold(spark):
+    import numpy as np
+
+    from sparkflow_spark.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_clusters=1 → every pair considered → equals brute force exactly
+    out = semantic_dedup_pairs(df, threshold=0.5, n_clusters=1)
+    got = {(r["id_a"], r["id_b"]): round(r["cosine"], 6) for r in out.collect()}
+    X = np.asarray([r[1] for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(norms, norms)
+    want = {
+        (i, j): round(cos[i, j], 6)
+        for i in range(40)
+        for j in range(i + 1, 40)
+        if cos[i, j] >= 0.5
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
