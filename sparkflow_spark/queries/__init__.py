@@ -238,10 +238,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-5d swap: st_stream_dedup rotated out (streaming keeps five
     # in-window rows incl. the new CDC check; its dedup semantics stay
     # covered by the d_* family) for the deterministic hash split
+    # round-6d swap: st_session_counts rotates out (streaming keeps
+    # st_tumbling + st_stateful + st_cdc in-window; session windows stay
+    # locally oracle-checked + pytest'd) for the SemDeDup end-to-end
+    # fixpoint (k-means → within-cluster pairs → connected components →
+    # keep), a shape no other window row exercises.
     "st_tumbling_hour_counts",
     "q70_funnel_stages",
     "q77_hash_split",
-    "st_session_counts",
+    "d_semantic_dedup_keep",
     "q60_merge_upsert",
     "st_stateful_user_counts",
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
