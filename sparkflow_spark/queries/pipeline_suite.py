@@ -567,36 +567,53 @@ def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
     retrieval-quality sibling of TF-IDF, used to mine relevant training
     documents for a topic.
 
-    Shape at 100 TB: tokens explode once and are FILTERED to the query
-    terms before the (doc, term) agg, so the wide path carries ~|terms|
-    rows per doc, not the vocabulary; document length is a map-side
-    combined per-doc agg over the same exploded pass (plan-wise a
-    second scan — at scale fold doclen into a precomputed stats column);
-    corpus scalars (N, avgdl) ride a 1-row broadcast; per-term df is a
-    broadcast of |terms| rows. Only docs containing ≥1 query term
-    appear (inner joins) — matching the oracle exactly."""
+    Shape at 100 TB (round-6 single-scan rewrite — the previous
+    toks→{doclen, tf} twin-agg form re-scanned documents 8× because
+    Catalyst does not share subplans): ONE tokenize+explode pass feeds
+    ONE per-doc aggregate carrying doclen AND the |terms| per-term tfs
+    as conditional counts; that |docs|-row frame is materialized once
+    and re-read by the 1-row corpus-stats aggregate (N, avgdl, per-term
+    df) which broadcasts back onto it. Per-term score contributions sum
+    in fixed term order (a zero tf contributes an exact 0.0). Only docs
+    containing ≥1 query term appear — matching the oracle exactly."""
     t = Tables(spark, sf)
     terms = list(_BM25_TERMS)
     toks = t.documents.select("doc_id", F.explode(lower_tokens("text")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen"),
+        *[
+            F.count(F.when(F.col("tok") == term, 1)).alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tfn = (F.col("tf") * (_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+    per_doc = per_doc.localCheckpoint(eager=False)  # feeds stats AND scoring
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        tfn = (tf * (_BM25_K1 + 1.0)) / (
+            tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, idf * tfn).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    any_term = sum(F.col(f"tf_{i}") for i in range(len(terms)))
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tfn), 3).cast("double").alias("bm25"))
+        per_doc.join(F.broadcast(stats))
+        .where(any_term > 0)
+        .select("doc_id", F.round(score, 3).cast("double").alias("bm25"))
     )
     return scored.transform(ordered, "doc_id")
 
@@ -1698,6 +1715,12 @@ def q89_active(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # du feeds THREE consumers (dau, the fan-out, the day list) and
+    # Catalyst does not share subplans — without materialization the
+    # events table is scanned once per consumer (round-6 plan audit: 6
+    # scans / 9 exchanges). The distinct (day, user) set is the small
+    # user-cardinality reduction of the log; materialize it once.
+    du = du.localCheckpoint(eager=False)
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     expanded = du.select(
         F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wday"),
