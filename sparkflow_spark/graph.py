@@ -42,6 +42,11 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # e feeds nodes (twice), out_deg, and the weighted join — Catalyst
+    # does not share subplans, so without materialization the source
+    # scans once per consumer (round-6 plan audit: 7 scans). One
+    # dedup'd edge materialization serves them all.
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -110,6 +115,10 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         .where(F.col("a") < F.col("b"))
         .distinct()
     )
+    # the canonical edge set feeds all three legs of the wedge-closing
+    # join — materialize once instead of re-deriving (and re-scanning
+    # the source) per leg (round-6 plan audit: 9 scans before this)
+    e = e.localCheckpoint(eager=False)
     e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
