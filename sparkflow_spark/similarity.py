@@ -91,6 +91,7 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     import numpy as np
+    import pandas as pd
     import pyspark.sql.types as T
 
     feats = corpus.select(
