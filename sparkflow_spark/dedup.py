@@ -736,6 +736,40 @@ def near_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rank_cols: tuple[str, ...] = ("n_chars",),
+) -> DataFrame:
+    """Keep the BEST member per near-duplicate component — highest
+    ``rank_cols`` (descending, in order), ties broken by min id — the
+    production keep rule when clusters mix a full document with its
+    truncated/boilerplate variants (keeping min-id, as
+    :func:`near_dedup` does, can discard the canonical long copy).
+
+    Same component machinery as :func:`near_dedup`; the only extra cost
+    is one join of the CLUSTERED ids (a small fraction of the corpus)
+    against the rank columns and a per-component window — both keyed by
+    component, so no full-corpus shuffle is added. Rows in no pair
+    survive via the final anti-join.
+    """
+    comp = connected_components(pairs)
+    members = comp.select(F.col("node").alias(id_col), "component")
+    scored = members.join(
+        df.select(id_col, *rank_cols), on=id_col, how="inner"
+    )
+    w = Window.partitionBy("component").orderBy(
+        *[F.col(c).desc() for c in rank_cols], F.col(id_col).asc()
+    )
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_near_duplicates_ann(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -5,7 +5,7 @@ check plus python-oracle pytest coverage."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from sparkflow_spark import dedup
 from sparkflow_spark.catalog import Tables
@@ -47,7 +47,7 @@ _SHINGLE_FREQ_CAP = 20
 # shingles in more than _SHINGLE_FREQ_CAP docs are dropped from candidate
 # generation and intersection counting, mirroring the Spark side's
 # window-count document-frequency filter in ngram_jaccard_pairs).
-_JACCARD_CTES = f"""
+_SH_CTE = """
         sh AS (
             SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
@@ -61,7 +61,9 @@ _JACCARD_CTES = f"""
                                        x -> x != '') AS toks
                     FROM documents)
             ) base, UNNEST(base.shingles) AS u(shingle)
-        ),
+        )"""
+
+_JACCARD_CTES = f"""{_SH_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         sh_capped AS (
             SELECT sh.doc_id, sh.shingle FROM sh
@@ -350,3 +352,115 @@ def d_containment(spark: SparkSession, sf: str) -> DataFrame:
             "containment"
         ),
     ).transform(ordered, "src_id", "dst_id")
+
+
+@register(
+    "d_near_dedup_keep_longest",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a
+        ),
+        rep AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        ranked AS (
+            SELECT rep.node,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY rep.component
+                       ORDER BY d.n_chars DESC, rep.node) AS rn
+            FROM rep JOIN documents d ON d.doc_id = rep.node
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "iterative"),
+)
+def d_near_dedup_longest(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dedup with the PRODUCTION keep rule: per connected
+    component keep the LONGEST document (max n_chars, ties → min id)
+    rather than the min id — a cluster of one full page plus truncated
+    copies keeps the full page. Exercises
+    :func:`sparkflow_spark.dedup.near_dedup_keep_best`; the oracle
+    replays pairs → recursive-CTE closure → per-component argmax."""
+    t = Tables(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=_SHINGLE_FREQ_CAP
+    )
+    return (
+        dedup.near_dedup_keep_best(t.documents, pairs, rank_cols=("n_chars",))
+        .select("doc_id")
+        .transform(ordered, "doc_id")
+    )
+
+
+@register(
+    "d_repeated_spans",
+    oracle=f"""
+        WITH {_SH_CTE},
+        dfreq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle)
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN dfreq.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(ROUND(SUM(CASE WHEN dfreq.c >= 2 THEN 1 ELSE 0 END) * 1.0
+                          / COUNT(*), 4) AS DOUBLE) + 0.0 AS shared_ratio
+        FROM sh JOIN dfreq USING (shingle)
+        GROUP BY sh.doc_id
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "quality"),
+)
+def d_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-span mass per doc — the corpus-level
+    substring-duplication signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): the fraction of a document's
+    distinct 3-word shingles that occur in at least one OTHER document
+    (or twice in this one via the distinct index — df counts docs).
+    High shared_ratio marks boilerplate/templated pages that pairwise
+    Jaccard misses when the copying is many-to-many. Plan: zero-shuffle
+    shingle explode (per-doc distinct arrays), ONE shingle-keyed
+    exchange reused by the document-frequency window, one doc_id
+    exchange for the final rollup — no self-join, so cost is linear in
+    total shingle count, not pair count."""
+    from sparkflow_spark.functions.text import shingles_from_tokens, with_tokens
+
+    t = Tables(spark, sf)
+    sh = with_tokens(t.documents).select(
+        "doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle")
+    )
+    w = Window.partitionBy("shingle")
+    n_shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).cast("bigint")
+    n_sh = F.count(F.lit(1)).cast("bigint")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            n_sh.alias("n_shingles"),
+            n_shared.alias("n_shared"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1)),
+                    4,
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("shared_ratio"),
+        )
+        .transform(ordered, "doc_id")
+    )

@@ -742,3 +742,88 @@ def t_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_count bigint",
     )
+
+
+# Character alphabet for the entropy signal: lowercase letters, digits,
+# space. Counts come from the length-after-replace trick — pure codegen'd
+# string ops on BOTH engines (no explode, no HOF), so the op stays a
+# scan-bound map. Term order is pinned (alphabet order, left-assoc sum)
+# so the IEEE-double arithmetic is bit-identical cross-engine.
+_ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_LN2 = 0.6931471805599453  # ln(2), the exact double both engines produce
+
+
+def _entropy_oracle() -> str:
+    cnt = {
+        ch: f"(length(lo) - length(replace(lo, '{ch}', '')))"
+        for ch in _ENT_ALPHABET
+    }
+    cols = ", ".join(f"{cnt[ch]} AS c{i}" for i, ch in enumerate(_ENT_ALPHABET))
+    tot = " + ".join(f"c{i}" for i in range(len(_ENT_ALPHABET)))
+    terms = " + ".join(
+        f"(CASE WHEN c{i} = 0 THEN 0.0 ELSE (c{i} * 1.0 / tot)"
+        f" * ln(c{i} * 1.0 / tot) / {_LN2!r} END)"
+        for i in range(len(_ENT_ALPHABET))
+    )
+    return f"""
+        WITH lo AS (SELECT doc_id, lower(text) AS lo FROM documents),
+        k AS (SELECT doc_id, {cols} FROM lo),
+        s AS (SELECT *, ({tot}) AS tot FROM k)
+        SELECT doc_id,
+               CAST(tot AS BIGINT) AS n_alpha,
+               CAST(ROUND(CASE WHEN tot = 0 THEN 0.0
+                               ELSE -({terms}) END, 4) AS DOUBLE) + 0.0
+                   AS entropy_bits
+        FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "t_char_entropy",
+    oracle=_entropy_oracle(),
+    tags=("text", "quality"),
+)
+def t_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy (bits) of the character distribution over
+    [a-z0-9 ] — the quality signal that catches keyboard-mash, base64
+    blobs, and single-character spam that length/stopword ratios pass.
+    Low entropy → repetitive junk; ~4.1 bits is typical English prose.
+    Pure Catalyst: per-char counts via length-after-replace (codegen'd
+    string ops, zero Python, zero shuffle — scan-bound at 100 TB); the
+    oracle replays the identical counts and the identical pinned-order
+    double arithmetic."""
+    t = Tables(spark, sf)
+    lo = F.lower(F.col("text"))
+    cnts = [
+        F.length(lo) - F.length(F.replace(lo, F.lit(ch), F.lit("")))
+        for ch in _ENT_ALPHABET
+    ]
+    k = t.documents.select(
+        "doc_id", *[c.alias(f"c{i}") for i, c in enumerate(cnts)]
+    )
+    tot = F.col("c0")
+    for i in range(1, len(_ENT_ALPHABET)):
+        tot = tot + F.col(f"c{i}")
+    s = k.select("*", tot.alias("tot"))
+    totc = F.col("tot")
+
+    def term(i: int):
+        c = F.col(f"c{i}")
+        p = c * F.lit(1.0) / totc
+        return F.when(c == 0, F.lit(0.0)).otherwise(
+            p * F.log(p) / F.lit(_LN2)
+        )
+
+    ent = term(0)
+    for i in range(1, len(_ENT_ALPHABET)):
+        ent = ent + term(i)
+    return s.select(
+        "doc_id",
+        totc.cast("bigint").alias("n_alpha"),
+        (
+            F.round(
+                F.when(totc == 0, F.lit(0.0)).otherwise(-ent), 4
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("entropy_bits"),
+    ).transform(ordered, "doc_id")

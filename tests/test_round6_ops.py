@@ -264,3 +264,89 @@ def test_semantic_dedup_small_and_large_k_agree_on_threshold(spark):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_near_dedup_keep_best_prefers_longest(spark):
+    """keep_best must keep the LONGEST member (not the min id) and
+    break length ties on min id; unclustered rows survive."""
+    from sparkflow_spark import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short copy", 10),
+            (2, "the long canonical copy", 23),   # same cluster as 1, longer
+            (5, "tie a", 5),
+            (6, "tie b", 5),                      # tied length -> min id (5) wins
+            (9, "unclustered survivor", 20),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_keep_best(docs, pairs).select("doc_id").collect()
+    )
+    assert kept == [2, 5, 9]
+    # contrast: min-id rule keeps 1, not 2
+    kept_min = sorted(
+        r["doc_id"] for r in dedup.near_dedup(docs, pairs).select("doc_id").collect()
+    )
+    assert kept_min == [1, 5, 9]
+
+
+def test_char_entropy_hand_values(spark):
+    """Entropy kernel on crafted docs: single-char -> 0 bits; uniform
+    two-char ("abab") -> 1 bit; empty alphabet hit -> 0 with n_alpha=0."""
+    import math
+
+    from sparkflow_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "????"), (4, "ab")],
+        "doc_id long, text string",
+    )
+    # drive the registered fn on a scratch parquet sf-dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        fn = load_all()["t_char_entropy"].fn
+        out = {
+            r["doc_id"]: (r["n_alpha"], r["entropy_bits"])
+            for r in fn(spark, td).collect()
+        }
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, 1.0)
+    assert out[3] == (0, 0.0)          # '?' outside alphabet
+    assert out[4] == (2, 1.0)
+    assert math.isclose(out[2][1], 1.0)
+
+
+def test_repeated_spans_hand_case(spark):
+    """Docs sharing a 3-gram get it flagged as shared; unique docs score 0."""
+    import os
+    import tempfile
+
+    from sparkflow_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),    # shares 'alpha beta gamma' with 2
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),       # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        fn = load_all()["d_repeated_spans"].fn
+        out = {
+            r["doc_id"]: (r["n_shingles"], r["n_shared"], r["shared_ratio"])
+            for r in fn(spark, td).collect()
+        }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
