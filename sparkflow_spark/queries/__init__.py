@@ -201,7 +201,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q90_referential_integrity",
     "q92_event_transitions",
     "q93_spend_gini",
-    "q28_math_functions",
+    # round-6b swap: q28_math_functions (driver-green r5; scalar-math
+    # family keeps in-window coverage via q31_array_dot_norm and
+    # q93_spend_gini) rotated out for the never-checked corpus-level
+    # substring-duplication stat.
+    "d_repeated_spans",
     "q30_json_extract",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",
