@@ -101,6 +101,13 @@ PROBES = [
     "t_bpe_pair_counts",
     "d_containment_pairs",
     "s_kmeans_clusters",
+    # round-6c additions: repeated-span mass (shingle window + doc
+    # rollup — linear in shingle count); keep-longest dedup (shares the
+    # capped jaccard index + component-keyed window); char entropy
+    # (pure scan-bound string expression)
+    "d_repeated_spans",
+    "d_near_dedup_keep_longest",
+    "t_char_entropy",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
@@ -247,6 +254,12 @@ def main() -> int:
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--keep", action="store_true", help="keep generated parquet")
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe-name subset (incremental runs after "
+        "adding probes; the full sweep stays the recorded baseline)",
+    )
+    ap.add_argument(
         "--skew",
         action="store_true",
         help="run the Zipfian hot-key comparison (uniform vs skewed at "
@@ -257,6 +270,14 @@ def main() -> int:
 
     spark = build_session(app_name="scale_probe")
     registry = load_all()
+
+    global PROBES
+    if args.only:
+        only = args.only.split(",")
+        unknown = [n for n in only if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown probe names: {unknown}")
+        PROBES = only
 
     if args.skew:
         m = scales[-1]
