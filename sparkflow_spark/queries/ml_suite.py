@@ -132,3 +132,40 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", (F.col("p") > 0.5).cast("int").alias("pred_label"))
         .transform(ordered, "vec_id")
     )
+
+
+@register(
+    "m05_logistic_inference",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(ROUND(1.0 / (1.0 + exp(-(
+                    list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * ((((i - 1) % 5) - 2) / 10.0))) + {_B}))),
+                    2) AS DOUBLE) + 0.0 AS prob
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("ml", "inference"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def m05(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-weight LOGISTIC model through the same DistributedDLModel
+    path as m02 — verifies the NONLINEAR activation leg of the
+    inference kernel (sigmoid applied inside the pandas_udf network
+    forward pass) against DuckDB's closed-form 1/(1+exp(-z)). Rounding
+    to 2 decimals absorbs the float-sum association-order delta between
+    numpy's dot and DuckDB's list_sum fold, exactly as m02 does
+    (sigmoid is 1/4-Lipschitz, so the delta only shrinks)."""
+    t = Tables(spark, sf)
+    dim = embedding_dim(spark, sf)
+    model = DistributedDLModel(
+        inputCol="embedding",
+        predictionCol="_p",
+        networkSpec=build_network([dim, 1], activations=["sigmoid"]),
+        modelWeights=json.dumps([[[w] for w in _weights(dim)], [_B]]),
+    )
+    return (
+        model.transform(t.embeddings)
+        .select("vec_id", dec2(F.col("_p")).alias("prob"))
+        .transform(ordered, "vec_id")
+    )
