@@ -442,3 +442,38 @@ def test_json_quarantine_split(spark, tmp_path):
     assert good == [(1, "ok"), (2, "also ok")]
     assert len(bad) == 2 and any("not json" in b for b in bad)
     assert all(r["source_file"].endswith("in.json") for r in quarantine.collect())
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """Star-schema scan contract at 100 TB: a fact table partitioned on
+    the join key must be pruned by a FILTERED dimension at RUNTIME
+    (dynamic partition pruning), not scanned fully — the dim filter
+    can't be pushed statically because the fact predicate only exists
+    through the join. Asserts the dynamicpruning subquery reaches the
+    fact scan's PartitionFilters AND the result equals the statically
+    pre-filtered twin."""
+    t = Tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_yr_dpp")
+    fact = t.orders.withColumn("yr", F.year("o_orderdate"))
+    sources.write_partitioned(fact, out, ["yr"])
+    back = sources.read_parquet(spark, out)
+
+    years = (
+        fact.select("yr").distinct().withColumn("keep", F.col("yr") % 2 == 0)
+    )
+    dim = years.filter("keep").select("yr")
+    joined = back.join(dim, "yr").groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    expect = {
+        (r["yr"], r["n"], float(r["rev"]))
+        for r in fact.join(dim, "yr")
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+        .collect()
+    }
+    got = {(r["yr"], r["n"], float(r["rev"])) for r in joined.collect()}
+    assert got == expect and len(got) > 0
