@@ -241,3 +241,41 @@ def stream_append_to_lsh_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_to_ivf_index(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuously maintain a persistent IVF vector index from an
+    embedding stream: each micro-batch is assigned to the index's
+    FROZEN centroids (vector_index.append_to_ivf_index — one Arrow
+    pass over the delta, no retrain, no old-row touch) and appended to
+    the cell-partitioned table. The FAISS operating model for a growing
+    corpus: centroids train once on a sample, inserts are O(batch);
+    periodic re-train is an offline rebuild, not a streaming concern.
+
+    The index must exist (build_ivf_index). Exactly-once caveats are
+    identical to :func:`stream_append_to_lsh_index` (checkpointed
+    foreachBatch; a replayed batch after checkpoint LOSS would
+    duplicate cell rows — queries then see duplicate candidates, which
+    top-k dedups by id). Returns the started StreamingQuery
+    (AvailableNow trigger; caller awaits)."""
+    from sparkflow_spark.vector_index import append_to_ivf_index
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(index_path, "_stream_checkpoint")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(batch_df.sparkSession, index_path, batch_df)
+
+    return (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

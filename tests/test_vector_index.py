@@ -114,3 +114,37 @@ def test_query_shuffled_join_fallback_matches_broadcast(spark, tmp_path):
     shuffled = rows(broadcast_probes=False)
     auto = rows()
     assert bcast == shuffled == auto and len(bcast) > 0
+
+
+def test_stream_maintained_ivf_equals_batch_append(spark, tmp_path):
+    """An embedding stream appending into the IVF index (one micro-batch
+    per file) converges to the same cell table a batch append produces:
+    same frozen centroids → identical assignments, layout-independent."""
+    from sparkflow_spark.streaming.sinks import stream_append_to_ivf_index
+
+    seed = _vecs(spark, 0, 60)
+    delta = _vecs(spark, 60, 120, seed=1)
+
+    batch_idx = str(tmp_path / "b_idx")
+    build_ivf_index(seed, batch_idx, n_centroids=4)
+    append_to_ivf_index(spark, batch_idx, delta)
+
+    stream_idx = str(tmp_path / "s_idx")
+    build_ivf_index(seed, stream_idx, n_centroids=4)
+    src = str(tmp_path / "vec_stream")
+    delta.repartition(4).write.parquet(src)
+    sdf = spark.readStream.schema(delta.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_append_to_ivf_index(sdf, stream_idx)
+    q.awaitTermination()
+
+    a = sorted(
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(batch_idx + "/cells").collect()
+    )
+    b = sorted(
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(stream_idx + "/cells").collect()
+    )
+    assert a == b and len(a) == 120
