@@ -235,6 +235,67 @@ def run_probe(spark, registry, name: str, sf_dir: str) -> dict:
     return {"cold": times[0], "steady": times[1], "rows": rows}
 
 
+def skew_join_probe(spark, sf_dir: str) -> dict:
+    """Forced SHUFFLE join keyed on the hot column — the case AQE's
+    skew-join splitting exists for (window ops above can't be split;
+    joins can). Broadcast is disabled for the probe because the real
+    100 TB shape is fact⨝fact: orders shuffles on o_custkey, where the
+    skewed twin gives one key ~10% of all rows. With
+    ``spark.sql.adaptive.skewJoin.enabled`` (session default) AQE must
+    split that oversized partition; we record wall clock and whether
+    the final adaptive plan actually marked the join skewed."""
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    customer = spark.read.parquet(table_path(sf_dir, "customer"))
+    # AQE's skew detector triggers on max(factor × median-partition,
+    # thresholdInBytes) with a 256 MB default threshold — sized for
+    # production shuffles, unreachable on a 9.6M-row toy shuffle. Scale
+    # the thresholds DOWN proportionally so the probe demonstrates the
+    # same decision the defaults make at the 100 TB design point.
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        def shape():
+            return (
+                orders.join(
+                    customer, orders.o_custkey == customer.c_custkey, "left"
+                )
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("o_totalprice").alias("rev"),
+                )
+            )
+
+        shape().collect()  # warm (5-row result; collect cost is nil)
+        # Execute through the DataFrame's OWN QueryExecution — a
+        # noop-write action plans a separate QueryExecution, leaving
+        # this one's adaptive plan unexecuted (no final-plan skew
+        # markers to read). A fresh shape per timing keeps the second
+        # run honest (no cached final plan).
+        q = shape()
+        t0 = time.time()
+        q.collect()
+        steady = time.time() - t0
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        return {
+            "steady": round(steady, 3),
+            "skew_split_applied": "skew=true" in plan
+            and "skewed" in plan.lower(),
+            "smj": "SortMergeJoin" in plan or "ShuffledHashJoin" in plan,
+            "final_plan": "isFinalPlan=true" in plan,
+        }
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def check_invariants(spark, registry, sf_dir: str) -> dict:
     """Plan-shape assertions at the largest scale."""
     out = {}
@@ -272,7 +333,7 @@ def main() -> int:
     registry = load_all()
 
     global PROBES
-    if args.only:
+    if args.only and not (args.skew and args.only == "join"):
         only = args.only.split(",")
         unknown = [n for n in only if n not in registry]
         if unknown:
@@ -286,6 +347,13 @@ def main() -> int:
         print(f"# generating x{m} + skewed twin", file=sys.stderr)
         generate(spark, m, uni)
         generate_skew(spark, uni, skw)
+        if args.only == "join":
+            ju = skew_join_probe(spark, uni)
+            js = skew_join_probe(spark, skw)
+            print(json.dumps({"skew_join_probe": {"uniform": ju, "skewed": js}}))
+            if not args.keep:
+                shutil.rmtree(WORK, ignore_errors=True)
+            return 0
         for name in SKEW_PROBES:  # warm shapes on the uniform dir
             registry[name].fn(spark, uni).write.format("noop").mode("overwrite").save()
         rows = []
@@ -299,6 +367,15 @@ def main() -> int:
         for name, ru, rs in rows:
             r = rs["steady"] / max(ru["steady"], 1e-9)
             print(f"| {name} | {ru['steady']:.2f} | {rs['steady']:.2f} | {r:.2f}x |")
+        ju = skew_join_probe(spark, uni)
+        js = skew_join_probe(spark, skw)
+        print(json.dumps({"skew_join_probe": {"uniform": ju, "skewed": js}}))
+        print(
+            f"| forced-shuffle join on hot key | {ju['steady']:.2f} | "
+            f"{js['steady']:.2f} | "
+            f"{js['steady'] / max(ju['steady'], 1e-9):.2f}x "
+            f"(AQE skew-split applied: {js['skew_split_applied']}) |"
+        )
         inv = check_invariants(spark, registry, skw)
         print(json.dumps({"invariants_at_skew": inv}))
         if not args.keep:
