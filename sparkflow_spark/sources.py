@@ -54,6 +54,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Parquet scan that SURVIVES corrupt files instead of killing the
+    job — at 100 TB some files WILL have truncated footers (killed
+    writers, partial uploads) and the default FAILFAST behavior turns
+    one bad object into a dead billion-row job. Sets the per-read
+    ``ignoreCorruptFiles`` option (scoped to this scan, not the
+    session-wide ``spark.sql.files.ignoreCorruptFiles``), so corrupt
+    files are skipped with a warning while every healthy file is read.
+
+    Pass ``schema`` when the FIRST file listed could itself be the
+    corrupt one: schema inference reads one footer, and a corrupt
+    footer there fails before the ignore option can help. Dropped files
+    are silent data loss by design — pair with a file-count/row-count
+    audit (``operators.table_checksum``) when completeness must be
+    proved, or quarantine-and-reconcile like read_json_with_quarantine.
+    """
+    ensure_runtime_configs(spark)
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same pushdown/pruning story as parquet (both are
     columnar with min/max stats; .explain shows PushedFilters)."""

@@ -477,3 +477,20 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
     }
     got = {(r["yr"], r["n"], float(r["rev"])) for r in joined.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_read_parquet_robust_skips_corrupt_file(spark, tmp_path):
+    """A truncated/garbage .parquet object must not kill the scan:
+    robust read returns every healthy row; the strict reader fails."""
+    out = str(tmp_path / "mixed")
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    df.coalesce(2).write.parquet(out)
+    with open(out + "/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    back = sources.read_parquet_robust(spark, out, schema="id bigint, v bigint")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+    with pytest.raises(Exception):
+        spark.read.schema("id bigint, v bigint").parquet(out).count()
