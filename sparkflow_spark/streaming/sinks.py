@@ -13,6 +13,7 @@ formats — Delta/Iceberg — where batch_id becomes a dedup key.)
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
@@ -204,6 +205,33 @@ def latest_version(path: str) -> str:
     if not versions:
         raise FileNotFoundError(f"no v=N snapshots under {path}")
     return os.path.join(path, f"v={max(versions)}")
+
+
+def vacuum_versions(path: str, keep_last: int = 2) -> list[str]:
+    """Retention for the versioned-snapshot layout: delete all but the
+    newest ``keep_last`` ``v=N`` directories and return the removed
+    paths. Every snapshot is a COMPLETE table (version N does not read
+    N-1 at query time), so old versions are pure storage cost — but at
+    least the latest must survive (``keep_last >= 1`` enforced) and the
+    PREVIOUS version is worth keeping while a restarted stream could
+    still be re-deriving N from N-1 after checkpoint loss. Concurrency
+    contract: run from the table's maintainer (the foreachBatch driver
+    or an offline janitor), not concurrently with a reader pinned to an
+    old version — same rule as any snapshot-retention vacuum.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    removed = []
+    for v in versions[:-keep_last]:
+        target = os.path.join(path, f"v={v}")
+        shutil.rmtree(target)
+        removed.append(target)
+    return removed
 
 
 def stream_append_to_lsh_index(

@@ -341,3 +341,33 @@ def test_stream_merge_recovers_from_mid_stream_crash(spark, tmp_path):
         int(d.split("=")[1]) for d in os.listdir(table) if d.startswith("v=")
     )
     assert versions == [0, 1, 2, 3]
+
+
+def test_vacuum_versions_keeps_newest_snapshots(tmp_path):
+    """Retention for the versioned CDC sink: old v=N dirs removed,
+    newest keep_last survive, keep_last<1 refused."""
+    import os
+
+    import pytest
+
+    from sparkflow_spark.streaming.sinks import latest_version, vacuum_versions
+
+    table = str(tmp_path / "t")
+    for v in (0, 1, 2, 5, 7):
+        os.makedirs(os.path.join(table, f"v={v}"))
+        with open(os.path.join(table, f"v={v}", "part.parquet"), "w") as f:
+            f.write("x")
+    os.makedirs(os.path.join(table, "_not_a_version"))
+
+    removed = vacuum_versions(table, keep_last=2)
+    assert sorted(removed) == [
+        os.path.join(table, "v=0"),
+        os.path.join(table, "v=1"),
+        os.path.join(table, "v=2"),
+    ]
+    assert sorted(d for d in os.listdir(table)) == ["_not_a_version", "v=5", "v=7"]
+    assert latest_version(table).endswith("v=7")
+    # idempotent once within retention
+    assert vacuum_versions(table, keep_last=2) == []
+    with pytest.raises(ValueError):
+        vacuum_versions(table, keep_last=0)
