@@ -332,13 +332,23 @@ def main() -> int:
     spark = build_session(app_name="scale_probe")
     registry = load_all()
 
-    global PROBES
+    global PROBES, SKEW_PROBES
     if args.only and not (args.skew and args.only == "join"):
         only = args.only.split(",")
         unknown = [n for n in only if n not in registry]
         if unknown:
             raise SystemExit(f"unknown probe names: {unknown}")
         PROBES = only
+        if args.skew:
+            # the skew branch iterates SKEW_PROBES — apply the filter
+            # there too instead of silently measuring the full set
+            not_skew = [n for n in only if n not in SKEW_PROBES]
+            if not_skew:
+                raise SystemExit(
+                    f"--only with --skew accepts only SKEW_PROBES members "
+                    f"(or the literal 'join'); not skew probes: {not_skew}"
+                )
+            SKEW_PROBES = only
 
     if args.skew:
         m = scales[-1]

@@ -31,13 +31,28 @@ from pyspark.sql import DataFrame
 from sparkflow_spark.functions.text import lower_tokens
 
 
-def _merge_pair_expr(a: str, b: str):
-    """Fold `syms` left-to-right, replacing non-overlapping adjacent
-    (a, b) with a+b — the standard BPE application order."""
+def _codepoint_chars(w):
+    """Split a string column into CODE POINTS, not UTF-16 units.
+    ``split(w, '(?!$)')`` breaks astral-plane characters (emoji,
+    CJK-ext) into two unpaired surrogate halves, silently diverging
+    from the pure-python (code-point) reference BPE the tests pin
+    (round-6 review finding); ``regexp_extract_all`` matches `.` per
+    code point. Also yields [] for the empty string (split yields
+    [''])."""
+    return F.regexp_extract_all(w, F.lit("(?s)."), F.lit(0))
+
+
+def _merge_pair_expr(syms, a: str, b: str):
+    """Fold the ``syms`` array column left-to-right, replacing
+    non-overlapping adjacent (a, b) with a+b — the standard BPE
+    application order. ``syms`` may be a named column or a HOF lambda
+    variable (apply_bpe_merges folds per word inside a transform); the
+    ONE definition serves learn and apply so the merge rule cannot
+    drift between them (round-6 review finding)."""
     empty = F.array().cast("array<string>")
     null_s = F.lit(None).cast("string")
     return F.aggregate(
-        F.col("syms"),
+        syms,
         F.struct(empty.alias("out"), null_s.alias("prev")),
         lambda acc, x: F.when(
             acc["prev"].isNull(), F.struct(acc["out"].alias("out"), x.alias("prev"))
@@ -76,7 +91,7 @@ def learn_bpe_merges(
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split(F.col("word"), "(?!$)").alias("syms"), "freq")
+        .select(_codepoint_chars(F.col("word")).alias("syms"), "freq")
     )
     vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
@@ -102,7 +117,7 @@ def learn_bpe_merges(
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
         vocab = vocab.select(
-            _merge_pair_expr(a, b).alias("syms"), "freq"
+            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "freq"
         ).localCheckpoint(eager=False)
     return merges
 
@@ -120,43 +135,18 @@ def apply_bpe_merges(
     real vocabulary sizes swap in a pandas_udf encoder with a trie, the
     semantics here are the contract."""
     words = F.transform(
-        lower_tokens(F.col(text_col)), lambda w: F.split(w, "(?!$)")
+        lower_tokens(F.col(text_col)), _codepoint_chars
     )
     out = df.withColumn("_words", words)
+    # closure factory, not default-arg capture: F.transform reads the
+    # lambda's ARITY to pick the (x) vs (x, i) form, so extra default
+    # parameters break it — and the factory pins a/b at build time
+    # anyway (expressions are constructed eagerly per loop iteration)
+    def _fold(a: str, b: str):
+        return lambda syms: _merge_pair_expr(syms, a, b)
+
     for m in merges:
-        a, b = m[0], m[1]
-        # re-bind the fold per word array via transform
         out = out.withColumn(
-            "_words",
-            F.transform(
-                F.col("_words"),
-                lambda syms: F.aggregate(
-                    syms,
-                    F.struct(
-                        F.array().cast("array<string>").alias("out"),
-                        F.lit(None).cast("string").alias("prev"),
-                    ),
-                    lambda acc, x: F.when(
-                        acc["prev"].isNull(),
-                        F.struct(acc["out"].alias("out"), x.alias("prev")),
-                    )
-                    .when(
-                        (acc["prev"] == F.lit(a)) & (x == F.lit(b)),
-                        F.struct(
-                            F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
-                            F.lit(None).cast("string").alias("prev"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
-                            x.alias("prev"),
-                        )
-                    ),
-                    lambda acc: F.when(acc["prev"].isNull(), acc["out"]).otherwise(
-                        F.concat(acc["out"], F.array(acc["prev"]))
-                    ),
-                ),
-            ),
+            "_words", F.transform(F.col("_words"), _fold(m[0], m[1]))
         )
     return out.withColumn(out_col, F.flatten(F.col("_words"))).drop("_words")

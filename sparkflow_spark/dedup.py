@@ -301,6 +301,93 @@ _NGRAM_RESULT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _NGRAM_CACHE_MAX = 64
 
 
+def _resolve_index_partitions(df: DataFrame, index_partitions: int | None) -> int:
+    """Data-sized width for the shingle-keyed exchange (shared by the
+    jaccard and containment kernels — ONE definition so a tuning fix
+    reaches both; round-6 review finding).
+
+    One partition per ~64 KiB of input text (≈128k index rows, the
+    probe-scale sweet spot), but never fewer than half the cores while
+    the data supports ≥16 KiB each — a mid-size input on a wide box
+    otherwise leaves most cores idle through the CPU-bound
+    window+pair-expansion stage (measured at sf0.1/32 cores: 9
+    partitions 0.80 s, 16 partitions 0.65 s steady). Plans without
+    computable stats report spark.sql.defaultSizeInBytes
+    (Long.MaxValue); the byte heuristic would then pick the
+    16384-partition cap for arbitrarily small inputs (observed: a
+    one-row createDataFrame input scheduling 16384 tasks). A genuine
+    exabyte input can't occur (the cap is hit from ~1 GiB up), so ≥2⁶⁰
+    can only be the sentinel → fall back to cores. The stats probe is a
+    driver-side py4j call on the optimized input plan — microseconds,
+    no job runs."""
+    if index_partitions is not None:
+        return index_partitions
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if size >= (1 << 60):
+        return cores
+    return max(8, min(16384, max(size >> 16, min(cores // 2, size >> 14))))
+
+
+def _hashed_shingle_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    index_partitions: int,
+) -> DataFrame:
+    """(id, n, shingle) hashed inverted index — the shared zero-shuffle
+    candidate-generation stage of the jaccard and containment kernels.
+
+    shingle_hashes_from_tokens emits a per-doc array_distinct array, so
+    (id, shingle) is already unique — no dedup shuffle needed — and the
+    doc's set size n rides each exploded struct, attached under a
+    bind() so the shingle array (and the tokenizer feeding it)
+    evaluates exactly once per row (round-4 plan audit: twin
+    size()+explode() references re-evaluated the whole tokenize+shingle
+    tree per reference after optimizer inlining). Shingles are 64-bit
+    hashes: 8-byte shuffle/join keys, long comparators (see
+    shingle_hashes_from_tokens for the collision argument). The raw
+    docs are spread first (tiny shuffle) so the expensive
+    tokenize+shingle expressions run on every core; the final exchange
+    is keyed on the shingle with an EXPLICIT width — AQE coalesces
+    repartition-by-column by BYTES, but the downstream window+join is
+    CPU-bound interpreted-HOF work with high cost per byte
+    (byte-coalescing collapsed this to 3 partitions on a 32-core box,
+    +0.4 s), and the scale probe showed any fixed width goes
+    superlinear once the exploded index outgrows it (16x data at width
+    8: 17.7 s vs 7.6 s at width 128)."""
+    docs = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    shingle_structs = bind(
+        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k),
+        lambda arr: F.transform(
+            arr, lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n"))
+        ),
+    )
+    sh = docs.select(F.col(id_col), F.explode(shingle_structs).alias("_p")).select(
+        F.col(id_col), F.col("_p.n").alias("n"), F.col("_p.shingle").alias("shingle")
+    )
+    return sh.repartition(index_partitions, F.col("shingle"))
+
+
+def _df_cap_filter(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Document-frequency window filter df ∈ [2, cap] — the skew guard
+    (a boilerplate stop-shingle would create an O(n²) bucket) plus the
+    df=1 tail drop (a shingle in exactly one doc can produce no pair).
+    A WINDOW count over the already-hash-partitioned index: streamed
+    sort, spillable even for a mega-frequent shingle, no extra
+    shuffle. Per-doc set sizes n were computed upstream, so similarity
+    denominators are unaffected."""
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df").between(2, max_shingle_freq))
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -322,33 +409,8 @@ def ngram_jaccard_pairs(
     # None-resolution reads runtime state (defaultParallelism, plan-time
     # sizeInBytes), so keying on the raw None would return a plan
     # partitioned for a previous session config / input size after
-    # either changes (round-4 advice). The stats probe is a driver-side
-    # py4j call on the (memoized per df object) optimized input plan —
-    # microseconds after the first call, no job runs.
-    if index_partitions is None:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        if size >= (1 << 60):
-            # stats UNKNOWN, not huge: plans without computable stats
-            # report spark.sql.defaultSizeInBytes (Long.MaxValue) — the
-            # byte heuristic would then pick the 16384-partition cap
-            # for arbitrarily small inputs (observed: a one-row
-            # createDataFrame input scheduling 16384 tasks). A genuine
-            # exabyte input can't occur (the cap is hit from ~1 GiB
-            # up), so ≥2⁶⁰ can only be the sentinel → fall back to
-            # cores.
-            index_partitions = df.sparkSession.sparkContext.defaultParallelism
-        else:
-            # one partition per ~64 KiB of input text (≈128k index rows,
-            # the probe-scale sweet spot), but never fewer than half the
-            # cores while the data supports ≥16 KiB each — a mid-size
-            # input on a wide box otherwise leaves most cores idle
-            # through the CPU-bound window+pair-expansion stage
-            # (measured at sf0.1/32 cores: 9 partitions 0.80 s,
-            # 16 partitions 0.65 s steady).
-            cores = df.sparkSession.sparkContext.defaultParallelism
-            index_partitions = max(
-                8, min(16384, max(size >> 16, min(cores // 2, size >> 14)))
-            )
+    # either changes (round-4 advice).
+    index_partitions = _resolve_index_partitions(df, index_partitions)
     cache_key = (
         id(df.sparkSession),
         id(df),
@@ -362,72 +424,24 @@ def ngram_jaccard_pairs(
     hit = _NGRAM_RESULT_CACHE.get(cache_key)
     if hit is not None and hit[0] is df:
         return hit[1]
-    # Candidate generation is ZERO-shuffle: shingle_hashes_from_tokens
-    # emits a per-doc array_distinct array, so (id, shingle) is already
-    # unique — no dedup shuffle needed — and the doc's set size n rides
-    # each exploded struct, attached under a bind() so the shingle array
-    # (and the tokenizer feeding it) evaluates exactly once per row
-    # (round-4 plan audit: the previous size()+explode() twin references
-    # re-evaluated the whole tokenize+shingle tree per reference after
-    # optimizer inlining — 17 tokenizer copies in the optimized plan).
-    # Shingles are 64-bit hashes, not strings: the exploded shuffle/join
-    # key is 8 bytes and the join comparator is a long compare (see
-    # shingle_hashes_from_tokens for the collision argument).
-    # spread the raw docs first (tiny shuffle) so the expensive
-    # tokenize+shingle expressions run on every core, not on however few
-    # partitions the input files happen to have
-    docs = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    shingle_structs = bind(
-        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k),
-        lambda arr: F.transform(
-            arr, lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n"))
-        ),
-    )
-    sh = docs.select(F.col(id_col), F.explode(shingle_structs).alias("_p")).select(
-        F.col(id_col), F.col("_p.n").alias("n"), F.col("_p.shingle").alias("shingle")
-    )
-    # shuffle keyed on the join key: co-partitions both self-join sides
-    # and the frequency cap — the cached partitioning satisfies their
-    # distribution requirements, so no further exchange is planned.
-    # Explicit partition count: AQE coalesces repartition-by-column by
-    # BYTES (advisory size), but the downstream window+join is CPU-bound
-    # interpreted-HOF work with high cost per byte — byte-coalescing
-    # collapsed this to 3 partitions on a 32-core box (measured +0.4 s).
-    # Size the width to the DATA, not the cores alone: the scale probe
-    # (scripts/scale_probe.py) showed any fixed width goes superlinear
-    # once the exploded index outgrows it (within-partition window sort
-    # + interpreted pair-expansion dominate: 16x data at width 8 ran
-    # 17.7 s vs 7.6 s at width 128), while over-splitting small inputs
-    # pays per-partition overhead. The width itself was resolved above
-    # (before the memo key) from the plan-time sizeInBytes estimate —
-    # free: parquet footer stats, no job runs.
-    sh = sh.repartition(index_partitions, F.col("shingle"))
+    # shared candidate-generation stage (see _hashed_shingle_index):
+    # zero-shuffle (id, n, shingle) index, one shingle-keyed exchange
+    # that co-partitions the self-join sides AND the frequency cap —
+    # the cached partitioning satisfies their distribution
+    # requirements, so no further exchange is planned.
+    sh = _hashed_shingle_index(df, text_col, id_col, shingle_k, index_partitions)
     if max_shingle_freq is not None:
         # CAPPED (scale) path: per-shingle pair expansion instead of a
-        # self-join. The cap is a WINDOW count (streamed sort within the
-        # hash-partitioned index — spillable even for a mega-frequent
-        # stop-shingle, which is filtered before any array is built);
-        # survivors collect into per-shingle doc arrays BOUNDED by the
-        # cap, and the ≤ C(cap,2) pairs per shingle expand with one HOF.
-        # vs the former checkpoint + self-join formulation this touches
-        # the index ONCE — no materialization, no lineage truncation,
-        # and no per-invocation physical-planning cost (localCheckpoint
+        # self-join. The cap is the shared window filter (see
+        # _df_cap_filter — skew guard + df=1 tail drop); survivors
+        # collect into per-shingle doc arrays BOUNDED by the cap, and
+        # the ≤ C(cap,2) pairs per shingle expand with one HOF. vs the
+        # former checkpoint + self-join formulation this touches the
+        # index ONCE — no materialization, no lineage truncation, and
+        # no per-invocation physical-planning cost (localCheckpoint
         # plans eagerly at CONSTRUCTION time; measured ~1 s fixed per
         # call at sf0.1, ~40% of the query's steady-state wall clock).
-        # lower bound 2: a shingle in exactly one doc can produce no
-        # pair and contributes nothing to any |A∩B| — dropping it here
-        # (same window pass, no extra shuffle) removes the long df=1
-        # tail (the vast majority of shingles in natural text) from the
-        # collect + pair-expansion stage entirely. Per-doc set sizes n
-        # were computed upstream, so Jaccard denominators are unaffected.
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df").between(2, max_shingle_freq))
-            .drop("_df")
-        )
+        sh = _df_cap_filter(sh, max_shingle_freq)
         docs = F.array_sort(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n")))
         )
@@ -541,35 +555,12 @@ def ngram_containment_pairs(
     (plus prefix-filtering refinements if a deployment needs them —
     they prune on src-size only and stay containment-safe).
     """
-    if index_partitions is None:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        if size >= (1 << 60):  # unknown-stats sentinel (see jaccard kernel)
-            index_partitions = cores
-        else:
-            index_partitions = max(
-                8, min(16384, max(size >> 16, min(cores // 2, size >> 14)))
-            )
-    docs = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    shingle_structs = bind(
-        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k),
-        lambda arr: F.transform(
-            arr, lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n"))
-        ),
-    )
-    sh = docs.select(F.col(id_col), F.explode(shingle_structs).alias("_p")).select(
-        F.col(id_col), F.col("_p.n").alias("n"), F.col("_p.shingle").alias("shingle")
-    )
-    sh = sh.repartition(index_partitions, F.col("shingle"))
+    index_partitions = _resolve_index_partitions(df, index_partitions)
+    # identical shared index/cap stages as the jaccard kernel — one
+    # definition, so index tuning reaches both (round-6 review finding)
+    sh = _hashed_shingle_index(df, text_col, id_col, shingle_k, index_partitions)
     if max_shingle_freq is not None:
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df").between(2, max_shingle_freq))
-            .drop("_df")
-        )
+        sh = _df_cap_filter(sh, max_shingle_freq)
     doc_arr = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n")))
     )

@@ -199,6 +199,23 @@ class DistributedDL(
                 f"trainingMode must be 'average' or 'allreduce', got {mode!r}"
             )
         if mode == "allreduce":
+            # refuse IGNORED knobs loudly, same contract as the dropout
+            # refusal inside _fit_allreduce: silently training with
+            # different semantics than the Params request is worse than
+            # an error (round-6 review finding)
+            if msi != -1:
+                raise ValueError(
+                    "trainingMode='allreduce' runs deterministic full-"
+                    "partition steps; miniStochasticIters is not used in "
+                    "this mode — unset it (-1) or use trainingMode='average'."
+                )
+            if shuffle:
+                raise ValueError(
+                    "trainingMode='allreduce' computes exact global "
+                    "gradients, so inter-epoch reshuffling cannot change "
+                    "the trajectory; shufflePerIter is not used in this "
+                    "mode — unset it or use trainingMode='average'."
+                )
             return self._fit_allreduce(
                 train_df, spec, opt_name, lr, opt_options,
                 epochs, local_iters, batch, unsup, seed, verbose,

@@ -51,8 +51,17 @@ _RESULT_MEMO_MAX = 1024
 
 
 def clear_result_memo() -> None:
-    """Drop all memoized query plans (tests / long-lived drivers)."""
+    """Drop all memoized query plans (tests / long-lived drivers) —
+    including suite-local shared-stage memos registered here."""
     _RESULT_MEMO.clear()
+    for aux in _AUX_MEMOS:
+        aux.clear()
+
+
+# Suite modules with their own shared-intermediate memos (e.g. the
+# SemDeDup pair frame) register them here so clear_result_memo empties
+# everything a long-lived driver could hold.
+_AUX_MEMOS: list[dict] = []
 
 
 def ordered(df: DataFrame, *cols) -> DataFrame:

@@ -424,6 +424,33 @@ def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Arrow-batched assignment past k=8, and scores pairs with the Arrow
     dot kernel (SCALE.md round-6b: fixed k=4 times out at x16; derived
     k finishes in 14.6 s with 700x the true-dup output)."""
+    pairs = _sem_pairs_frame(spark, sf)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cluster",
+        (F.round(F.col("cosine_raw"), 3).cast("double") + F.lit(0.0)).alias("cosine"),
+    ).transform(ordered, "id_a", "id_b")
+
+
+# (session, sf) → raw qualifying-pair DataFrame, shared by the pairs and
+# keep entries: k-means plan-building is EAGER (per-iteration centroid
+# collects), so without this the keep entry would re-run the whole
+# clustering, and routing it through the pairs entry's memoized FINAL
+# frame instead fed connected_components through the repartition(1)
+# ordered() that exists only for the oracle compare (round-6 review).
+_SEM_PAIRS_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+from sparkflow_spark.queries import _AUX_MEMOS  # noqa: E402
+
+_AUX_MEMOS.append(_SEM_PAIRS_MEMO)
+
+
+def _sem_pairs_frame(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark), sf)
+    hit = _SEM_PAIRS_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     t = Tables(spark, sf)
     assign = similarity.kmeans_clusters(
         t.embeddings, id_col="vec_id", vec_col="embedding",
@@ -453,13 +480,12 @@ def d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_raw", dot_ab / (norm("_va") * norm("_vb")))
         .where(F.col("cosine_raw") >= _SEMDUP_THRESHOLD)
+        .select("id_a", "id_b", "cluster", "cosine_raw")
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        "cluster",
-        (F.round(F.col("cosine_raw"), 3).cast("double") + F.lit(0.0)).alias("cosine"),
-    ).transform(ordered, "id_a", "id_b")
+    if len(_SEM_PAIRS_MEMO) >= 64:
+        _SEM_PAIRS_MEMO.pop(next(iter(_SEM_PAIRS_MEMO)))
+    _SEM_PAIRS_MEMO[key] = (spark, pairs)
+    return pairs
 
 
 @register(
@@ -494,7 +520,10 @@ def d_semantic_keep(spark: SparkSession, sf: str) -> DataFrame:
     pair set, so the full iterative pipeline's fixpoint is
     hash-checked."""
     t = Tables(spark, sf)
-    pairs = REGISTRY["d_semantic_dedup_pairs"].fn(spark, sf).select("id_a", "id_b")
+    # raw shared pair frame — NOT the pairs entry's final (its
+    # repartition(1) ordered() exists only for the oracle compare and
+    # would single-partition the component input)
+    pairs = _sem_pairs_frame(spark, sf).select("id_a", "id_b")
     from sparkflow_spark import dedup
 
     kept = dedup.near_dedup(

@@ -396,3 +396,14 @@ def test_allreduce_rejects_dropout(spark):
 def test_training_mode_validated(spark):
     with pytest.raises(ValueError, match="trainingMode"):
         xor_estimator(trainingMode="hogwild").fit(xor_df(spark))
+
+
+def test_allreduce_rejects_ignored_knobs(spark):
+    """Knobs allreduce would silently ignore must refuse loudly (same
+    contract as the dropout refusal): miniStochasticIters and
+    shufflePerIter only have meaning in averaging mode."""
+    df = xor_df(spark)
+    with pytest.raises(ValueError, match="miniStochasticIters"):
+        xor_estimator(trainingMode="allreduce", miniStochasticIters=5).fit(df)
+    with pytest.raises(ValueError, match="shufflePerIter"):
+        xor_estimator(trainingMode="allreduce", shufflePerIter=True).fit(df)

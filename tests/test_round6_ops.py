@@ -350,3 +350,17 @@ def test_repeated_spans_hand_case(spark):
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (2, 0, 0.0)
+
+
+def test_bpe_codepoint_safe_on_astral_chars(spark):
+    """Astral-plane characters must stay ONE symbol (code point), never
+    two surrogate halves — parity with the pure-python reference."""
+    from sparkflow_spark.bpe import apply_bpe_merges, learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "\U0001D11Ex \U0001D11Ex \U0001D11Ex")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=1, min_pair_count=2)
+    assert merges and merges[0][0] == "\U0001D11E" and merges[0][1] == "x"
+    out = apply_bpe_merges(df, merges).select("bpe_tokens").first()[0]
+    assert out == ["\U0001D11Ex", "\U0001D11Ex", "\U0001D11Ex"]
