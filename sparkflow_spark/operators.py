@@ -425,6 +425,7 @@ def chunk_documents(
     chunk_tokens: int = 64,
     stride: int = 48,
     preserve_case: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap →
     (doc_id, chunk_id, n_tokens, chunk_text). The core pre-training /
@@ -439,6 +440,10 @@ def chunk_documents(
     where the original casing must survive; token boundaries are
     whitespace either way, so chunk counts and offsets are identical
     between the two modes.
+
+    ``carry_cols`` names columns to pass through unchanged onto every
+    chunk row (e.g. ``("source",)`` so a downstream per-source packer
+    needs no re-join against the document table).
 
     Spark shape: tokenize once (whitespace split), derive the chunk
     count as a pure expression, ``explode(sequence(...))`` the chunk
@@ -456,7 +461,10 @@ def chunk_documents(
     toks = F.filter(F.split(text, r"\s+"), lambda x: x != "")
     n = F.size(toks)
     base = df.select(
-        F.col(id_col).alias("doc_id"), toks.alias("_toks"), n.alias("_n")
+        F.col(id_col).alias("doc_id"),
+        *carry_cols,
+        toks.alias("_toks"),
+        n.alias("_n"),
     ).where(n > 0)
     # windows start at 0, stride, 2*stride, ... while start < n
     nn = F.col("_n")
@@ -470,11 +478,13 @@ def chunk_documents(
         base.withColumn("_n_chunks", n_chunks)
         .select(
             "doc_id",
+            *carry_cols,
             "_toks",
             F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias("chunk_id"),
         )
         .select(
             "doc_id",
+            *carry_cols,
             "chunk_id",
             F.size(chunk).alias("n_tokens"),
             F.concat_ws(" ", chunk).alias("chunk_text"),

@@ -827,3 +827,118 @@ def t_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("entropy_bits"),
     ).transform(ordered, "doc_id")
+
+
+@register(
+    "p_training_bins_e2e",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, text, source,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')) AS n_toks,
+                   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       * 1.0 / length(text) AS pr,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                           'are','was','it','that','this','with','for',
+                                           'as','on','at','by','be'], x))) AS sh
+            FROM documents WHERE length(text) > 0
+        ),
+        kept AS (
+            SELECT doc_id, text, source FROM scored
+            WHERE n_toks >= 10 AND pr <= 0.10 AND sh >= 1
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM kept
+        ),
+        clean AS (
+            SELECT k.doc_id, k.text, k.source
+            FROM kept k JOIN ranked r ON r.doc_id = k.doc_id AND r.rn = 1
+        ),
+        toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM clean),
+        t2 AS (SELECT doc_id, source, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+        c AS (SELECT doc_id, source, toks, n,
+                     CASE WHEN n <= 64 THEN 1
+                          ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END AS n_chunks
+              FROM t2),
+        ch AS (SELECT doc_id, source, CAST(u.i AS BIGINT) AS chunk_id,
+                      CAST(len(toks[u.i*48+1 : least(u.i*48+64, n)]) AS BIGINT)
+                        AS n_tokens
+               FROM c, UNNEST(range(0, n_chunks)) AS u(i)),
+        packed AS (
+            SELECT doc_id, source, chunk_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY doc_id, chunk_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM ch WHERE n_tokens > 0
+        )
+        SELECT doc_id, chunk_id, source, n_tokens,
+               CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS bin_id
+        FROM packed
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def p_training_bins_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline as one hash-checked query:
+    C4-style quality filters → exact dedup (min-id winner) → 64-token
+    chunking (stride 48) → greedy sequential packing of chunks into
+    256-token bins per source shard. Each stage is individually
+    verified elsewhere (p_clean_corpus, p_chunk_documents,
+    p_pack_sequences); this entry pins their COMPOSITION — the
+    cross-stage contracts (which docs survive into chunking, chunk
+    ordering feeding the packer's running sum) that stagewise checks
+    can't see. Plan shape at 100 TB (pinned by
+    test_training_bins_e2e_plan_shape): one document scan → filters as
+    Catalyst maps → the dedup exchanges only (fingerprint, id) pairs
+    and broadcasts the winners back as a LeftSemi → shuffle-free chunk
+    explode → one (source) exchange for the packing window — the
+    document PAYLOAD crosses the network exactly once."""
+    from sparkflow_spark import dedup as dd
+    from sparkflow_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        lower_tokens,
+        punct_ratio,
+    )
+    from sparkflow_spark.operators import chunk_documents
+
+    t = Tables(spark, sf)
+    stop_hits = F.size(
+        F.filter(lower_tokens("text"), lambda tok: tok.isin(*ENGLISH_STOPWORDS))
+    )
+    kept = t.documents.filter(F.length("text") > 0).filter(
+        (token_count("text") >= 10)
+        & (punct_ratio("text") <= 0.10)
+        & (stop_hits >= 1)
+    )
+    clean = dd.exact_dedup(kept)
+    chunks = chunk_documents(clean, carry_cols=("source",))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.col("n_tokens").cast("bigint")
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "source",
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(256)).cast("bigint"),
+        )
+        .drop("cum")
+        .transform(ordered, "doc_id", "chunk_id")
+    )

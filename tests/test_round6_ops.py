@@ -364,3 +364,53 @@ def test_bpe_codepoint_safe_on_astral_chars(spark):
     assert merges and merges[0][0] == "\U0001D11E" and merges[0][1] == "x"
     out = apply_bpe_merges(df, merges).select("bpe_tokens").first()[0]
     assert out == ["\U0001D11Ex", "\U0001D11Ex", "\U0001D11Ex"]
+
+
+def test_training_bins_e2e_cross_stage_contracts(spark):
+    """The composition contracts the stagewise checks can't see:
+    filtered docs produce NO chunks, only the min-id duplicate
+    survives into chunking, and bin ids follow the per-source running
+    token offset."""
+    import os
+    import tempfile
+
+    from sparkflow_spark.queries import load_all
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, good, "web"),                      # survives
+        (2, good, "web"),                      # exact dup of 1 -> dropped
+        (3, "!!!! ???? ....", "web"),          # junk -> filtered
+        (4, good + " plus unique tail words here", "books"),  # survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        fn = load_all()["p_training_bins_e2e"].fn
+        out = fn(spark, td).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 4}          # dup 2 and junk 3 gone
+    assert all(r["source"] == "web" for r in by_doc[1])
+    # 13 tokens -> one 13-token chunk starting at offset 0 -> bin 0
+    assert [(r["chunk_id"], r["n_tokens"], r["bin_id"]) for r in by_doc[1]] == [
+        (0, 13, 0)
+    ]
+    assert [(r["chunk_id"], r["bin_id"]) for r in by_doc[4]] == [(0, 0)]
+
+
+def test_training_bins_e2e_plan_shape(spark, sf_dir):
+    """Two data exchanges end-to-end (dedup fingerprint + packing
+    window) plus the single-partition final sort; no cartesian."""
+    from sparkflow_spark.queries import load_all
+
+    df = load_all()["p_training_bins_e2e"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # data shuffles: fingerprint agg (ids only) + source packing window,
+    # plus the single-partition final sort; the dedup winners come BACK
+    # as a BroadcastExchange semi-join, so the payload crosses once
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
