@@ -244,7 +244,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # end-to-end streaming CDC MERGE equivalence check
     "q36_lang_stats",
     "st_cdc_upsert_snapshot",
-    "p_clean_corpus",
+    # round-6c swap: p_clean_corpus (driver-green r5) → the e2e
+    # pipeline that CONTAINS it as stage one (clean → dedup → chunk →
+    # pack); the composition check strictly subsumes the family rep.
+    "p_training_bins_e2e",
     # streaming (Q37–Q39 + streaming dedup) — all four watermark queries
     # have driver records; q40_python_udtf_lateral (two sibling UDF rows
     # already in-window) moved past 50 to make room for st_sliding_counts
