@@ -116,6 +116,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     )
     n_unique = run_stream_to_memory(deduped, "append").count()
     print(f"streaming dedup: event feed -> {n_unique} unique (user, event_type) pairs")
+
+    # One-call variant of the whole prep chain: the registry's
+    # p_training_bins_e2e runs clean → exact dedup → 64/48 chunking →
+    # per-source 256-token bin packing as a single hash-checked plan
+    # (the document payload crosses the network exactly once).
+    from sparkflow_spark.queries import load_all
+
+    bins = load_all()["p_training_bins_e2e"].fn(spark, sf_dir)
+    bins.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    ).orderBy("source").show()
     spark.stop()
 
 
