@@ -494,3 +494,54 @@ def test_read_parquet_robust_skips_corrupt_file(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.schema("id bigint, v bigint").parquet(out).count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(st.integers(1, 5), min_size=15, max_size=15),
+)
+def test_prop_near_dedup_keep_best_matches_union_find(edges, lengths):
+    """keep_best == python union-find + per-component argmax(n_chars,
+    then min id) on random small graphs (self-loops dropped)."""
+    from sparkflow_spark.dedup import near_dedup_keep_best
+
+    spark = _prop_spark()
+    n = 15
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", lengths[i]) for i in range(n)],
+        "doc_id long, text string, n_chars long",
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges or [(99, 98)], "id_a long, id_b long")
+    if not edges:
+        pairs = pairs.limit(0)
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep_best(docs, pairs).select("doc_id").collect()
+    )
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    want = sorted(
+        max(members, key=lambda i: (lengths[i], -i))
+        for members in comps.values()
+    )
+    assert got == want
