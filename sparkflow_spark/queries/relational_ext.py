@@ -954,3 +954,76 @@ def q90_ri(spark: SparkSession, sf: str) -> DataFrame:
         [(orphan_li, childless_o, orphan_o)],
         "orphan_lineitems bigint, childless_orders bigint, orphan_orders bigint",
     )
+
+
+@register(
+    "q96_grouping_sets",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS rev
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("relational", "agg"),
+)
+def q96_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP (q16) and CUBE
+    (q55) are sugar for: two one-dimension marginals plus the grand
+    total in ONE pass (Catalyst plans an Expand, so the fact scan runs
+    once, not per set). Same partial-agg scale story as any groupBy."""
+    t = Tables(spark, sf)
+    return (
+        t.orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.sum("o_totalprice"), 2).cast("double") + F.lit(0.0)).alias(
+                "rev"
+            ),
+        )
+        .transform(ordered, "o_orderpriority", "o_orderstatus")
+    )
+
+
+@register(
+    "q97_except_all",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "setop", "large-output"),
+)
+def q97_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL — BAG-semantics difference (q24 covers the DISTINCT
+    forms): each row survives max(count_left - count_right, 0) times.
+    Spark plans a count-aggregated generate, one shuffle per side."""
+    t = Tables(spark, sf)
+    left = t.orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = t.orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    # output multiplicity scales with the input -> large-output tag, no
+    # single-partition final sort (the driver compare is order-blind)
+    return left.exceptAll(right)
+
+
+@register(
+    "q98_intersect_all",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "setop", "large-output"),
+)
+def q98_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection: each row survives
+    min(count_left, count_right) times."""
+    t = Tables(spark, sf)
+    left = t.orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = t.orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.intersectAll(right)
