@@ -96,3 +96,42 @@ def mm_binary_dup(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .transform(ordered, "prefix_md5")
     )
+
+
+@register(
+    "mm_base64_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               base64(CAST(text AS BLOB)) AS b64,
+               CAST(octet_length(from_base64(base64(CAST(text AS BLOB))))
+                    AS BIGINT) AS n_bytes_back,
+               sha256(CAST(from_base64(base64(CAST(text AS BLOB))) AS VARCHAR))
+                    AS sha_back
+        FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec"),
+)
+def mm_base64(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary codec plumbing for opaque payload transport (the shape
+    every JSON/REST/inline-blob ingest needs): payload → base64 text →
+    decode → byte-count + digest, all JVM-side codegen'd expressions on
+    the modality struct's binary content — round-trip integrity is
+    hash-checked cross-engine. Sampled 1-in-17 so the doubly-encoded
+    text column stays a trivial fraction of the scan at any scale."""
+    t = Tables(spark, sf)
+    wrapped = multimodal.attach_binary_payload(
+        t.documents.where(F.col("doc_id") % 17 == 0)
+    )
+    content = F.col("media.content")
+    # Spark's base64 emits MIME-chunked output (CRLF every 76 chars,
+    # Commons-Codec heritage); normalize to the canonical unchunked
+    # form every other system (incl. DuckDB) produces. unbase64
+    # decodes either form, so the round-trip legs are unaffected.
+    b64 = F.regexp_replace(F.base64(content), "\r\n", "")
+    back = F.unbase64(b64)
+    return wrapped.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.octet_length(back).cast("bigint").alias("n_bytes_back"),
+        F.sha2(back.cast("string"), 256).alias("sha_back"),
+    ).transform(ordered, "doc_id")
