@@ -227,13 +227,20 @@ def _setop(rng: random.Random, t: Tables):
     psql = ", ".join(proj)
     a = t.lineitem.filter(f1c).select(*proj)
     b = t.lineitem.filter(f2c).select(*proj)
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]
+    )
     if op == "UNION":
         df = a.union(b).distinct()
     elif op == "UNION ALL":
         df = a.union(b)
     elif op == "INTERSECT":
         df = a.intersect(b)
+    elif op == "INTERSECT ALL":
+        df = a.intersectAll(b)  # bag: min(count_a, count_b) copies
+    elif op == "EXCEPT ALL":
+        df = a.exceptAll(b)  # bag: max(count_a - count_b, 0) copies
     else:
         df = a.subtract(b)  # SQL EXCEPT is the DISTINCT set minus
     sql = (
