@@ -37,6 +37,7 @@ from sparkflow_spark.functions.text import (
     hamming64,
     lower_tokens,
     shingle_hashes_from_tokens,
+    shingles_from_tokens,
     simhash64,  # noqa: F401 — re-exported; definitional twin of simhash64_fast
     with_tokens,
 )
@@ -1058,4 +1059,100 @@ def edit_distance_join(
         .withColumn("dist", F.levenshtein("_name_a", "_name_b"))
         .filter(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{K-1}) MinHash signatures from an md5-derived hash family.
+
+    Engine-portable twin of :func:`minhash_signatures`: permutation *i*
+    is ``min over shingles of md5(i || '|' || shingle)`` — md5 of the
+    same text is bit-identical in every engine and the hex digests
+    compare in plain ASCII order, so the whole signature (and therefore
+    every LSH band decision built on it) is reproducible outside Spark.
+    That makes this the variant a cross-engine migration can verify
+    hash-for-hash (the xxhash64 family is JVM-defined and ~3× faster;
+    prefer it when nothing else needs to recompute the signatures).
+
+    Scale shape: one explode of distinct (id, shingle) pairs, then a
+    single hash-aggregate computing all K mins map-side — the shuffle
+    carries K fixed-width digests per document, never the text.
+    """
+    staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
+        "_sh", shingles_from_tokens("_toks", shingle_k)
+    )
+    ex = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_md5_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs from md5 MinHash signatures, filtered to
+    estimated Jaccard ≥ ``threshold``.
+
+    Standard banding: the K hashes split into ``bands`` contiguous
+    groups; two documents become a candidate pair iff some band's
+    concatenated digests agree exactly. Candidates then get an estimate
+    ``est = (#matching hashes) / K`` and pairs below ``threshold`` drop.
+
+    Scale shape: the self-join keys on (band index, band value) — an
+    equi-join over LSH buckets whose cost is Σ C(bucket,2), never the
+    all-pairs square. A bucket only grows with genuinely near-identical
+    documents (its key is a conjunction of MinHash values), which is
+    the population the operator exists to find. Returns
+    (id_a, id_b, est) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+    sig = minhash_md5_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    ).localCheckpoint(eager=False)  # signatures feed both the band join and the verify join
+    band_vals = [
+        F.concat_ws("", *[F.col(f"h{b * r + j}") for j in range(r)]) for b in range(bands)
+    ]
+    bdf = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    cand = (
+        bdf.alias("a")
+        .join(
+            bdf.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    match_count = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est", match_count / F.lit(float(num_hashes)))
+        .filter(F.col("est") >= threshold)
+        .select("id_a", "id_b", "est")
     )

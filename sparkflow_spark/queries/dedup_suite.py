@@ -464,3 +464,58 @@ def d_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+_MH_K = 8  # md5 permutations
+_MH_BANDS = 4  # → 2 hashes per band
+
+_MH_SIG_CTE = f"""{_SH_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_MH_K))}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, b.i AS band,
+                   CASE b.i {" ".join(f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}" for b in range(_MH_BANDS))} END AS bv
+            FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS i) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                        AND a.doc_id < b.doc_id
+        )"""
+
+
+@register(
+    "d_minhash_md5_pairs",
+    oracle=f"""
+        WITH {_MH_SIG_CTE}
+        SELECT id_a, id_b,
+               CAST(ROUND(({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))})
+                          / {_MH_K}.0, 3) AS DOUBLE) + 0.0 AS est
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))}) / {_MH_K}.0 >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "lsh"),
+)
+def d_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs from the md5-derived hash family —
+    the engine-PORTABLE minhash: md5 digests are bit-identical across
+    engines, so unlike the xxhash64 family (d_minhash_pairs, engine-
+    defined → t1) every signature, band bucket, and estimate here is
+    reproduced hash-for-hash by the DuckDB oracle. 8 permutations,
+    4 bands × 2 rows, est ≥ 0.5."""
+    t = Tables(spark, sf)
+    pairs = dedup.minhash_md5_band_pairs(
+        t.documents, num_hashes=_MH_K, bands=_MH_BANDS, shingle_k=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.round(F.col("est"), 3).cast("double") + F.lit(0.0)).alias("est"),
+    ).transform(ordered, "id_a", "id_b")

@@ -2068,3 +2068,52 @@ def q95_leadtime(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "o_orderpriority")
     )
+
+
+@register(
+    "d_event_debounce",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)) AS gap_us
+            FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN gap_us < 600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+        FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("dedup", "window", "events"),
+)
+def d_event_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry debounce: a repeat of the same (user, event_type)
+    within 10 minutes of the PREVIOUS raw occurrence is a duplicate
+    fire (retry storms, double-clicks, at-least-once producers) and is
+    suppressed; the first of each burst survives. The consecutive-gap
+    rule is a single lag() over one (user_id, event_type) exchange —
+    exactly the sessionize shuffle shape, linear at any scale (contrast
+    TTL-against-last-KEPT, which is an iterative chain — this is the
+    form production event pipelines actually deploy for idempotency).
+    Integer-µs arithmetic; reports kept/suppressed per event type."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = t.events.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    ttl = 600_000_000  # 10 min in µs
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("gap_us").isNull() | (F.col("gap_us") >= ttl), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("gap_us") < ttl, 1).otherwise(0)).cast("bigint").alias("n_suppressed"),
+        )
+        .transform(ordered, "event_type")
+    )

@@ -1027,3 +1027,96 @@ def q98_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
     left = t.orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
     right = t.orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return left.intersectAll(right)
+
+
+@register(
+    "q99_regression_per_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+                 + 0.0 AS slope,
+               CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE)
+                 + 0.0 AS intercept,
+               CAST(ROUND(corr(l_extendedprice, l_quantity), 6) AS DOUBLE)
+                 + 0.0 AS r
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "stats"),
+)
+def q99_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit with the SQL-standard
+    REGR_* aggregates (price explained by quantity per returnflag/
+    linestatus): slope, intercept, Pearson r. One partial-aggregable
+    pass — Catalyst computes the five running moments map-side, so the
+    shuffle carries one row per (flag, status), never the data. The
+    bread-and-butter "fit a trend per segment" analytics shape that
+    otherwise gets hand-rolled from sums of squares."""
+    t = Tables(spark, sf)
+    price = F.col("l_extendedprice").cast("double")
+    qty = F.col("l_quantity").cast("double")
+    return (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.regr_slope(price, qty), 4).cast("double") + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(price, qty), 4).cast("double") + F.lit(0.0)).alias("intercept"),
+            (F.round(F.corr(price, qty), 6).cast("double") + F.lit(0.0)).alias("r"),
+        )
+        .transform(ordered, "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q100_heavy_hitters",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        ),
+        ranked AS (
+            SELECT event_type, cnt,
+                   cnt * 1.0 / SUM(cnt) OVER () AS share,
+                   SUM(cnt) OVER (ORDER BY cnt DESC, event_type
+                                  ROWS UNBOUNDED PRECEDING) * 1.0
+                     / SUM(cnt) OVER () AS cum_share,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS rk
+            FROM c
+        )
+        SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+               CAST(ROUND(share, 6) AS DOUBLE) + 0.0 AS share,
+               CAST(ROUND(cum_share, 6) AS DOUBLE) + 0.0 AS cum_share
+        FROM ranked WHERE rk <= 5 ORDER BY rk
+    """,
+    tags=("relational", "window", "skew"),
+)
+def q100_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter report: top-5 keys by frequency with each key's
+    share and the running cumulative share — the skew diagnostic you
+    run BEFORE keying a 100 TB shuffle on a column (a cum_share knee at
+    rank 1–2 says "salt this key or cap it"). The shuffle-heavy part is
+    one partial-agg count; the windows then run over the tiny per-key
+    frame (single partition of |distinct keys| rows, fine for any
+    realistic key cardinality — for billions of keys you'd pre-filter
+    with a count threshold). Integer counts; shares rounded at 1e-6."""
+    t = Tables(spark, sf)
+    c = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy(F.desc("cnt"), "event_type")
+    ranked = c.select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(w_all), 6).cast("double") + F.lit(0.0)).alias("share"),
+        (
+            F.round(
+                F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+                * F.lit(1.0)
+                / F.sum("cnt").over(w_all),
+                6,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("cum_share"),
+        F.row_number().over(w_ord).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 5).drop("rk").transform(ordered, F.desc("cnt"), "event_type")

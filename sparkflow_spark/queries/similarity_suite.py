@@ -530,3 +530,60 @@ def d_semantic_keep(spark: SparkSession, sf: str) -> DataFrame:
         t.embeddings.select("vec_id"), pairs, id_col="vec_id"
     )
     return kept.select("vec_id").transform(ordered, "vec_id")
+
+
+@register(
+    "s_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            FROM embeddings)
+        SELECT vec_id, label,
+               CAST(ROUND(CASE WHEN maxabs = 0 OR maxabs IS NULL THEN 1.0
+                               ELSE maxabs / 127.0 END, 9) AS DOUBLE) + 0.0
+                 AS scale,
+               array_to_string(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                             / (CASE WHEN maxabs = 0 OR maxabs IS NULL THEN 1.0
+                                     ELSE maxabs / 127.0 END) + 0.5) AS INT)), ',')
+                 AS qvec_csv
+        FROM s ORDER BY vec_id
+    """,
+    tags=("similarity", "vector"),
+)
+def s_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 vector quantization with a per-vector scale
+    sidecar — the storage/bandwidth path for ANN at corpus scale (4×
+    smaller than float32; IVF/PQ probes decode with one multiply).
+    q_i = floor(x_i/scale + 0.5) with scale = max|x|/127, so every
+    component lands in [-127, 127] and the same doubles round the same
+    way in any engine (floor(x+0.5) is used in BOTH engines rather than
+    ROUND to avoid half-even vs half-away divergence). Zero/NULL-norm
+    vectors take scale 1.0. Pure per-row Catalyst HOFs — zero shuffle,
+    zero Python."""
+    t = Tables(spark, sf)
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(arr, F.abs))
+    scale = F.when(maxabs.isNull() | (maxabs == 0), F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    staged = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding"),
+        scale.alias("_scale"),
+    )
+    return staged.select(
+        "vec_id",
+        "label",
+        (F.round(F.col("_scale"), 9).cast("double") + F.lit(0.0)).alias("scale"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") / F.col("_scale") + F.lit(0.5))
+                .cast("int")
+                .cast("string"),
+            ),
+        ).alias("qvec_csv"),
+    ).transform(ordered, "vec_id")

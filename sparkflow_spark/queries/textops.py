@@ -16,6 +16,7 @@ from sparkflow_spark.functions.text import (
     quality_score,
     simhash64,  # noqa: F401 — public re-export (definitional Catalyst form)
     token_count,
+    with_tokens,
 )
 from sparkflow_spark.queries import ordered, register
 
@@ -941,4 +942,68 @@ def p_training_bins_e2e(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("cum")
         .transform(ordered, "doc_id", "chunk_id")
+    )
+
+
+@register(
+    "t_lexical_diversity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents) base, UNNEST(base.toks) AS u(tok)
+        ),
+        cnt AS (
+            SELECT doc_id, tok, COUNT(*) AS c, length(tok) AS wlen
+            FROM tok GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS DOUBLE) + 0.0 AS ttr,
+               CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                          / COUNT(*), 4) AS DOUBLE) + 0.0 AS hapax_frac,
+               CAST(ROUND(SUM(wlen * c) * 1.0 / SUM(c), 4) AS DOUBLE) + 0.0
+                 AS mean_wlen
+        FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document lexical-diversity signals: type-token ratio, hapax
+    fraction (words seen once), and mean word length. TTR/hapax are the
+    classic diversity screens for template/spam pages (low diversity =
+    generated boilerplate) that length and punctuation ratios miss —
+    a standard pre-training corpus quality dimension alongside the
+    Gopher-style repetition score (t_repetition_score covers shingles;
+    this covers the unigram distribution).
+
+    Plan: tokenizer → ONE explode, two hash aggregates (doc_id,token →
+    doc_id); all ratios from integer sums so the only float ops are the
+    final divisions — deterministic cross-engine. Linear in corpus
+    token count, no joins, no windows."""
+    t = Tables(spark, sf)
+    cnt = (
+        with_tokens(t.documents.select("doc_id", "text"))
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("wlen", F.length("tok"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            hapax.cast("bigint").alias("n_hapax"),
+            (F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 4).cast("double") + F.lit(0.0)).alias("ttr"),
+            (F.round(hapax * F.lit(1.0) / F.count(F.lit(1)), 4).cast("double") + F.lit(0.0)).alias("hapax_frac"),
+            (F.round(F.sum(F.col("wlen") * F.col("c")) * F.lit(1.0) / F.sum("c"), 4).cast("double") + F.lit(0.0)).alias("mean_wlen"),
+        )
+        .transform(ordered, "doc_id")
     )

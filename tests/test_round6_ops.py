@@ -414,3 +414,109 @@ def test_training_bins_e2e_plan_shape(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
     assert plan.count("Exchange SinglePartition") <= 1
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_minhash_md5_recall_and_est_bounds(spark):
+    """Planted near-dups must surface through the md5 band join, and
+    the estimate must be monotone-ish with true Jaccard: identical
+    docs estimate 1.0, disjoint docs never pair."""
+    from sparkflow_spark.dedup import minhash_md5_band_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " other words"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["est"]
+        for r in minhash_md5_band_pairs(df, threshold=0.0).collect()
+    }
+    assert rows[(1, 2)] == 1.0  # identical docs: every permutation min agrees
+    assert (1, 4) not in rows and (2, 4) not in rows and (3, 4) not in rows
+    assert rows.get((1, 3), 0.0) > 0.0  # near-dup shares most shingle mins
+
+
+def test_minhash_md5_rejects_bad_band_split(spark):
+    import pytest
+
+    from sparkflow_spark.dedup import minhash_md5_band_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_md5_band_pairs(df, num_hashes=8, bands=3)
+
+
+def test_event_debounce_hand_case(spark):
+    """First fire of each burst kept; repeats inside the 10-min TTL of
+    the previous RAW event suppressed; different event types never
+    debounce each other."""
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click"),
+            (2, "2024-01-01 00:05:00", 10, "click"),   # +5m  -> suppressed
+            (3, "2024-01-01 00:09:00", 10, "click"),   # +4m after RAW #2 -> suppressed
+            (4, "2024-01-01 00:30:00", 10, "click"),   # +21m -> kept
+            (5, "2024-01-01 00:05:30", 10, "view"),    # other type -> kept
+            (6, "2024-01-01 00:05:00", 11, "click"),   # other user -> kept
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = df.select(
+        "event_type",
+        (FF.unix_micros("ts") - FF.unix_micros(FF.lag("ts").over(w))).alias("gap_us"),
+    )
+    ttl = 600_000_000
+    out = {
+        r["event_type"]: (r["n_kept"], r["n_suppressed"])
+        for r in g.groupBy("event_type")
+        .agg(
+            FF.sum(
+                FF.when(FF.col("gap_us").isNull() | (FF.col("gap_us") >= ttl), 1).otherwise(0)
+            ).alias("n_kept"),
+            FF.sum(FF.when(FF.col("gap_us") < ttl, 1).otherwise(0)).alias("n_suppressed"),
+        )
+        .collect()
+    }
+    assert out["click"] == (3, 2)  # events 1,4,6 kept; 2,3 suppressed
+    assert out["view"] == (1, 0)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized q*scale must sit within scale/2 of the original
+    component (the rounding bound), q in [-127,127], and the zero
+    vector must survive with scale 1.0."""
+    import numpy as np
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [100.0, -3.5, 0.0, 0.0001]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(arr, F.abs))
+    scale = F.when(maxabs.isNull() | (maxabs == 0), F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    out = df.select(
+        "vec_id",
+        "embedding",
+        scale.alias("scale"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        ).alias("q"),
+    ).collect()
+    for r in out:
+        s = r["scale"]
+        for orig, q in zip(r["embedding"], r["q"]):
+            assert -127 <= q <= 127
+            assert abs(q * s - float(orig)) <= s / 2 + 1e-12
+    assert next(r for r in out if r["vec_id"] == 3)["scale"] == 1.0
