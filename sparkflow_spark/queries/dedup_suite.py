@@ -519,3 +519,93 @@ def d_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
         "id_b",
         (F.round(F.col("est"), 3).cast("double") + F.lit(0.0)).alias("est"),
     ).transform(ordered, "id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    """Generate the DuckDB twin of d_simhash_md5_sigs from the same
+    bit conventions the Spark side uses (j-th bit lives in hex nibble
+    j//4, position 3-j%4 from the LSB of that nibble; sign >= 0 -> 1)."""
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1 AS n{k}"
+        for k in range(4)
+    )
+    sums = ", ".join(
+        f"SUM(c * (2 * ((n{j // 4} >> {3 - j % 4}) & 1) - 1)) AS s{j}" for j in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents) base, UNNEST(base.toks) AS u(tok)
+        ),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+        nib AS (SELECT doc_id, c, {nibs} FROM tc),
+        s AS (SELECT doc_id, {sums} FROM nib GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS sig,
+               CAST(COUNT(*) OVER (PARTITION BY {sig}) > 1 AS INT) AS in_dup_group
+        FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "d_simhash_md5_sigs",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash"),
+)
+def d_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable SimHash: 16-bit signature from the md5 hash
+    family, count-weighted over tokens — like d_minhash_md5_pairs this
+    makes the OTHER hash-sketch family cross-engine checkable bit for
+    bit (the 64-bit xxhash64 simhash in d_simhash_pairs stays the fast
+    engine-defined production default). Emits every document's
+    signature plus a same-signature duplicate-group flag, so the check
+    is never vacuous and covers sign, bit order, and weighting.
+
+    Plan: one token explode, two hash aggregates ((doc,tok) counts →
+    16 partial-agg'd bit sums per doc), one tiny window over the
+    signature key. Linear in token count; the signature computation is
+    pure codegen'd string/integer arithmetic — no Python, no joins."""
+    from sparkflow_spark.functions.text import with_tokens
+
+    t = Tables(spark, sf)
+    tc = (
+        with_tokens(t.documents.select("doc_id", "text"))
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_h", F.md5("tok"))
+    )
+    nib = tc.select(
+        "doc_id",
+        "c",
+        *[
+            (F.expr(f"instr('0123456789abcdef', substr(_h, {k + 1}, 1))") - F.lit(1)).alias(f"n{k}")
+            for k in range(4)
+        ],
+    )
+    sums = nib.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("c")
+                * (
+                    F.shiftright(F.col(f"n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+                    * F.lit(2)
+                    - F.lit(1)
+                )
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)
+    )
+    w = Window.partitionBy("sig")
+    return (
+        sums.select("doc_id", sig.cast("bigint").alias("sig"))
+        .withColumn("in_dup_group", (F.count(F.lit(1)).over(w) > 1).cast("int"))
+        .transform(ordered, "doc_id")
+    )

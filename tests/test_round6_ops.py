@@ -520,3 +520,42 @@ def test_quantize_int8_roundtrip_error_bound(spark):
             assert -127 <= q <= 127
             assert abs(q * s - float(orig)) <= s / 2 + 1e-12
     assert next(r for r in out if r["vec_id"] == 3)["scale"] == 1.0
+
+
+def test_simhash_md5_sign_convention_and_duplicates(spark):
+    """Identical texts share a signature; the signature is invariant to
+    token ORDER (bag-of-words weighting) and depends only on counts."""
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from sparkflow_spark.functions.text import with_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),   # same bag -> same sig
+            (3, "alpha alpha beta"),          # different counts
+        ],
+        "doc_id long, text string",
+    )
+    tc = (
+        with_tokens(df)
+        .select("doc_id", FF.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(FF.count(FF.lit(1)).alias("c"))
+        .withColumn("_h", FF.md5("tok"))
+    )
+    nib = tc.select(
+        "doc_id", "c",
+        *[(FF.expr(f"instr('0123456789abcdef', substr(_h, {k+1}, 1))") - FF.lit(1)).alias(f"n{k}") for k in range(4)],
+    )
+    sums = nib.groupBy("doc_id").agg(
+        *[FF.sum(FF.col("c") * (FF.shiftright(FF.col(f"n{j//4}"), 3 - j % 4).bitwiseAND(FF.lit(1)) * FF.lit(2) - FF.lit(1))).alias(f"s{j}") for j in range(16)]
+    )
+    sig = sum(FF.when(FF.col(f"s{j}") >= 0, FF.lit(1 << j)).otherwise(FF.lit(0)) for j in range(16))
+    out = {r["doc_id"]: r["sig"] for r in sums.select("doc_id", sig.alias("sig")).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
