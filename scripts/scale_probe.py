@@ -108,6 +108,22 @@ PROBES = [
     "d_repeated_spans",
     "d_near_dedup_keep_longest",
     "t_char_entropy",
+    # round-6e additions: portable md5 MinHash (band-bucket equi-join,
+    # Σ C(bucket,2) not all-pairs), portable 16-bit SimHash + lexical
+    # diversity (explode + hash aggs, linear in token count), debounce
+    # (one (user,type) exchange + lag), heavy hitters (partial-agg
+    # count + per-key-frame windows), int8 quantization (scan-bound
+    # per-row HOFs), per-group OLS (five partial-agg'd moments)
+    "d_minhash_md5_pairs",
+    "d_simhash_md5_sigs",
+    "t_lexical_diversity",
+    "d_event_debounce",
+    "q100_heavy_hitters",
+    "s_quantize_int8",
+    "q99_regression_per_group",
+    # round-6e: TF-IDF cosine shares the capped inverted-index join
+    # shape with jaccard (Σ C(df,2), df ≤ 20)
+    "d_tfidf_cosine_pairs",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

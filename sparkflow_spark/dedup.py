@@ -1156,3 +1156,90 @@ def minhash_md5_band_pairs(
         .filter(F.col("est") >= threshold)
         .select("id_a", "id_b", "est")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    min_df: int = 2,
+    max_df: int = 20,
+    shingle_k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs ≥ ``threshold``.
+
+    The term-space complement of the embedding cosine kernels: documents
+    are tf·idf vectors over their k-shingle terms (tf = positional
+    count, idf = ln(N/df)), similarity is the sparse dot over SHARED
+    terms divided by the vector norms. Distinct from shingle Jaccard in
+    both weighting (a term repeated 5× counts 5×, and rare terms count
+    more) and metric (cosine degrades gracefully under length mismatch
+    where Jaccard collapses). Shingle terms rather than unigrams: in
+    any real corpus the unigram df distribution is dominated by
+    stopwords the ``max_df`` cap would have to discard wholesale;
+    k-shingles keep the df spectrum informative.
+
+    Scale shape — the standard inverted-index similarity join:
+
+    - terms with df < ``min_df`` can't contribute to any pair and are
+      dropped; terms with df > ``max_df`` are the boilerplate mass —
+      near-zero idf AND quadratic join fan-out — so the cap is both the
+      skew guard and a no-op weight-wise (same contract as
+      ngram_jaccard_pairs's frequency cap; the oracle mirrors it).
+    - candidate work is Σ C(df, 2) with df ≤ max_df — bucketed by
+      term, never the all-pairs square.
+    - norms are computed over exactly the kept vocabulary, so
+      cosine ∈ [0, 1] by construction.
+
+    Cosine is rounded to ``round_digits`` BEFORE thresholding so the
+    boundary decision is identical in any engine re-running the same
+    arithmetic. Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    staged = with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col).withColumn(
+        "_sh", shingles_from_tokens("_toks", shingle_k, distinct=False)
+    )
+    tc = (
+        staged.select(F.col(id_col), F.explode("_sh").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    w_term = Window.partitionBy("term")
+    weighted = (
+        tc.withColumn("_df", F.count(F.lit(1)).over(w_term))
+        .filter((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("c") * F.log(F.col("_n") / F.col("_df"))).alias("w"),
+        )
+    )
+    # referenced three times (norms + both join sides): truncate the
+    # tokenize→explode→agg→window lineage once, same pattern as the
+    # minhash bucketed subplan above
+    weighted = weighted.localCheckpoint(eager=False)
+    norms = weighted.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = weighted.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
+    b = weighted.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_digits).cast("double")
+            + F.lit(0.0),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -111,8 +111,10 @@ def lower_tokens(text: Column | str) -> Column:
     return tokens(F.lower(c))
 
 
-def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
-    """k-word shingles over a token array → array<string> (distinct).
+def shingles_from_tokens(toks: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles over a token array → array<string> (distinct by
+    default; ``distinct=False`` keeps positional repeats for term-
+    FREQUENCY consumers like TF-IDF cosine).
 
     Formulation matters: built as a zip_with fold over k SHIFTED SLICES
     of the array, so ``toks`` is referenced only O(k) times. The naive
@@ -133,9 +135,8 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
         acc = F.slice(tk, k, m)
         for j in range(k - 1, 0, -1):
             acc = F.zip_with(F.slice(tk, j, m), acc, lambda x, y: F.concat_ws(" ", x, y))
-        return F.when(n >= k, F.array_distinct(acc)).otherwise(
-            F.array(F.concat_ws(" ", tk))
-        )
+        full = acc if not distinct else F.array_distinct(acc)
+        return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", tk)))
 
     # bind(): tk references above are lambda-variable reads — the token
     # array (and any tokenizer expression inlined into it) evaluates

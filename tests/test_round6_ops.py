@@ -559,3 +559,30 @@ def test_simhash_md5_sign_convention_and_duplicates(spark):
     out = {r["doc_id"]: r["sig"] for r in sums.select("doc_id", sig.alias("sig")).collect()}
     assert out[1] == out[2]
     assert 0 <= out[1] < (1 << 16)
+
+
+def test_tfidf_cosine_weighting_and_cap(spark):
+    """Frequency weighting separates TF-IDF cosine from set Jaccard:
+    a doc repeating a rare shared phrase scores higher against the
+    repeat-heavy twin than against the single-mention one; terms above
+    the df cap contribute nothing."""
+    from sparkflow_spark.dedup import tfidf_cosine_pairs
+
+    rare = "quantum entangled widget"
+    filler = ["altpha bravo", "charlie delta", "echo foxtrot", "golf hotel"]
+    docs = [
+        (1, f"{rare} {rare} {rare} common one common two"),
+        (2, f"{rare} {rare} {rare} common one common two"),   # identical -> cos 1.0
+        (3, f"{rare} {filler[0]} {filler[1]} unique threeish"),
+        (4, f"{filler[2]} {filler[3]} nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, threshold=0.0, max_df=3).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out.get((1, 3), 0.0) < out[(1, 2)]
+    assert (1, 4) not in out and (2, 4) not in out
+    # cap: with max_df=1 every shared term is dropped -> no pairs at all
+    assert tfidf_cosine_pairs(df, threshold=0.0, min_df=2, max_df=1).count() == 0
