@@ -186,7 +186,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q79_table_checksums",
     "g_lpa_communities",
     "q10_left_anti_join",
-    "q11_theta_join",
+    # round-6e swap: q11_theta_join (driver-green r5; non-equi joins
+    # keep local oracle + pytest, and the join family keeps q06 + q10
+    # + tpch_q17 in-window) rotates out for the portable md5-MinHash —
+    # the hash-sketch family's FIRST driver record (the xxhash64
+    # minhash/simhash rows are engine-defined t1 by design; the md5
+    # twins are the cross-engine-checkable form).
+    "d_minhash_md5_pairs",
     "q13_hash_agg_tpch_q1",
     # round-5 swap #1: q14_count_distinct rotated out (its exact
     # count-distinct leg is computed INSIDE q15's thresholded compare,

@@ -1120,3 +1120,110 @@ def q100_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(w_ord).alias("rk"),
     )
     return ranked.filter(F.col("rk") <= 5).drop("rk").transform(ordered, F.desc("cnt"), "event_type")
+
+
+@register(
+    "q101_order_overlap_pairs",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, o_orderkey,
+                   o_orderdate AS st,
+                   o_orderdate + INTERVAL 7 DAY AS en
+            FROM orders)
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               CAST(date_diff('day', greatest(a.st, b.st),
+                              least(a.en, b.en)) AS BIGINT) AS overlap_days
+        FROM s a
+        JOIN s b ON a.o_custkey = b.o_custkey
+                AND a.o_orderkey < b.o_orderkey
+                AND a.st < b.en AND b.st < a.en
+        ORDER BY custkey, key_a, key_b
+    """,
+    tags=("relational", "join", "interval"),
+)
+def q101_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of the SAME customer's orders
+    whose 7-day fulfillment windows overlap (concurrent open orders —
+    the double-spend/conflict shape). The scale discipline is the key
+    choice: intervals equi-join on the entity key and apply the
+    overlap predicate inside each bucket, so fan-out is bounded by
+    per-key C(orders,2) and output stays linear in customers — a
+    GLOBAL interval self-join on dense data is inherently quadratic
+    OUTPUT and no physical trick fixes that (for keyless range joins,
+    bin-bucket the time axis; the daily-stabbing q89 pattern covers
+    occupancy counts). Overlap length in exact integer days."""
+    t = Tables(spark, sf)
+    s = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("st"),
+        F.date_add(F.col("o_orderdate"), 7).alias("en"),
+    )
+    a = s.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+    )
+    b = s.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("st_a") < F.col("en_b"))
+            & (F.col("st_b") < F.col("en_a"))
+        )
+        .select(
+            "custkey",
+            "key_a",
+            "key_b",
+            F.datediff(
+                F.least("en_a", "en_b").cast("date"),
+                F.greatest("st_a", "st_b").cast("date"),
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .transform(ordered, "custkey", "key_a", "key_b")
+    )
+
+
+@register(
+    "q102_equiheight_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) + 0.0 AS lo,
+               CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) + 0.0 AS hi
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("relational", "window", "stats"),
+)
+def q102_equiheight(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-HEIGHT histogram (10 equal-count buckets with their value
+    bounds) — the complement of q67's equi-width bins and the shape
+    optimizers and monitoring dashboards actually want (every bucket
+    carries signal; equi-width collapses under skew). NTILE needs a
+    total order: that global sort is the honest cost, one range
+    exchange, and the deterministic (value, key) tie-break makes bucket
+    assignment — and therefore the hash — engine-identical."""
+    t = Tables(spark, sf)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = t.orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.min("o_totalprice"), 2).cast("double") + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("o_totalprice"), 2).cast("double") + F.lit(0.0)).alias("hi"),
+        )
+        .transform(ordered, "bucket")
+    )
