@@ -806,3 +806,70 @@ def assert_schema(df: DataFrame, expected_ddl: str, allow_extra: bool = False) -
     if problems:
         raise ValueError("schema contract violated: " + "; ".join(problems))
     return df
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact heavy hitters — every key with count > n/k — found with
+    bounded memory via a two-pass Misra-Gries sketch.
+
+    Why not just groupBy-count-filter? That shuffles ONE ROW PER
+    DISTINCT KEY; at 100 TB with billions of keys the aggregate state
+    itself is the bottleneck. Misra-Gries (the classic streaming
+    FREQUENT algorithm) keeps at most k-1 counters per partition and
+    guarantees every key with true count > n/k survives the sweep —
+    so pass 1 produces ≤ (k-1)·partitions candidates regardless of key
+    cardinality, and pass 2 recounts ONLY those candidates exactly
+    (hash-join against a broadcast candidate set + one tiny groupBy).
+    The output is therefore EXACT — the sketch bounds memory, it never
+    decides membership — which is what makes this verifiable against
+    any engine's plain GROUP BY.
+
+    Pass 1 is an Arrow-batched ``mapInPandas`` (per-partition Python
+    dict of ≤ k-1 counters); pass 2 is pure Catalyst. Returns
+    (key_col, cnt) for keys with cnt > n/k.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cap = k - 1
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf["_k"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < cap:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame({"_k": list(counters.keys())})
+
+    keyed = df.select(F.col(key_col).cast("string").alias("_k"))
+    candidates = (
+        keyed.mapInPandas(mg, schema="_k string")
+        .distinct()
+        .select(F.col("_k").cast(df.schema[key_col].dataType).alias(key_col))
+    )
+    n_total = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .select(key_col, "cnt")
+    )

@@ -2117,3 +2117,32 @@ def d_event_debounce(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "event_type")
     )
+
+
+@register(
+    "a_heavy_hitters_mg",
+    oracle="""
+        SELECT event_type, CAST(cnt AS BIGINT) AS cnt FROM (
+            SELECT event_type, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER () AS total
+            FROM events GROUP BY event_type) t
+        WHERE cnt * 10 > total ORDER BY event_type
+    """,
+    tags=("sketch", "skew"),
+)
+def a_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters (count > n/10) via the two-pass Misra-Gries
+    sketch: pass 1 keeps ≤ 9 counters per partition (candidate memory
+    is independent of key cardinality — the property that matters at
+    billions of keys, where the plain groupBy's one-row-per-key state
+    IS the bottleneck); pass 2 exactly recounts candidates only. The
+    sketch bounds memory but never decides membership, so the result
+    equals a plain GROUP BY ... HAVING count > n/k in any engine."""
+    from sparkflow_spark.operators import heavy_hitters
+
+    t = Tables(spark, sf)
+    return (
+        heavy_hitters(t.events, "event_type", k=10)
+        .select("event_type", F.col("cnt").cast("bigint").alias("cnt"))
+        .transform(ordered, "event_type")
+    )

@@ -586,3 +586,37 @@ def test_tfidf_cosine_weighting_and_cap(spark):
     assert (1, 4) not in out and (2, 4) not in out
     # cap: with max_df=1 every shared term is dropped -> no pairs at all
     assert tfidf_cosine_pairs(df, threshold=0.0, min_df=2, max_df=1).count() == 0
+
+
+def test_heavy_hitters_mg_guarantee_many_keys(spark):
+    """With key cardinality far above the sketch capacity, every true
+    heavy hitter (count > n/k) must surface with its EXACT count, and
+    nothing below threshold may appear."""
+    import random
+
+    from sparkflow_spark.operators import heavy_hitters
+
+    rng = random.Random(7)
+    rows = []
+    # 3 planted heavies on a long tail of ~500 distinct keys
+    for i in range(3000):
+        rows.append((i, f"hot{i % 3}"))
+    for i in range(3000):
+        rows.append((10_000 + i, f"tail{rng.randrange(500)}"))
+    df = spark.createDataFrame(rows, "id long, key string").repartition(8)
+    out = {r["key"]: r["cnt"] for r in heavy_hitters(df, "key", k=5).collect()}
+    # n=6000, threshold n/5=1200; each hot key has exactly 1000 -> NOT heavy
+    assert out == {}
+    out = {r["key"]: r["cnt"] for r in heavy_hitters(df, "key", k=10).collect()}
+    # threshold 600: the three hot keys (1000 each) qualify, tails (~12) never
+    assert out == {"hot0": 1000, "hot1": 1000, "hot2": 1000}
+
+
+def test_heavy_hitters_mg_rejects_k1(spark):
+    import pytest
+
+    from sparkflow_spark.operators import heavy_hitters
+
+    df = spark.createDataFrame([(1, "a")], "id long, key string")
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "key", k=1)
