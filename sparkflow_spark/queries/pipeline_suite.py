@@ -2146,3 +2146,59 @@ def a_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", F.col("cnt").cast("bigint").alias("cnt"))
         .transform(ordered, "event_type")
     )
+
+
+_DQ_RULES = (
+    ("null_key", "l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL"),
+    ("qty_out_of_range", "l_quantity <= 0 OR l_quantity > 50"),
+    ("discount_out_of_range", "l_discount < 0 OR l_discount > 0.1"),
+    ("tax_negative", "l_tax < 0"),
+    ("returnflag_not_in_enum", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("price_nonpositive", "l_extendedprice <= 0"),
+    ("shipdate_stale_pre_1996", "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"),
+)
+
+
+@register(
+    "q103_dq_audit",
+    oracle=f"""
+        WITH a AS (
+            SELECT COUNT(*) AS n,
+                   {", ".join(f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS v{i}" for i, (_, cond) in enumerate(_DQ_RULES))}
+            FROM lineitem)
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS rule, CAST(v{i} AS BIGINT) AS n_violations, "
+            f"CAST(ROUND(v{i} * 1.0 / n, 6) AS DOUBLE) + 0.0 AS viol_rate FROM a"
+            for i, (name, _) in enumerate(_DQ_RULES))}
+        ORDER BY rule
+    """,
+    tags=("pipeline", "quality"),
+)
+def q103_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation audit: seven production-style rules
+    (null keys, range bands, enum membership, sign checks, freshness)
+    evaluated in ONE scan — all counters are sum(CASE) aggregates of
+    the same pass, so adding a rule costs an expression, not a job
+    (same single-scan discipline as the column profiler; contrast a
+    naive one-query-per-rule harness that rescans 100 TB per rule).
+    The freshness rule genuinely fires on the fixtures, so the hash
+    check covers nonzero counts, not just zeros. Complements
+    assert_schema (plan-time contract) with data-level contracts."""
+    t = Tables(spark, sf)
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(f"v{i}")
+        for i, (_, cond) in enumerate(_DQ_RULES)
+    ]
+    one = t.lineitem.agg(*aggs)
+    pairs = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(_DQ_RULES))
+    return (
+        one.select(
+            "n", F.expr(f"stack({len(_DQ_RULES)}, {pairs}) AS (rule, n_violations)")
+        )
+        .select(
+            "rule",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.round(F.col("n_violations") * F.lit(1.0) / F.col("n"), 6).cast("double") + F.lit(0.0)).alias("viol_rate"),
+        )
+        .transform(ordered, "rule")
+    )

@@ -620,3 +620,42 @@ def test_heavy_hitters_mg_rejects_k1(spark):
     df = spark.createDataFrame([(1, "a")], "id long, key string")
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "key", k=1)
+
+
+def test_dq_audit_single_scan_and_injected_violations(spark, sf_dir):
+    """All seven rules ride ONE scan; injected bad rows are counted by
+    the right rule."""
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    q = REGISTRY["q103_dq_audit"]
+    plan = (
+        q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2  # AQE may print twice
+
+    import pyspark.sql.functions as FF
+
+    from sparkflow_spark.queries.pipeline_suite import _DQ_RULES
+
+    bad = spark.createDataFrame(
+        [
+            (None, 1, 1, 1, -2.0, 100.0, 0.05, 0.0, "A", "O", "1996-06-01"),  # null key + bad qty
+            (2, 1, 1, 1, 10.0, -5.0, 0.5, -0.1, "X", "O", "1995-06-01"),      # price/discount/tax/enum/stale
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", FF.to_timestamp("l_shipdate"))
+    counts = {
+        name: bad.filter(FF.expr(cond)).count() for name, cond in _DQ_RULES
+    }
+    assert counts == {
+        "null_key": 1,
+        "qty_out_of_range": 1,
+        "discount_out_of_range": 1,
+        "tax_negative": 1,
+        "returnflag_not_in_enum": 1,
+        "price_nonpositive": 1,
+        "shipdate_stale_pre_1996": 1,
+    }
