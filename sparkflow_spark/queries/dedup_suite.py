@@ -661,3 +661,66 @@ def d_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         t.documents, threshold=0.5, min_df=2, max_df=20, shingle_k=3
     )
     return pairs.transform(ordered, "id_a", "id_b")
+
+
+@register(
+    "d_entity_resolution_keep",
+    oracle="""
+        WITH RECURSIVE d AS (
+            SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM d a JOIN d b
+              ON a.id < b.id AND levenshtein(a.p_name, b.p_name) <= 1
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a
+        ),
+        rep AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+        )
+        SELECT d.id AS entity_id, d.p_name AS name,
+               COALESCE(rep.component, d.id) AS canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY COALESCE(rep.component, d.id)) AS BIGINT)
+                 AS cluster_size
+        FROM d LEFT JOIN rep ON rep.node = d.id
+        ORDER BY entity_id
+    """,
+    tags=("dedup", "iterative", "join"),
+)
+def d_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end entity resolution over part names — the classic
+    record-linkage pipeline as ONE query: exact-dup collapse (name →
+    min key), fuzzy blocking + verify (positional q-gram filter →
+    levenshtein ≤ 1), transitive closure (connected components), and a
+    canonical min-id per cluster with the cluster size. Every entity
+    appears in the output (singletons keep their own id), so the hash
+    covers cluster ASSIGNMENT, not just the merged pairs. The oracle
+    replays blocking as a nested loop and the closure as a recursive
+    CTE, so the iterative fixpoint is checked end to end — same
+    discipline as the near-dedup keep rows, but over the edit-distance
+    graph a name-matching ER pass actually produces."""
+    t = Tables(spark, sf)
+    names = t.part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    pairs = dedup.edit_distance_join(
+        names, string_col="p_name", id_col="pid", max_dist=1, q=2
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)  # (node, component)
+    w = Window.partitionBy("canonical_id")
+    return (
+        names.join(comp, names["pid"] == comp["node"], "left")
+        .select(
+            F.col("pid").alias("entity_id"),
+            F.col("p_name").alias("name"),
+            F.coalesce(F.col("component"), F.col("pid")).alias("canonical_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .transform(ordered, "entity_id")
+    )
