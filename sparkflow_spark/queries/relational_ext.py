@@ -1195,15 +1195,17 @@ def q101_overlap(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q102_equiheight_histogram",
     oracle="""
-        WITH b AS (
+        WITH r AS (
             SELECT o_totalprice,
-                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+                   COUNT(*) OVER () AS n
             FROM orders)
         SELECT bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) + 0.0 AS lo,
                CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) + 0.0 AS hi
-        FROM b GROUP BY bucket ORDER BY bucket
+        FROM (SELECT o_totalprice, CAST(((rk - 1) * 10) // n AS INT) + 1 AS bucket FROM r)
+        GROUP BY bucket ORDER BY bucket
     """,
     tags=("relational", "window", "stats"),
 )
@@ -1211,13 +1213,31 @@ def q102_equiheight(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-HEIGHT histogram (10 equal-count buckets with their value
     bounds) — the complement of q67's equi-width bins and the shape
     optimizers and monitoring dashboards actually want (every bucket
-    carries signal; equi-width collapses under skew). NTILE needs a
-    total order: that global sort is the honest cost, one range
-    exchange, and the deterministic (value, key) tie-break makes bucket
-    assignment — and therefore the hash — engine-identical."""
+    carries signal; equi-width collapses under skew).
+
+    An equal-count bucketing needs a global rank; ``NTILE() OVER
+    (ORDER BY ...)`` computes it in ONE task (WindowExec's
+    single-partition warning — a non-starter at scale), so this uses
+    :func:`operators.global_rank` — range exchange, per-partition
+    row_number, broadcast offsets — and derives the bucket as
+    ``(rank-1)·k DIV n`` (pure integer arithmetic, engine-identical;
+    bucket sizes differ by ≤ 1 like NTILE, with the remainder spread
+    Bresenham-style instead of front-loaded). The deterministic
+    (value, key) tie-break makes bucket assignment — and therefore the
+    hash — independent of where the sampled range boundaries fall."""
+    from sparkflow_spark.operators import global_rank
+
     t = Tables(spark, sf)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = t.orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    ranked = global_rank(
+        t.orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="rk",
+    )
+    n_total = t.orders.select(F.count(F.lit(1)).alias("_n"))
+    b = ranked.crossJoin(F.broadcast(n_total)).select(
+        "o_totalprice",
+        (F.expr("CAST(((rk - 1) * 10) DIV _n AS INT)") + F.lit(1)).alias("bucket"),
+    )
     return (
         b.groupBy("bucket")
         .agg(

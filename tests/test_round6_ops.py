@@ -659,3 +659,34 @@ def test_dq_audit_single_scan_and_injected_violations(spark, sf_dir):
         "price_nonpositive": 1,
         "shipdate_stale_pre_1996": 1,
     }
+
+
+def test_global_rank_matches_single_window_and_avoids_it(spark):
+    """global_rank must equal row_number over the naive global window
+    on a total order, while its plan contains no empty-PARTITION BY
+    window over the ranked data (the per-partition window partitions by
+    _pid; the only global window runs over the |partitions|-row offset
+    table)."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from sparkflow_spark.operators import global_rank
+
+    df = spark.range(0, 5000).select(
+        (FF.col("id") % 97).alias("v"), FF.col("id").alias("k")
+    ).repartition(16)
+    got = global_rank(df, ["v", "k"], rank_col="r")
+    naive = df.withColumn("r", FF.row_number().over(Window.orderBy("v", "k")))
+    assert got.select("v", "k", "r").exceptAll(naive.select("v", "k", "r")).count() == 0
+    assert naive.select("v", "k", "r").exceptAll(got.select("v", "k", "r")).count() == 0
+    # ranks are a permutation of 1..n
+    assert got.agg(FF.min("r"), FF.max("r"), FF.count_distinct("r")).collect()[0] == (1, 5000, 5000)
+
+
+def test_global_rank_rejects_empty_order(spark):
+    import pytest
+
+    from sparkflow_spark.operators import global_rank
+
+    with pytest.raises(ValueError, match="non-empty"):
+        global_rank(spark.range(3), [])
