@@ -721,7 +721,8 @@ def q76_winsor(spark: SparkSession, sf: str) -> DataFrame:
             FROM orders GROUP BY o_custkey),
         ranked AS (
             SELECT o_custkey, cents,
-                   NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+                   CAST(((ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) - 1) * 10)
+                        // (COUNT(*) OVER ()) AS INT) + 1 AS decile
             FROM spend)
         SELECT decile,
                COUNT(*) AS n_customers,
@@ -736,22 +737,28 @@ def q81_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Customer revenue deciles: per-customer spend in EXACT integer
     cents (two-decimal prices → round(x*100) is lossless, and the
     BIGINT sums are order-independent — no float aggregation anywhere),
-    NTILE(10) with a custkey tiebreak for a deterministic split, then
-    per-decile totals. The NTILE needs a total order (Spark warns and
-    plans a single-partition window) — acceptable because the ranked
-    input is one row per customer, the standard cardinality-reduction
-    before a global window; at billion-customer cardinality swap the
-    NTILE for percentile-threshold bucketing (the
-    p_quality_percentile_filter shape: k-1 exact quantiles on a 1-row
-    broadcast, then a scalar compare — same buckets up to ties, no
-    global sort)."""
+    equal-count deciles with a custkey tiebreak, then per-decile
+    totals. The decile split needs a global rank; instead of NTILE's
+    single-partition window this uses operators.global_rank (range
+    exchange + per-partition row_number + broadcast offsets — see
+    q102/SCALE.md round-6f) and derives decile = (rank-1)·10 DIV n,
+    integer-exact in both engines and scale-safe at billion-customer
+    cardinality."""
+    from sparkflow_spark.operators import global_rank
+
     t = Tables(spark, sf)
     spend = t.orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint").alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    spend = spend.withColumn("_negc", -F.col("cents"))
+    ranked_r = global_rank(spend, ["_negc", "o_custkey"], rank_col="_rk")
+    n_total = spend.select(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        ranked_r.crossJoin(F.broadcast(n_total))
+        .withColumn("decile", F.expr("CAST(((_rk - 1) * 10) DIV _n AS INT)") + F.lit(1))
+        .drop("_negc", "_rk", "_n")
+    )
     return (
         ranked.groupBy("decile")
         .agg(
