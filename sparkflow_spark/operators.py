@@ -880,47 +880,55 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact 1-based global rank over a TOTAL order — without the
+    """Exact 1-based rank over a TOTAL order — without the
     single-partition window.
 
     ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
     entire table into one task (Spark's WindowExec warns, and at 100 TB
-    it simply doesn't run). This computes the identical ranks with the
-    classic two-phase shape every external sorter uses:
+    it simply doesn't run). The same trap hides in PARTITION BY over a
+    LOW-CARDINALITY key: five event types = five tasks, however many
+    trillion rows. This computes identical ranks with the classic
+    two-phase shape every external sorter uses:
 
-    1. ``repartitionByRange`` on the order columns — the range exchange
-       Spark already uses for global sorts (sampled boundaries, ~equal
-       partitions, ascending ranges in ascending partition ids);
-    2. ``row_number`` within each range partition (parallel);
-    3. a per-partition COUNT → running-offset table (|partitions| rows,
-       broadcast) added to the within-partition number.
+    1. ``repartitionByRange`` on (group, order) columns — the range
+       exchange Spark already uses for global sorts (sampled
+       boundaries, ~equal partitions, ascending ranges in ascending
+       partition ids) — so ONE group spreads across MANY partitions;
+    2. ``row_number`` within each (group, range-partition) — parallel;
+    3. per-(group, partition) counts → running offsets per group (a
+       ≤ |groups|·|partitions|-row table, broadcast) added to the
+       within-partition number.
 
-    ``order_cols`` must be a total order (add a unique tiebreak column)
-    — that is what makes the result independent of where the sampled
-    range boundaries happen to fall, so equal runs straddling a
-    boundary cannot flip ranks between runs or engines.
+    With ``group_cols`` the rank restarts per group (the scale-safe
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)``). ``order_cols``
+    must complete a total order within each group (add a unique
+    tiebreak) — that is what makes the result independent of where the
+    sampled range boundaries fall, so equal runs straddling a boundary
+    cannot flip ranks between runs or engines.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    g = list(group_cols or [])
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in g + order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    w_in = Window.partitionBy("_pid", *g).orderBy(*order_cols)
     staged = ranged.withColumn("_rn", F.row_number().over(w_in))
     # referenced twice (offset counts + the main join): truncate so the
     # range exchange runs once
     staged = staged.localCheckpoint(eager=False)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.partitionBy(*g).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        staged.groupBy("_pid")
+        staged.groupBy("_pid", *g)
         .agg(F.count(F.lit(1)).alias("_c"))
         .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
-        .select("_pid", "_off")
+        .select("_pid", *g, "_off")
     )
     return (
-        staged.join(F.broadcast(offsets), "_pid")
+        staged.join(F.broadcast(offsets), ["_pid", *g])
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )

@@ -657,15 +657,33 @@ def q72_runmed(spark: SparkSession, sf: str) -> DataFrame:
 def q74_qnorm(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile normalization (rank-to-[0,1] feature scaling) of the
     value column within each event type — the distribution-free scaler
-    ML pipelines apply before training. percent_rank with an event_id
-    tiebreak is a total order, so the mapping is bit-stable
-    cross-engine; one key exchange like any window."""
+    ML pipelines apply before training. The event_id tiebreak makes the
+    order total, so the mapping is bit-stable cross-engine.
+
+    ``percent_rank() OVER (PARTITION BY event_type ...)`` would put
+    each event type in ONE task — with a handful of types that is a
+    handful of tasks regardless of data size — so this computes the
+    identical value as (rank-1)/(n_group-1) over the grouped two-phase
+    global_rank (range exchange spreads each type across many
+    partitions; see SCALE.md round-6f) with a broadcast per-type count."""
+    from sparkflow_spark.operators import global_rank
+
     t = Tables(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = global_rank(
+        t.events.select("event_id", "event_type", "value"),
+        ["value", "event_id"],
+        rank_col="_rk",
+        group_cols=["event_type"],
+    )
+    ng = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("_ng"))
+    pr = F.when(
+        F.col("_ng") > 1, (F.col("_rk") - 1) / (F.col("_ng") - 1)
+    ).otherwise(F.lit(0.0))
     return (
-        t.events.select(
+        ranked.join(F.broadcast(ng), "event_type")
+        .select(
             "event_id",
-            (F.round(F.percent_rank().over(w), 4).cast("double") + F.lit(0.0)).alias("qnorm"),
+            (F.round(pr, 4).cast("double") + F.lit(0.0)).alias("qnorm"),
         )
         .transform(ordered, "event_id")
     )

@@ -690,3 +690,23 @@ def test_global_rank_rejects_empty_order(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         global_rank(spark.range(3), [])
+
+
+def test_grouped_global_rank_matches_partitioned_window(spark):
+    """group_cols mode must equal row_number OVER (PARTITION BY g
+    ORDER BY ...) even when one group dominates (the low-cardinality
+    regime the operator exists for)."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from sparkflow_spark.operators import global_rank
+
+    df = spark.range(0, 4000).select(
+        FF.when(FF.col("id") % 10 < 8, "hot").otherwise(FF.concat(FF.lit("g"), (FF.col("id") % 3).cast("string"))).alias("g"),
+        (FF.col("id") % 53).alias("v"),
+        FF.col("id").alias("k"),
+    ).repartition(16)
+    got = global_rank(df, ["v", "k"], rank_col="r", group_cols=["g"])
+    naive = df.withColumn("r", FF.row_number().over(Window.partitionBy("g").orderBy("v", "k")))
+    assert got.select("g", "v", "k", "r").exceptAll(naive.select("g", "v", "k", "r")).count() == 0
+    assert naive.select("g", "v", "k", "r").exceptAll(got.select("g", "v", "k", "r")).count() == 0
