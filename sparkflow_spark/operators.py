@@ -831,6 +831,11 @@ def heavy_hitters(
     Pass 1 is an Arrow-batched ``mapInPandas`` (per-partition Python
     dict of ≤ k-1 counters); pass 2 is pure Catalyst. Returns
     (key_col, cnt) for keys with cnt > n/k.
+
+    NULL keys are excluded by construction (the recount semi-join is
+    null-rejecting, matching GROUP BY's treatment of NULL as a group
+    the HAVING filter would usually drop anyway) — filter upstream if a
+    NULL-heavy column should itself be flagged.
     """
     import pandas as pd
 

@@ -1179,11 +1179,16 @@ def q101_overlap(spark: SparkSession, sf: str) -> DataFrame:
     bin-bucket the time axis; the daily-stabbing q89 pattern covers
     occupancy counts). Overlap length in exact integer days."""
     t = Tables(spark, sf)
+    # timestamp + INTERVAL, not date_add: date_add would TRUNCATE a
+    # non-midnight timestamp to a date (silently shifting the interval
+    # end) while the oracle's + INTERVAL keeps full precision — the
+    # fixtures happen to be midnight-aligned, but the operator must not
+    # depend on that
     s = t.orders.select(
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").alias("st"),
-        F.date_add(F.col("o_orderdate"), 7).alias("en"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("en"),
     )
     a = s.select(
         F.col("o_custkey").alias("custkey"),
