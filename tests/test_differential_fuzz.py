@@ -90,6 +90,35 @@ _AGGS = [
         lambda: F.countDistinct("l_orderkey").alias("d_ord"),
         "COUNT(DISTINCT l_orderkey) AS d_ord",
     ),
+    # REGR family (round-6e surface): moment-based, partial-aggregable;
+    # rounded like the q99 registry entry so cross-engine accumulation
+    # order stays below the grain
+    (
+        lambda: (
+            F.round(
+                F.regr_slope(
+                    F.col("l_extendedprice").cast("double"),
+                    F.col("l_quantity").cast("double"),
+                ),
+                4,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("r_slope"),
+        "CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) + 0.0 AS r_slope",
+    ),
+    (
+        lambda: (
+            F.round(
+                F.corr(
+                    F.col("l_quantity").cast("double"),
+                    F.col("l_discount").cast("double"),
+                ),
+                6,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("r_corr"),
+        "CAST(ROUND(corr(l_quantity, l_discount), 6) AS DOUBLE) + 0.0 AS r_corr",
+    ),
 ]
 
 
