@@ -1277,3 +1277,166 @@ def q102_equiheight(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "bucket")
     )
+
+
+@register(
+    "q104_join_key_skew",
+    oracle="""
+        WITH f AS (
+            SELECT o_custkey AS k, COUNT(*) AS cnt
+            FROM orders GROUP BY o_custkey
+        ),
+        s AS (
+            SELECT SUM(cnt) * 1.0 AS n, COUNT(*) * 1.0 AS keys FROM f
+        )
+        SELECT CAST(s.n AS BIGINT) AS n_rows,
+               CAST(s.keys AS BIGINT) AS n_keys,
+               CAST(MAX(f.cnt) AS BIGINT) AS max_freq,
+               CAST(ROUND(MAX(f.cnt) * s.keys / s.n, 4) AS DOUBLE) + 0.0
+                 AS skew_ratio,
+               CAST(SUM(CASE WHEN f.cnt > 2.0 * s.n / s.keys
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+               CAST(ROUND(SUM(-(f.cnt / s.n) * ln(f.cnt / s.n))
+                          / ln(s.keys), 6) AS DOUBLE) + 0.0 AS entropy_norm
+        FROM f, s
+        GROUP BY s.n, s.keys
+    """,
+    tags=("relational", "stats", "skew"),
+)
+def q104_join_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew report — the diagnostic you run BEFORE a 100 TB
+    fact-fact join to decide between a plain shuffle join, AQE
+    skew-splitting, and explicit salting (operators.salted_join).
+
+    One row summarizing the key distribution of ``orders.o_custkey``:
+    row/key counts, the hottest key's frequency, ``skew_ratio`` =
+    max_freq / mean_freq (1.0 = perfectly uniform; AQE's skew-join
+    threshold reasons in exactly these terms), ``hot_keys`` = keys with
+    more than 2x the mean frequency, and the Shannon entropy of the key
+    distribution normalized to [0, 1] by ln(n_keys) (1.0 = uniform;
+    low values mean a handful of keys carry the mass).
+
+    Plan shape: partial-aggregable groupBy(key) -> per-key counts (the
+    shuffle carries one row per key per map partition), a 1-row global
+    stats frame broadcast back over the counts, and a second partial
+    agg down to one row. Nothing is ever collected; the per-key count
+    frame is the largest intermediate and it is |keys| rows.
+    """
+    t = Tables(spark, sf)
+    f = t.orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = f.agg(
+        (F.sum("cnt") * F.lit(1.0)).alias("n"),
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("keys"),
+    )
+    j = f.crossJoin(F.broadcast(s))
+    p = F.col("cnt") / F.col("n")
+    return (
+        j.groupBy("n", "keys")
+        .agg(
+            F.max("cnt").alias("max_freq"),
+            F.sum(
+                F.when(F.col("cnt") > F.lit(2.0) * F.col("n") / F.col("keys"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("hot_keys"),
+            F.sum(-p * F.log(p)).alias("h"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("keys").cast("bigint").alias("n_keys"),
+            F.col("max_freq").cast("bigint").alias("max_freq"),
+            (
+                F.round(F.col("max_freq") * F.col("keys") / F.col("n"), 4)
+                .cast("double") + F.lit(0.0)
+            ).alias("skew_ratio"),
+            F.col("hot_keys"),
+            (
+                F.round(F.col("h") / F.log(F.col("keys")), 6).cast("double")
+                + F.lit(0.0)
+            ).alias("entropy_norm"),
+        )
+    )
+
+
+@register(
+    "q105_spearman_corr",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity)
+                     + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                        - 1) / 2.0 AS rq,
+                   RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice)
+                     + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                                                    l_extendedprice)
+                        - 1) / 2.0 AS rp
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(corr(rq, rp), 6) AS DOUBLE) + 0.0 AS spearman_rho
+        FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "stats", "window"),
+)
+def q105_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation per group (quantity vs price within
+    each returnflag) — the nonparametric complement of q99's Pearson r:
+    robust to outliers and monotone-nonlinear relationships, the
+    standard screen for "is this feature monotonically informative".
+
+    Spearman = Pearson correlation of AVERAGE ranks (ties share the
+    mean of their positional ranks). The scale-honest construction:
+
+    1. unique positional ranks per group via :func:`operators.
+       global_rank` (range exchange + per-partition row_number +
+       broadcast offsets) with the (orderkey, linenumber) tiebreak —
+       NOT ``RANK() OVER (PARTITION BY l_returnflag ...)``, whose 3-4
+       partitions would each swallow a quarter of a 100 TB table in
+       one task;
+    2. average rank per (group, value) via a HIGH-cardinality window
+       (AVG over the tie-group; ties hold consecutive row_numbers, so
+       their mean IS rank + (ties-1)/2 — engine-identical integer
+       arithmetic, which is what lets the hash match the oracle's
+       RANK()+(cnt-1)/2 form);
+    3. one partial-aggregable corr per group.
+    """
+    from sparkflow_spark.operators import global_rank
+
+    t = Tables(spark, sf)
+    base = t.lineitem.select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_orderkey", "l_linenumber",
+    )
+    rq = global_rank(
+        base,
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+        rank_col="rnq",
+        group_cols=["l_returnflag"],
+    )
+    rp = global_rank(
+        rq,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rank_col="rnp",
+        group_cols=["l_returnflag"],
+    )
+    w_q = Window.partitionBy("l_returnflag", "l_quantity")
+    w_p = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = rp.select(
+        "l_returnflag",
+        F.avg("rnq").over(w_q).alias("rq"),
+        F.avg("rnp").over(w_p).alias("rp"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.corr("rq", "rp"), 6).cast("double") + F.lit(0.0)).alias(
+                "spearman_rho"
+            ),
+        )
+        .transform(ordered, "l_returnflag")
+    )

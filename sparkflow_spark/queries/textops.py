@@ -1007,3 +1007,84 @@ def t_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+@register(
+    "p_negative_pairs",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':neg'),
+                                doc_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        ),
+        offs AS (SELECT 1 AS neg_rank, 1 AS off
+                 UNION ALL SELECT 2, 17)
+        SELECT a.doc_id AS anchor_id,
+               offs.neg_rank,
+               b.doc_id AS neg_id
+        FROM r a CROSS JOIN offs
+        JOIN r b ON b.rk = ((a.rk - 1 + offs.off) % a.n) + 1
+        ORDER BY anchor_id, neg_rank
+    """,
+    tags=("pipeline", "llm", "sampling"),
+)
+def p_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training — every
+    document gets k=2 pseudo-random negatives, engine- and
+    layout-independent, with NO candidate join and NO RNG state.
+
+    Construction: md5-shuffle the corpus (rank every doc by
+    ``md5(doc_id || ':neg')`` — the same engine-independent variate as
+    q77/q91), then pair rank r with ranks (r+1) mod n and (r+17) mod n.
+    A cyclic-shift derangement over a hash-shuffled order IS a uniform
+    random pairing for training purposes, but costs O(n): one range
+    exchange for the rank (:func:`operators.global_rank` — never a
+    single-partition window), one broadcast of the 1-row count, one
+    hash self-join on the integer rank. Compare the naive "sample k
+    random partners per anchor" join, which is O(n·k) shuffle but
+    needs RNG state to avoid collisions — here distinct offsets
+    guarantee distinct negatives (offsets < n, pairwise distinct mod n)
+    and a doc is never its own negative as long as n > 17.
+
+    At 100 TB the same plan holds: ranks spread across partitions by
+    the range exchange, the self-join shuffles on the dense integer
+    rank (uniform by construction — zero skew), and changing k is
+    adding offsets to the literal array.
+    """
+    from sparkflow_spark.operators import global_rank
+
+    t = Tables(spark, sf)
+    docs = t.documents.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":neg"))).alias("_h"),
+    )
+    ranked = global_rank(docs, ["_h", "doc_id"], rank_col="rk").select("doc_id", "rk")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("rk"),
+            F.col("n"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_rank"),
+        )
+        .withColumn(
+            "target",
+            (
+                (F.col("rk") - 1 + F.when(F.col("neg_rank") == 1, 1).otherwise(17))
+                % F.col("n")
+            )
+            + 1,
+        )
+    )
+    return (
+        anchors.join(
+            ranked.select(F.col("rk").alias("target"), F.col("doc_id").alias("neg_id")),
+            "target",
+        )
+        .select("anchor_id", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id")
+        .transform(ordered, "anchor_id", "neg_rank")
+    )

@@ -710,3 +710,110 @@ def test_grouped_global_rank_matches_partitioned_window(spark):
     naive = df.withColumn("r", FF.row_number().over(Window.partitionBy("g").orderBy("v", "k")))
     assert got.select("g", "v", "k", "r").exceptAll(naive.select("g", "v", "k", "r")).count() == 0
     assert naive.select("g", "v", "k", "r").exceptAll(got.select("g", "v", "k", "r")).count() == 0
+
+
+def test_join_key_skew_matches_python(spark, sf_dir):
+    """q104's one-row skew report equals a direct python computation of
+    the same statistics on the same key column."""
+    import math
+    from collections import Counter
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    row = REGISTRY["q104_join_key_skew"].fn(spark, sf_dir).collect()[0]
+
+    keys = [
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .collect()
+    ]
+    c = Counter(keys)
+    n, k = float(len(keys)), float(len(c))
+    mean = n / k
+    h = -sum((v / n) * math.log(v / n) for v in c.values())
+    assert row["n_rows"] == len(keys)
+    assert row["n_keys"] == len(c)
+    assert row["max_freq"] == max(c.values())
+    assert abs(row["skew_ratio"] - max(c.values()) / mean) < 1e-3
+    assert row["hot_keys"] == sum(1 for v in c.values() if v > 2.0 * mean)
+    assert abs(row["entropy_norm"] - h / math.log(k)) < 1e-5
+    assert 0.0 <= row["entropy_norm"] <= 1.0 and row["skew_ratio"] >= 1.0
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    """q105's per-group rho equals a direct average-rank Spearman
+    computed in python (scipy-style tie handling) on the same rows."""
+    from collections import defaultdict
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    out = {
+        r["l_returnflag"]: (r["n"], r["spearman_rho"])
+        for r in REGISTRY["q105_spearman_corr"].fn(spark, sf_dir).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append((r["l_quantity"], r["l_extendedprice"]))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = r
+            i = j + 1
+        return ranks
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        return sxy / (sxx * syy) ** 0.5
+
+    for g, pairs in groups.items():
+        rq = avg_ranks([p[0] for p in pairs])
+        rp = avg_ranks([p[1] for p in pairs])
+        n, rho = out[g]
+        assert n == len(pairs)
+        assert abs(rho - pearson(rq, rp)) < 1e-5, g
+
+
+def test_negative_pairs_properties(spark, sf_dir):
+    """Cyclic-shift negative sampling: exactly k=2 distinct negatives
+    per anchor, never self-paired, and — the derangement property —
+    every doc serves as a negative exactly k times."""
+    from collections import Counter
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["p_negative_pairs"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    assert len(rows) == 2 * n_docs
+    per_anchor = Counter(r["anchor_id"] for r in rows)
+    assert set(per_anchor.values()) == {2}
+    for r in rows:
+        assert r["neg_id"] != r["anchor_id"]
+    negs: dict[int, set[int]] = {}
+    for r in rows:
+        negs.setdefault(r["anchor_id"], set()).add(r["neg_id"])
+    assert all(len(s) == 2 for s in negs.values())
+    as_negative = Counter(r["neg_id"] for r in rows)
+    assert set(as_negative.values()) == {2}
