@@ -249,3 +249,85 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction → (node_a, node_b, common,
+    degree_a, degree_b, jaccard) for node pairs that are NOT edges,
+    scored by neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    classic similarity baseline for "which edge forms next"
+    (recommendations, knowledge-graph completion, record linkage).
+
+    Construction (all hash joins + partial aggs, nothing collected):
+    edges are canonicalized undirected, expanded to a symmetric
+    adjacency list, wedges closed through the shared neighbor
+    (adj ⋈ adj on the CENTER node, node_a < node_b), counted per pair,
+    degree-joined, then candidate pairs that are already edges are
+    removed with a left-anti join on the canonical edge set.
+
+    Scale levers, in the same spirit as triangle_counts:
+
+    - The wedge join through a center of degree d emits C(d,2) pairs —
+      a power-law hub is quadratic. ``max_degree`` drops hub CENTERS
+      before the wedge join (their common-neighbor evidence is weak
+      anyway: a node connected to everything predicts nothing). This
+      bounds per-center work at C(max_degree,2), exactly the frequency
+      cap ngram_jaccard_pairs applies to hot shingles.
+    - ``min_common`` prunes the long tail of coincidental 1-neighbor
+      pairs BEFORE the degree joins, keeping the pair table small.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # (z = wedge CENTER i.e. the shared neighbor, node = wedge endpoint)
+    half = adj.select(F.col("b").alias("z"), F.col("a").alias("node"))
+    if max_degree is not None:
+        half = half.join(
+            F.broadcast(
+                deg.where(F.col("deg") > max_degree).select(F.col("a").alias("z"))
+            ),
+            "z",
+            "left_anti",
+        )
+    w1 = half.select("z", F.col("node").alias("node_a"))
+    w2 = half.select("z", F.col("node").alias("node_b"))
+    common = (
+        w1.join(w2, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    non_edges = common.join(
+        e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("a").alias("node_a"), F.col("deg").alias("degree_a")), "node_a")
+        .join(deg.select(F.col("a").alias("node_b"), F.col("deg").alias("degree_b")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            "degree_a",
+            "degree_b",
+            (
+                F.col("common")
+                / (F.col("degree_a") + F.col("degree_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored

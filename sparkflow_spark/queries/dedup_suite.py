@@ -724,3 +724,70 @@ def d_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
         .transform(ordered, "entity_id")
     )
+
+
+@register(
+    "d_sorted_neighborhood_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY array_to_string(toks[1:3], ' '), doc_id
+                   ) AS rk
+            FROM toks),
+        tok AS (
+            SELECT DISTINCT doc_id, u.tok
+            FROM toks, UNNEST(toks.toks) AS u(tok)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ranked a JOIN ranked b
+              ON b.rk BETWEEN a.rk + 1 AND a.rk + 5),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.id_a
+            JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            GROUP BY 1, 2)
+        SELECT LEAST(id_a, id_b) AS doc_a,
+               GREATEST(id_a, id_b) AS doc_b,
+               CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS DOUBLE) + 0.0
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "join", "blocking", "large-output"),
+)
+def d_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (window 5, sort key = first three
+    lowercased tokens) + token-set Jaccard >= 0.4 verification —
+    dedup.sorted_neighborhood_pairs over documents. The skew-immune
+    third blocking strategy: candidates are exactly n*window whatever
+    the key distribution (the inverted-index and LSH blockers both
+    need frequency caps for that guarantee). Oracle replays the same
+    rank windowing; the rank tiebreak (sortkey, doc_id) makes the
+    candidate set engine-identical."""
+    from sparkflow_spark.functions.text import with_tokens
+
+    t = Tables(spark, sf)
+    docs = with_tokens(t.documents).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("_toks", 1, 3)).alias("sortkey"),
+        "_toks",
+    )
+    pairs = dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "sortkey", "_toks", window=5, threshold=0.4
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.round(F.col("jaccard"), 6).cast("double") + F.lit(0.0)).alias("jaccard"),
+    )

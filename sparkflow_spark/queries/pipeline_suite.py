@@ -2202,3 +2202,76 @@ def q103_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "rule")
     )
+
+
+@register(
+    "g_link_prediction",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem),
+        edges AS (
+            SELECT a.item AS a, b.item AS b
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        adj AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT a AS node, COUNT(*) AS deg FROM adj GROUP BY a),
+        half AS (
+            SELECT adj.b AS z, adj.a AS node FROM adj
+            JOIN deg ON deg.node = adj.b
+            WHERE deg.deg <= 50),
+        common AS (
+            SELECT w1.node AS node_a, w2.node AS node_b,
+                   COUNT(*) AS common
+            FROM half w1 JOIN half w2
+              ON w1.z = w2.z AND w1.node < w2.node
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        cand AS (
+            SELECT c.* FROM common c
+            LEFT JOIN edges e ON e.a = c.node_a AND e.b = c.node_b
+            WHERE e.a IS NULL)
+        SELECT node_a, node_b,
+               CAST(common AS BIGINT) AS common,
+               CAST(da.deg AS BIGINT) AS degree_a,
+               CAST(db.deg AS BIGINT) AS degree_b,
+               CAST(ROUND(common * 1.0 / (da.deg + db.deg - common), 6)
+                    AS DOUBLE) + 0.0 AS jaccard
+        FROM cand
+        JOIN deg da ON da.node = cand.node_a
+        JOIN deg db ON db.node = cand.node_b
+        ORDER BY node_a, node_b
+    """,
+    tags=("pipeline", "graph", "join", "large-output"),
+)
+def g_link_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: NON-adjacent part
+    pairs ranked by common-neighbor Jaccard — "parts bought alongside
+    the same third parts, but never yet together" (the
+    recommendation-candidate generator). graph.link_prediction_jaccard
+    with the hub cap at degree 50 and >= 2 shared neighbors; the
+    oracle mirrors both prunes exactly.
+    """
+    from sparkflow_spark.graph import link_prediction_jaccard
+
+    t = Tables(spark, sf)
+    edges = frequent_item_pairs(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+        min_support=2,
+        max_basket=1000,
+    ).select("item_a", "item_b")
+    scored = link_prediction_jaccard(
+        edges, "item_a", "item_b", min_common=2, max_degree=50
+    )
+    return scored.select(
+        "node_a",
+        "node_b",
+        "common",
+        "degree_a",
+        "degree_b",
+        (F.round(F.col("jaccard"), 6).cast("double") + F.lit(0.0)).alias("jaccard"),
+    )

@@ -1440,3 +1440,74 @@ def q105_spearman(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "l_returnflag")
     )
+
+
+@register(
+    "q106_rolling_zscore",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, event_id, value,
+                   AVG(value) OVER win AS mu,
+                   STDDEV_SAMP(value) OVER win AS sd,
+                   COUNT(*) OVER win AS n_win
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               CAST(ROUND(value, 4) AS DOUBLE) + 0.0 AS value,
+               CAST(ROUND((value - mu) / sd, 4) AS DOUBLE) + 0.0 AS zscore
+        FROM w
+        WHERE n_win >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.0
+        ORDER BY user_id, event_id
+    """,
+    tags=("relational", "stats", "window", "timeseries", "large-output"),
+)
+def q106_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection — flag events whose value sits
+    more than 2 sample standard deviations from the trailing-20-event
+    mean of the SAME user. The batch twin of a streaming monitor: the
+    trailing ROWS frame is what `applyInPandasWithState` would keep as
+    per-key state; here it is one window spec Catalyst evaluates with
+    a single hash exchange on user_id.
+
+    Semantics pinned for cross-engine determinism: the frame is ROWS
+    (not RANGE) over the total order (ts, event_id) — event_id breaks
+    timestamp ties so both engines see byte-identical frames; a flag
+    needs >= 10 events of history (n_win, counted over the same frame)
+    so early-life noise is not scored; sd = 0 frames (constant series)
+    emit nothing rather than +-inf.
+
+    Scale: user_id is a HIGH-cardinality partition key (millions of
+    users), so WindowExec parallelizes; the frame is O(20) per row —
+    running-state evaluation, no per-row rescan. Contrast a
+    low-cardinality PARTITION BY (q105's docstring) where the same
+    syntax would serialize the table into a handful of tasks.
+    """
+    t = Tables(spark, sf)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    dev = F.col("value") - F.avg("value").over(win)
+    sd = F.stddev_samp("value").over(win)
+    # ANSI-safe: guard the division instead of relying on x/0 -> NULL
+    # (under ANSI mode a raw divide would raise DIVIDE_BY_ZERO)
+    scored = t.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(sd > 0, dev / sd).alias("_z"),
+        F.count(F.lit(1)).over(win).alias("_n"),
+    )
+    return (
+        scored.where((F.col("_n") >= 10) & F.col("_z").isNotNull()
+                     & (F.abs(F.col("_z")) > 2.0))
+        .select(
+            "user_id",
+            "event_id",
+            dec4(F.col("value")).alias("value"),
+            dec4(F.col("_z")).alias("zscore"),
+        )
+    )

@@ -587,3 +587,86 @@ def s_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("qvec_csv"),
     ).transform(ordered, "vec_id")
+
+
+@register(
+    "s_hard_negative_top1",
+    oracle="""
+        WITH scored AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   b.vec_id, b.label,
+                   list_sum(list_transform(range(1, len(b.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id != a.vec_id AND b.label != a.label
+        )
+        SELECT anchor_id, anchor_label,
+               vec_id AS hard_neg_id, label AS neg_label,
+               CAST(ROUND(cosine, 6) AS DOUBLE) + 0.0 AS cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored) t
+        WHERE rnk = 1 ORDER BY anchor_id
+    """,
+    tags=("similarity", "vector", "ml", "large-output"),
+)
+def s_hard_negative(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY vector,
+    the most cosine-similar vector with a DIFFERENT label — the
+    near-boundary negatives that make embedding models converge (vs
+    p_negative_pairs' uniform randoms; a training pipeline typically
+    mixes both). Self-matches excluded by id; NULL labels never pair
+    (SQL != semantics, identical in both engines).
+
+    This is the exact/verification twin, same contract as
+    s_brute_force_top1: one corpus scan joined against the broadcast
+    anchor side, cosine as a JVM higher-order expression, per-anchor
+    top-1 via window group-limit. Production at 100 TB swaps the
+    broadcast nested-loop for IVF-bucketed candidate generation
+    (query_ivf_index + label anti-filter + this same re-rank) — the
+    recall/cost trade is measured in tests/test_similarity.py for the
+    ANN path; semantics stay pinned by this entry.
+    """
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    t = Tables(spark, sf)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("_avec"),
+        l2_norm("embedding").alias("_an"),
+    )
+    b = t.embeddings.select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("_bn")
+    )
+    den = F.col("_an") * F.col("_bn")
+    scored = b.join(
+        F.broadcast(a),
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("anchor_label")),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        F.when(den != 0, dot("_avec", "embedding") / den).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("hard_neg_id"),
+            F.col("label").alias("neg_label"),
+            (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
+        )
+    )

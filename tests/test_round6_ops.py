@@ -817,3 +817,145 @@ def test_negative_pairs_properties(spark, sf_dir):
     assert all(len(s) == 2 for s in negs.values())
     as_negative = Counter(r["neg_id"] for r in rows)
     assert set(as_negative.values()) == {2}
+
+
+def test_rolling_zscore_matches_python(spark, sf_dir):
+    """q106's flagged anomalies equal a direct trailing-window z-score
+    computed in python over the same (ts, event_id) order."""
+    import statistics
+    from collections import defaultdict
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in REGISTRY["q106_rolling_zscore"].fn(spark, sf_dir).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series[r["user_id"]].append((r["event_id"], r["value"]))
+
+    expected = {}
+    for uid, evs in series.items():
+        for i, (eid, v) in enumerate(evs):
+            frame = [x[1] for x in evs[max(0, i - 19): i + 1]]
+            if len(frame) < 10:
+                continue
+            sd = statistics.stdev(frame)
+            if sd <= 0:
+                continue
+            z = (v - statistics.fmean(frame)) / sd
+            if abs(z) > 2.0:
+                expected[(uid, eid)] = z
+    assert set(got) == set(expected)
+    for k, z in expected.items():
+        assert abs(got[k] - z) < 1e-3, k
+
+
+def test_link_prediction_matches_python(spark, sf_dir):
+    """g_link_prediction's jaccard scores equal a direct python
+    common-neighbor computation on the same edge set (hub cap + min
+    common + non-edge filter included)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyspark.sql.functions as FF
+
+    from sparkflow_spark.operators import frequent_item_pairs
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = {
+        (r["node_a"], r["node_b"]): (r["common"], r["degree_a"], r["degree_b"])
+        for r in REGISTRY["g_link_prediction"].fn(spark, sf_dir).collect()
+    }
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = {
+        (min(r["item_a"], r["item_b"]), max(r["item_a"], r["item_b"]))
+        for r in frequent_item_pairs(
+            li.select(FF.col("l_orderkey").alias("basket"), FF.col("l_partkey").alias("item")),
+            "basket", "item", min_support=2, max_basket=1000,
+        ).select("item_a", "item_b").collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expected = {}
+    # wedges through non-hub centers only (degree cap 50)
+    pair_common = defaultdict(int)
+    for z, ns in nbrs.items():
+        if len(ns) > 50:
+            continue
+        for x, y in combinations(sorted(ns), 2):
+            pair_common[(x, y)] += 1
+    for (x, y), c in pair_common.items():
+        if c >= 2 and (x, y) not in edges:
+            expected[(x, y)] = (c, len(nbrs[x]), len(nbrs[y]))
+    assert got == expected
+
+
+def test_sorted_neighborhood_window_and_verify(spark, sf_dir):
+    """SNM blocking properties: every emitted pair is within the rank
+    window of the sort order AND passes the jaccard threshold; planted
+    near-identical docs (whitespace-normalized twins) are found."""
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    pairs = REGISTRY["d_sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    assert pairs, "fixture plants duplicate docs; SNM must surface some"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard"] >= 0.4
+
+    # rank-window property: recompute the sort order and check distance
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    def key(text):
+        toks = [x for x in text.strip().lower().split() if x]
+        return " ".join(toks[:3])
+    order = sorted(((key(d["text"]), d["doc_id"]) for d in docs))
+    rank = {doc_id: i for i, (_, doc_id) in enumerate(order)}
+    for r in pairs:
+        assert abs(rank[r["doc_a"]] - rank[r["doc_b"]]) <= 5, r
+
+
+def test_hard_negative_is_nearest_other_label(spark, sf_dir):
+    """Every mined hard negative has a different label than its anchor
+    and is the true cosine-nearest among other-label vectors (numpy
+    argmax parity on a sample of anchors)."""
+    import numpy as np
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["s_hard_negative_top1"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert len(rows) == sum(
+        1 for _, lbl in emb.values()
+        if any(l2 != lbl for _, l2 in emb.values())
+    )
+    by_anchor = {r["anchor_id"]: r for r in rows}
+    for aid in sorted(by_anchor)[:25]:
+        r = by_anchor[aid]
+        assert r["neg_label"] != r["anchor_label"]
+        av, albl = emb[aid]
+        best = None
+        for vid, (bv, blbl) in emb.items():
+            if vid == aid or blbl == albl or blbl is None or albl is None:
+                continue
+            cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)))
+            cand = (-cos, vid)
+            if best is None or cand < best:
+                best = cand
+        assert r["hard_neg_id"] == best[1], (aid, r["hard_neg_id"], best)
