@@ -205,12 +205,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # no driver row at all), q22_topk_global→d_containment_pairs (q19
     # keeps top-k; asymmetric containment is a new dedup check the
     # symmetric jaccard row can't cover).
-    "c_contamination",
+    # round-6g swaps: five more r5-driver-green rows rotate out for
+    # the five newest never-checked families (each outgoing row keeps
+    # an in-window family rep + local oracle + pytest):
+    # c_contamination->d_sorted_neighborhood_pairs (train/eval hygiene
+    # keeps t_pii_redact + the dedup rows; SNM is the third blocking
+    # family, never checked), q19->q106_rolling_zscore (both window
+    # ops; the trailing-ROWS frame is a window shape no other row
+    # exercises; top-k windows stay via st_windowed-style local checks
+    # + q65 lag windows), q70->q104_join_key_skew (events analytics
+    # keeps q71/q89/q92/q94; the skew diagnostic is a new family),
+    # q77->p_negative_pairs (same md5-variate determinism family,
+    # plus global_rank + dense-integer self-join), s_brute_force_top1
+    # ->s_hard_negative_top1 (same broadcast scoring kernel + label
+    # filter over ALL anchors -- strictly the wider check).
+    "d_sorted_neighborhood_pairs",
     "q15_approx_within_5pct",
     "s_kmeans_clusters",
     "q80_multitouch_attribution",
     "q89_active_users",
-    "q19_window_topk_per_group",
+    "q106_rolling_zscore",
     "q65_scd2_history",
     "d_containment_pairs",
     "q90_referential_integrity",
@@ -266,13 +280,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fixpoint (k-means → within-cluster pairs → connected components →
     # keep), a shape no other window row exercises.
     "st_tumbling_hour_counts",
-    "q70_funnel_stages",
-    "q77_hash_split",
+    "q104_join_key_skew",
+    "p_negative_pairs",
     "d_semantic_dedup_keep",
     "q60_merge_upsert",
     "st_stateful_user_counts",
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
-    "s_brute_force_top1",
+    "s_hard_negative_top1",
     "mm_binary_stats",
     "m02_linear_inference",
     "m03_persistence_roundtrip",
