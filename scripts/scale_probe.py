@@ -124,6 +124,23 @@ PROBES = [
     # round-6e: TF-IDF cosine shares the capped inverted-index join
     # shape with jaccard (Σ C(df,2), df ≤ 20)
     "d_tfidf_cosine_pairs",
+    # round-6g additions: skew report (two partial aggs over orders),
+    # Spearman (2x global_rank range exchanges + high-card tie windows
+    # over lineitem), rolling z-score (one user_id exchange, O(20)
+    # frames), negative sampling (md5 global_rank + dense-integer
+    # self-join over documents), link prediction (degree-capped wedge
+    # join — co-purchase edges never cross copies, so wedge work is
+    # linear in copies), SNM blocking (rank + n*w window candidates).
+    # s_hard_negative_top1 is deliberately NOT probed: like
+    # d_semantic_dedup_pairs' registry form it is the exact quadratic
+    # verification twin (all anchors x corpus); the production path is
+    # IVF-bucketed candidates + the same re-rank.
+    "q104_join_key_skew",
+    "q105_spearman_corr",
+    "q106_rolling_zscore",
+    "p_negative_pairs",
+    "g_link_prediction",
+    "d_sorted_neighborhood_pairs",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

@@ -670,3 +670,32 @@ def s_hard_negative(spark: SparkSession, sf: str) -> DataFrame:
             (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
         )
     )
+
+
+@register(
+    "s_mmr_rerank",
+    oracle=None,  # greedy sequential selection (per-probe argmax loop) is
+    # not SQL-expressible; exact python-greedy parity + diversity
+    # properties pinned in tests/test_round6_ops.py
+    tags=("similarity", "vector", "rerank"),
+)
+def s_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR-diversified top-5 for the 10 standard probes over a top-20
+    brute-force candidate pool (lambda = 0.7) — similarity.mmr_rerank.
+    The candidate stage is the exact brute-force retriever (one corpus
+    scan, broadcast probes); the greedy diversification runs as ONE
+    applyInPandas over probe groups of 20 rows each."""
+    t = Tables(spark, sf)
+    scored = _cosine_scored(t)
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+    cands = pool.join(
+        t.embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    return similarity.mmr_rerank(cands, k=5, lam=0.7).transform(
+        ordered, "probe_id", "mmr_rank"
+    )

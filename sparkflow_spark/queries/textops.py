@@ -1088,3 +1088,53 @@ def p_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select("anchor_id", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id")
         .transform(ordered, "anchor_id", "neg_rank")
     )
+
+
+@register(
+    "t_bpe_encode",
+    oracle=None,  # the merge table comes from the iterative trainer
+    # (driver-coordinated argmax loop); encode parity vs a pure-python
+    # BPE reference is pinned in tests/test_round6_ops.py
+    tags=("text", "tokenizer", "large-output"),
+    memo=False,  # training inside is eager work
+)
+def t_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize the corpus WITH the learned BPE merges — the deploy
+    half of the t_bpe_learn_merges trainer (learn on the corpus, then
+    encode the corpus; a real pipeline persists the merge table and
+    encodes new data). Per doc: BPE token count, pre-merge symbol
+    count, and the compression ratio the 8 merges bought.
+
+    Spark shape: training is 8 bounded jobs over the (word, freq)
+    table (bpe.learn_bpe_merges); encoding is a PURE-EXPRESSION
+    transform (bpe.apply_bpe_merges folds each merge over per-word
+    symbol arrays -- no Python, no shuffle, scan-bound) so the encode
+    pass at 100 TB is one codegen'd map over documents.
+    """
+    from sparkflow_spark.bpe import apply_bpe_merges, learn_bpe_merges
+    from sparkflow_spark.functions.text import lower_tokens
+
+    t = Tables(spark, sf)
+    merges = learn_bpe_merges(t.documents, n_merges=8)
+    enc = apply_bpe_merges(
+        t.documents.select("doc_id", "text"), merges, text_col="text",
+        out_col="bpe_tokens",
+    )
+    n_sym = F.aggregate(
+        F.transform(lower_tokens("text"), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        n_sym.cast("bigint").alias("n_symbols"),
+        (
+            F.round(
+                F.when(F.size("bpe_tokens") > 0,
+                       n_sym / F.size("bpe_tokens")),
+                4,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    )

@@ -696,3 +696,74 @@ def semantic_dedup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking → (probe, mmr_rank, id,
+    mmr_score): greedily pick ``k`` results per probe maximizing
+    ``lam * relevance − (1 − lam) * max-similarity-to-already-picked``
+    — the standard diversification pass over an ANN candidate pool
+    (dedup'd corpora still return 20 near-copies of the best hit; MMR
+    returns the best hit plus genuinely different neighbors).
+
+    Input is a CANDIDATE table (probe, id, relevance score, vector) —
+    the top-``pool`` output of any retriever here (brute force, IVF,
+    LSH, PQ). The greedy loop is inherently sequential per probe but
+    embarrassingly parallel ACROSS probes, so it runs as one
+    applyInPandas over probe groups: each group holds only the
+    ``pool`` candidates (tens of rows), the O(pool²·k) numpy work is
+    per-group, and no candidate vector ever crosses groups. At 100 TB
+    the candidate pool per probe is still bounded (it came from a
+    top-N retriever), so group size — the only memory commitment — is
+    a constant.
+
+    Ties (equal MMR score) break by ascending id; scores are exact
+    float64. Deterministic for a fixed candidate table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{probe_col} bigint, mmr_rank int, {id_col} bigint, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors: similarity 0 to all
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        rows = []
+        for rank in range(min(k, n)):
+            if picked:
+                div = sims[:, picked].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = lam * rel - (1.0 - lam) * div
+            mmr[picked] = -np.inf
+            # ties: argmax returns the FIRST max; rows are id-sorted
+            best = int(np.argmax(mmr))
+            picked.append(best)
+            rows.append(
+                (int(pdf[probe_col].iloc[0]), rank + 1, int(ids[best]),
+                 float(mmr[best]))
+            )
+        return pd.DataFrame(
+            rows, columns=[probe_col, "mmr_rank", id_col, "mmr_score"]
+        )
+
+    return candidates.groupBy(probe_col).applyInPandas(_mmr, out_schema)

