@@ -1306,3 +1306,84 @@ def sorted_neighborhood_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (AllPairs /
+    PPJoin family) → (id_a, id_b, jaccard), id_a < id_b, jaccard ≥
+    ``threshold`` — LOSSLESS, unlike ngram_jaccard_pairs' frequency
+    cap, which trades recall on boilerplate-heavy pairs for a hard
+    skew bound.
+
+    The classic result: order every document's shingles by one GLOBAL
+    canonical order (ascending document frequency, rarest first, ties
+    by shingle value) and index only each document's first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles. Two sets with Jaccard ≥ t must
+    share at least one shingle inside both prefixes, so the equi-join
+    of prefixes finds every qualifying pair — with candidate buckets
+    keyed by the RAREST shingles, which is exactly where the inverted
+    index is cheap (a shingle in half the corpus sits at the END of
+    the canonical order and is never indexed unless a doc is nearly
+    all boilerplate). The size-ratio prune (|y| ≥ t·|x|, also
+    lossless) cuts the survivors before verification.
+
+    Shapes: one groupBy(shingle) for document frequencies, one
+    high-cardinality window (partitionBy doc, orderBy (df, shingle))
+    for prefix positions, one shingle-keyed equi-join for candidates,
+    and one intersection-count join for exact verification. No
+    driver-side state, no caps, no recall loss; the cost model is
+    Σ C(prefix-df, 2) — bounded by rarity instead of clipped by a cap.
+    """
+    toks = with_tokens(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    sh = (
+        toks.select(
+            "_id",
+            F.explode(shingles_from_tokens("_toks", k=shingle_k)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "_id")
+        .withColumn("_pos", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("sh", "_id", "n")
+    a = prefix.select(
+        F.col("sh"), F.col("_id").alias("id_a"), F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("sh"), F.col("_id").alias("id_b"), F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # lossless size-ratio prune: J >= t  =>  t*max(na,nb) <= min(na,nb)
+            & (F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("sh"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("sh"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.where(jac >= threshold).select(
+        "id_a", "id_b", jac.alias("jaccard")
+    )

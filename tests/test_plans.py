@@ -315,3 +315,36 @@ def test_large_output_queries_have_no_single_partition_sort(spark, sf_dir):
             "repartition — use an un-sorted final (the oracle compare is "
             "order-insensitive) or drop the tag if the result is bounded"
         )
+
+
+def test_hard_negative_broadcasts_anchor_side(spark, sf_dir):
+    """s_hard_negative_top1's non-equi self-join must be a broadcast
+    nested loop (bounded anchor side built+shipped once), never a
+    CartesianProduct (which would shuffle-replicate the corpus)."""
+    plan = plan_of(spark, sf_dir, "s_hard_negative_top1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_snm_candidates_are_equi_join_no_cartesian(spark, sf_dir):
+    """d_sorted_neighborhood_pairs: candidate generation is a hash/SMJ
+    EQUI-join on the dense rank — never a cartesian or nested-loop
+    (a naive `abs(rank_a - rank_b) <= w` theta-join would be one).
+    The range exchange itself doesn't appear in this plan: global_rank
+    truncates lineage at its localCheckpoint (the `Scan ExistingRDD`
+    leaves), which is also what guarantees it runs once however many
+    times the ranked frame is referenced."""
+    plan = plan_of(spark, sf_dir, "d_sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpoint-truncated rank
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_link_prediction_no_cartesian_wedge(spark, sf_dir):
+    """g_link_prediction's wedge closure and degree joins must stay
+    hash/sort-merge equi-joins; only the (tiny) hub list may broadcast."""
+    plan = plan_of(spark, sf_dir, "g_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
