@@ -101,10 +101,12 @@ def build_lsh_index(
     # transaction — a failure between them must leave the index
     # QUERY-CONSISTENT. query_lsh_index inner-joins bucket candidates
     # against sigs/ on match_id, so a stored signature with no bucket
-    # rows is merely unreachable (re-run the append to repair), while a
-    # bucket row with no signature would be SILENTLY DROPPED from every
-    # candidate list — permanent recall loss. Writing sigs first makes
-    # the failure mode the recoverable one.
+    # rows is merely unreachable (repair with reconcile_lsh_index —
+    # NEVER by re-running the append: sigs/ is written in append mode,
+    # so a re-run would store a SECOND copy of the delta's signature
+    # rows), while a bucket row with no signature would be SILENTLY
+    # DROPPED from every candidate list — permanent recall loss.
+    # Writing sigs first makes the failure mode the recoverable one.
     sigs = sigs.localCheckpoint(eager=False)
     out = _banded(sigs, num_hashes, bands, id_col).drop("sig")
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
@@ -126,11 +128,13 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
 
     Partial-append failure mode (two non-atomic jobs): sigs/ is written
     FIRST — see the write-order contract in build_lsh_index. A crash
-    between the writes leaves orphan signatures (unreachable, repaired
-    by re-running the append with the same delta — the bucket rows are
-    a pure function of the stored signature, and `reconcile_lsh_index`
-    re-derives exactly the missing ones), never bucket rows whose
-    candidates would silently drop from query joins."""
+    between the writes leaves orphan signatures (unreachable until
+    repaired), never bucket rows whose candidates would silently drop
+    from query joins. Repair ONLY with ``reconcile_lsh_index``, which
+    appends exactly the missing bucket rows (a pure function of the
+    stored signature). Do NOT re-run the append: sigs/ is append-mode,
+    so a re-run stores a second copy of the delta's signatures —
+    doubled storage and duplicated candidate rows for those ids."""
     p = load_params(path)
     sigs = minhash_signatures(
         new_df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
@@ -177,8 +181,16 @@ def query_lsh_index(
     signatures (no text ever leaves the probe side)."""
     p = load_params(path)
     idx = spark.read.parquet(os.path.join(path, "buckets"))
-    stored = spark.read.parquet(os.path.join(path, "sigs")).select(
-        F.col(p["id_col"]).alias("match_id"), F.col("sig").alias("match_sig")
+    stored = (
+        spark.read.parquet(os.path.join(path, "sigs"))
+        .select(F.col(p["id_col"]).alias("match_id"), F.col("sig").alias("match_sig"))
+        # Defense in depth against an index whose append was wrongly
+        # re-run after a crash (duplicate signature rows for the delta
+        # ids): signatures are a deterministic function of (text,
+        # params), so duplicates are byte-identical and keeping either
+        # is exact — without this, the candidate join would fan out to
+        # duplicated (probe_id, match_id) result rows.
+        .dropDuplicates(["match_id"])
     )
     psigs = minhash_signatures(
         probes, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]

@@ -844,13 +844,22 @@ def heavy_hitters(
     cap = k - 1
 
     def mg(batches):
+        # Counters key on a string rendering (stable, hashable for any
+        # type), but each counter ALSO keeps the first original value it
+        # saw — the candidate frame emits the ORIGINAL values in the
+        # column's own type, so no string→type cast ever happens on the
+        # recount path (a string round-trip is not value-preserving for
+        # float/timestamp/decimal keys and would silently drop
+        # candidates despite the EXACT output contract).
         counters: dict = {}
+        originals: dict = {}
         for pdf in batches:
-            for key in pdf["_k"]:
+            for key, orig in zip(pdf["_k"], pdf[key_col]):
                 if key in counters:
                     counters[key] += 1
                 elif len(counters) < cap:
                     counters[key] = 1
+                    originals[key] = orig
                 else:
                     # decrement-all step; drop zeros
                     dead = []
@@ -860,15 +869,15 @@ def heavy_hitters(
                             dead.append(c)
                     for c in dead:
                         del counters[c]
+                        del originals[c]
         if counters:
-            yield pd.DataFrame({"_k": list(counters.keys())})
+            yield pd.DataFrame({key_col: [originals[c] for c in counters]})
 
-    keyed = df.select(F.col(key_col).cast("string").alias("_k"))
-    candidates = (
-        keyed.mapInPandas(mg, schema="_k string")
-        .distinct()
-        .select(F.col("_k").cast(df.schema[key_col].dataType).alias(key_col))
+    cand_schema = df.select(key_col).schema
+    keyed = df.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("_k")
     )
+    candidates = keyed.mapInPandas(mg, schema=cand_schema).distinct()
     n_total = df.select(F.count(F.lit(1)).alias("_n"))
     return (
         df.join(F.broadcast(candidates), key_col, "left_semi")

@@ -17,11 +17,26 @@ partition; the signature join is what bounds the candidate set.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from sparkflow_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+
+def _round6_half_away(x: float) -> float:
+    """Round to 6 dp, ties AWAY from zero — the SQL ROUND convention.
+
+    Python's built-in ``round`` is banker's (half-to-even), while the
+    DuckDB oracles pin centroid means with SQL ROUND (half-away): a mean
+    landing exactly on a 5e-7 boundary would diverge cross-engine. The
+    k-means centroid rounding below must therefore use this rule, same
+    family as the floor(x+0.5) convention s_quantize_int8 pins in both
+    engines.
+    """
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def brute_force_topk(
@@ -567,7 +582,7 @@ def kmeans_clusters(
         for r in cells:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
         centroids = [
-            [round(by_cluster[j][p], 6) for p in range(dims)]
+            [_round6_half_away(by_cluster[j][p]) for p in range(dims)]
             if j in by_cluster
             else centroids[j]
             for j in range(k)
@@ -657,7 +672,7 @@ def semantic_dedup_pairs(
             )
             new_c = centroids.copy()
             for r in cells:
-                new_c[r["cluster"], r["pos"]] = round(r["m"], 6)
+                new_c[r["cluster"], r["pos"]] = _round6_half_away(r["m"])
             centroids = new_c
         assign = vecs.withColumn(
             "cluster", assign_expr(centroids)(F.col("_v"))
@@ -730,9 +745,18 @@ def mmr_rerank(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    out_schema = (
-        f"{probe_col} bigint, mmr_rank int, {id_col} bigint, mmr_score double"
+    # The two id fields take their types FROM the candidate table —
+    # string (or any) ids flow through unchanged; hardcoding bigint here
+    # would crash or corrupt non-integer ids at the Arrow boundary.
+    out_schema = StructType(
+        [
+            StructField(probe_col, candidates.schema[probe_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField(id_col, candidates.schema[id_col].dataType),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -759,7 +783,7 @@ def mmr_rerank(
             best = int(np.argmax(mmr))
             picked.append(best)
             rows.append(
-                (int(pdf[probe_col].iloc[0]), rank + 1, int(ids[best]),
+                (pdf[probe_col].iloc[0], rank + 1, ids[best],
                  float(mmr[best]))
             )
         return pd.DataFrame(
