@@ -189,6 +189,8 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
     aggregate, whatever the batch split was. (user_id, ts) is unique in
     the fixtures (pinned by the oracle's max_by determinism), so
     arbitration ties cannot occur."""
+    import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -209,10 +211,20 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_id").cast("bigint").alias("event_id"),
             F.unix_micros("ts").alias("ts_us"),
             (F.round("value", 4).cast("double") + F.lit(0.0)).alias("value"),
-        ).transform(ordered, "user_id")
-        # materialize before the temp dir disappears
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema).transform(ordered, "user_id")
+        )
+        # The snapshot must outlive the streaming workdir, but it is
+        # |keys| rows — the whole dimension table at scale — so it must
+        # NEVER be collected to the driver (r6 verdict). Re-write it
+        # with a distributed parquet write under the session-lifetime
+        # warehouse dir and hand back the LAZY read of that copy.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+        ).removeprefix("file:")
+        dest = os.path.join(
+            wh, "st_cdc_snapshot_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+        )
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest).transform(ordered, "user_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

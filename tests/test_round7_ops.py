@@ -115,3 +115,26 @@ def test_lsh_query_dedupes_duplicated_sigs(spark, tmp_path):
     pairs = [(r["probe_id"], r["match_id"]) for r in out.collect()]
     assert len(pairs) == len(set(pairs)), "duplicated candidate rows"
     assert len(pairs) > 0
+
+
+def test_no_driver_collect_in_registered_query_modules():
+    """r6 verdict: no `.collect()` in any registered query's return
+    path — the CDC snapshot wrapper now re-writes via a distributed
+    parquet write under the warehouse dir. Sole exceptions: the two
+    probe-bounded index-lookup wrappers (IVF / LSH query results are
+    |probes|-bounded, not data-scaled)."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "sparkflow_spark" / "queries"
+    allowed = {"dedup_suite.py": 1, "similarity_suite.py": 1}
+    for f in sorted(qdir.glob("*.py")):
+        hits = [
+            i + 1
+            for i, line in enumerate(f.read_text().splitlines())
+            if ".collect()" in line
+        ]
+        cap = allowed.get(f.name, 0)
+        assert len(hits) <= cap, (
+            f"{f.name} lines {hits}: driver-side collect in a registered "
+            "query module (allowed only for probe-bounded index lookups)"
+        )
