@@ -141,6 +141,15 @@ PROBES = [
     "p_negative_pairs",
     "g_link_prediction",
     "d_sorted_neighborhood_pairs",
+    # round-7 additions: the LOSSLESS prefix-filter jaccard join
+    # (candidates bounded by Σ C(prefix-df,2) — rarity-bounded, not
+    # capped; copies' token-tagging keeps shingle universes disjoint so
+    # qualifying pairs stay linear in m) and the production
+    # hard-negative miner (IVF cells derived ⌈n/256⌉ → per-anchor
+    # candidate work constant in n; contrast the NOT-probed quadratic
+    # twin s_hard_negative_top1).
+    "d_prefix_jaccard_pairs",
+    "s_hard_negative_ann",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
@@ -165,6 +174,15 @@ SKEW_PROBES = [
     "q88_session_conversion",
     "q84_dwell_time_stats",
     "d_ngram_jaccard_pairs",
+    # round-7 (r6 verdict ask #8): the two user-keyed round-6g ops that
+    # joined after the skew harness landed. q106 windows on user_id —
+    # the hot user's ~10% serializes into one task's O(20)-frame pass
+    # (degrade ≤ the serial fraction, no collapse); SNM rides
+    # global_rank's RANGE exchange, which balances by row count, so a
+    # hot sort key spreads across partitions and the probe should stay
+    # ~flat.
+    "q106_rolling_zscore",
+    "d_sorted_neighborhood_pairs",
 ]
 
 

@@ -44,6 +44,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def warehouse_subdir(spark: SparkSession, name: str, key: str = "") -> str:
+    """A session-lifetime scratch directory under spark.sql.warehouse.dir.
+
+    Registered queries that materialize an artifact (a CDC snapshot, a
+    vector index) and return a LAZY read of it must place it somewhere
+    that outlives the call — a tempdir cleaned in ``finally`` forces a
+    driver-side collect, which is exactly the anti-pattern the r6
+    verdict flagged. ``key`` (e.g. the sf dir) is hashed into the name
+    so concurrent scales don't clobber each other; callers overwrite on
+    re-run, so the dir is self-vacuuming per (name, key)."""
+    import hashlib
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+    ).removeprefix("file:")
+    suffix = "_" + hashlib.md5(key.encode()).hexdigest()[:10] if key else ""
+    return os.path.join(wh, f"{name}{suffix}")
+
+
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to session-local ``timestamp`` (LTZ).
 

@@ -178,12 +178,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # out for the three newly oracle-backed graph fixpoints
     # g_pagerank_top / g_lpa_communities / g_bfs_depths (recursive-CTE
     # DuckDB oracles — the r5 verdict's t1→t2 ask).
+    # round-7 rotation (r6 verdict ask #5: keep de-blinding the window;
+    # ever-checked 113 → 125): twelve r6-driver-green rows rotate out,
+    # each keeping an in-window family rep + local oracle + pytest, for
+    # the ten never-checked entries the verdict names plus the two NEW
+    # round-7 registrations (the lossless prefix-filter jaccard and the
+    # IVF hard-negative miner):
+    # q79_table_checksums→q103_dq_audit (audit family; joins keep
+    # q06/q10), q80_multitouch_attribution + q89_active_users +
+    # q94_retention_curve→q105_spearman_corr / q101_order_overlap_pairs
+    # / g_link_prediction (events analytics keeps q71 cohort +
+    # q92 transitions), q93_spend_gini→q96_grouping_sets (scalar/agg
+    # keeps q13/q31), d_repeated_spans→t_lexical_diversity (text stats
+    # keep q36 + t_bm25), s_kmeans_clusters→a_heavy_hitters_mg
+    # (clustering stays in-window INSIDE d_semantic_dedup_keep),
+    # d_containment_pairs→d_prefix_jaccard_pairs +
+    # d_sorted_neighborhood_pairs→d_tfidf_cosine_pairs (dedup keeps
+    # d_ngram/d_minhash_md5/d_embedding_ann + the two newcomers),
+    # q104_join_key_skew + p_negative_pairs + q106_rolling_zscore→
+    # d_entity_resolution_keep / q102_equiheight_histogram /
+    # s_hard_negative_ann (rank/window families keep q65 lag windows
+    # and gain the two global_rank riders; the hard-negative pair keeps
+    # BOTH the exact twin and now the production ANN path in-window).
     "q71_cohort_retention",
     "q02_filter_and",
     "p_chunk_documents",
     "g_pagerank_top",
     "q06_multiway_join",
-    "q79_table_checksums",
+    "q103_dq_audit",
     "g_lpa_communities",
     "q10_left_anti_join",
     # round-6e swap: q11_theta_join (driver-green r5; non-equi joins
@@ -219,31 +241,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # plus global_rank + dense-integer self-join), s_brute_force_top1
     # ->s_hard_negative_top1 (same broadcast scoring kernel + label
     # filter over ALL anchors -- strictly the wider check).
-    "d_sorted_neighborhood_pairs",
+    "d_tfidf_cosine_pairs",
     "q15_approx_within_5pct",
-    "s_kmeans_clusters",
-    "q80_multitouch_attribution",
-    "q89_active_users",
-    "q106_rolling_zscore",
+    "a_heavy_hitters_mg",
+    "q105_spearman_corr",
+    "q101_order_overlap_pairs",
+    "q102_equiheight_histogram",
     "q65_scd2_history",
-    "d_containment_pairs",
+    "d_prefix_jaccard_pairs",
     "q90_referential_integrity",
     "q92_event_transitions",
-    "q93_spend_gini",
+    "q96_grouping_sets",
     # round-6b swap: q28_math_functions (driver-green r5; scalar-math
     # family keeps in-window coverage via q31_array_dot_norm and
     # q93_spend_gini) rotated out for the never-checked corpus-level
     # substring-duplication stat.
-    "d_repeated_spans",
+    "t_lexical_diversity",
     "q30_json_extract",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",
-    "q95_fulfillment_leadtime",
+    "g_link_prediction",
     "p_source_mixture",
     "t_bm25_scores",
     # array / struct / UDF families (Q31/Q32/Q40)
     "q31_array_dot_norm",
-    "q94_retention_curve",
+    "d_entity_resolution_keep",
     # round-5 swap #2: q40_pandas_udf_scalar rotated out (the scalar
     # pandas_udf path stays driver-covered via m02_linear_inference;
     # grouped-map + UDTF keep their rows) for PII redaction
@@ -280,8 +302,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fixpoint (k-means → within-cluster pairs → connected components →
     # keep), a shape no other window row exercises.
     "st_tumbling_hour_counts",
-    "q104_join_key_skew",
-    "p_negative_pairs",
+    "s_hard_negative_ann",
+    "q95_fulfillment_leadtime",
     "d_semantic_dedup_keep",
     "q60_merge_upsert",
     "st_stateful_user_counts",

@@ -108,6 +108,52 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d_prefix_jaccard_pairs",
+    # LOSSLESS prefix filtering (AllPairs/PPJoin) — the oracle is the
+    # full UNCAPPED jaccard self-join: a straight differential proof
+    # that prefix + size-ratio pruning drop no qualifying pair (a
+    # stronger check than replaying the prefix logic in SQL, which
+    # would only prove both engines share a bug).
+    oracle=f"""
+        WITH {_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(ROUND(i / (sa.n + sb.n - i), 3) AS DOUBLE) + 0.0 AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.n + sb.n - i) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "join", "lossless"),
+)
+def d_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs ≥ 0.5 via LOSSLESS prefix
+    filtering — the production choice when recall is contractual and
+    d_ngram_jaccard_pairs' df-cap recall trade is unacceptable. Only
+    each doc's |x| − ⌈t·|x|⌉ + 1 RAREST shingles (global ascending-df
+    canonical order) are indexed; candidate cost is Σ C(prefix-df, 2),
+    bounded by rarity instead of clipped by a cap, and the size-ratio
+    prune is likewise lossless. Checked against the full uncapped
+    jaccard join."""
+    t = Tables(spark, sf)
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        t.documents, shingle_k=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard"), 3).cast("double").alias("j"),
+    ).transform(ordered, "id_a", "id_b")
+
+
+@register(
     "d_minhash_pairs",
     oracle=None,  # hash-family specific; python mirror in tests
     tags=("dedup", "lsh"),

