@@ -310,7 +310,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
     "s_hard_negative_top1",
     "mm_binary_stats",
-    "m02_linear_inference",
+    # round-7b swap: m02_linear_inference (driver-green since r3; the
+    # DistributedDLModel inference path keeps its in-window rep via
+    # m03's persistence roundtrip + local oracle + pytest) rotates out
+    # for the NEW framework-agnostic serving hook — same affine
+    # contract, served through PredictWith/predict_batch_udf (r6
+    # verdict missing #1).
+    "m06_predict_batch_hook",
     "m03_persistence_roundtrip",
 )
 

