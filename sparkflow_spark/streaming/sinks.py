@@ -19,6 +19,36 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+_MANIFEST = "_LATEST"
+
+
+def _read_manifest(path: str) -> int | None:
+    """Committed snapshot version from the ``_LATEST`` manifest, or
+    None for a legacy/uninitialized table."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _commit_manifest(path: str, version: int) -> None:
+    """Atomic commit: the snapshot write is many files and is NOT
+    atomic (a reader listing ``v=N`` dirs can catch a half-written
+    one), so publication is a single rename — write ``_LATEST.tmp``,
+    fsync, ``os.replace`` onto ``_LATEST``. POSIX rename atomicity
+    means every reader sees either the old pointer or the new one,
+    never a torn snapshot. (On object stores, swap this for the table
+    format's log commit — same single-pointer principle as Delta's
+    ``_last_checkpoint`` / Iceberg's version-hint.)"""
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
 def stream_to_partitioned_parquet(
     sdf: DataFrame,
     path: str,
@@ -140,12 +170,26 @@ def stream_merge_to_parquet(
         spark = batch_df.sparkSession
         cols = batch_df.columns
         ver_dir = os.path.join(path, f"v={batch_id}")
+        # prev resolves through the COMMITTED manifest, never a dir
+        # listing: a crash after a snapshot write but before its
+        # manifest flip leaves a complete-looking-but-unpublished (or
+        # torn) v=K dir, and reading it as prev would resurrect an
+        # uncommitted state. The manifest can only point below
+        # batch_id (it flips after a batch succeeds, and replay reuses
+        # the original id); the dir-scan fallback covers legacy tables
+        # written before the manifest existed.
+        m = _read_manifest(path)
         prev = None
-        for i in range(batch_id - 1, -1, -1):
-            cand = os.path.join(path, f"v={i}")
+        if m is not None and m < batch_id:
+            cand = os.path.join(path, f"v={m}")
             if os.path.isdir(cand):
                 prev = cand
-                break
+        if prev is None:
+            for i in range(batch_id - 1, -1, -1):
+                cand = os.path.join(path, f"v={i}")
+                if os.path.isdir(cand):
+                    prev = cand
+                    break
         ordering = (
             F.col(order_col)
             if order_col
@@ -183,6 +227,10 @@ def stream_merge_to_parquet(
             )
             merged = kept.select(*cols).unionByName(winners.select(*cols))
         merged.write.mode("overwrite").parquet(ver_dir)
+        # publish AFTER the snapshot is fully on disk — the atomic
+        # rename is the commit point; readers resolving through the
+        # manifest can never observe the in-progress write above
+        _commit_manifest(path, batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)
@@ -196,7 +244,23 @@ def stream_merge_to_parquet(
 
 
 def latest_version(path: str) -> str:
-    """Highest ``v=N`` snapshot directory under a stream_merge table."""
+    """The COMMITTED snapshot directory of a stream_merge table.
+
+    Resolves through the ``_LATEST`` manifest (the atomic commit
+    pointer): a ``v=N`` directory whose write crashed before its
+    manifest flip is invisible here, so readers never see a torn
+    snapshot. Legacy tables without a manifest fall back to the
+    highest ``v=N`` dir (the pre-manifest behavior, torn-read window
+    and all)."""
+    m = _read_manifest(path)
+    if m is not None:
+        target = os.path.join(path, f"v={m}")
+        if not os.path.isdir(target):
+            raise FileNotFoundError(
+                f"manifest points at missing snapshot {target} — "
+                "vacuum/manual deletion removed a committed version"
+            )
+        return target
     versions = [
         int(d.split("=", 1)[1])
         for d in os.listdir(path)
@@ -226,8 +290,15 @@ def vacuum_versions(path: str, keep_last: int = 2) -> list[str]:
         for d in os.listdir(path)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     )
+    # The manifest-pointed version is protected UNCONDITIONALLY: an
+    # UNCOMMITTED torn v=N from a crashed write can sort ABOVE the
+    # committed snapshot, and counting it toward keep_last would let
+    # keep_last=1 delete the only committed version.
+    committed = _read_manifest(path)
     removed = []
     for v in versions[:-keep_last]:
+        if v == committed:
+            continue
         target = os.path.join(path, f"v={v}")
         shutil.rmtree(target)
         removed.append(target)
