@@ -128,6 +128,31 @@ def main() -> int:
         name: sorted(p[name] for p in v2_passes)[1] for name in HEADLINE_V2
     }
 
+    # Same-session DuckDB denominator (r6 verdict ask #3): the ≤2×
+    # target is only meaningful against a DuckDB number measured on
+    # THIS host under THIS load, in the same process lifetime as the
+    # Spark passes — a stale denominator from a quieter session
+    # understated the ratio by ~2× in r5/r6. Warm pass then a timed
+    # pass per oracle SQL (fetchall materializes, matching how the
+    # baseline was originally timed). Oracle-less entries are skipped
+    # and listed so the ratio's coverage is explicit.
+    from sparkflow_spark.oracle import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    duck: dict[str, float] = {}
+    duck_skipped: list[str] = []
+    for name in HEADLINE + HEADLINE_V2:
+        q = registry[name].oracle
+        if q is None:
+            duck_skipped.append(name)
+            continue
+        con.execute(q).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        duck[name] = round(time.perf_counter() - t0, 3)
+    duck_v1 = round(sum(duck.get(n, 0.0) for n in HEADLINE), 3)
+    duck_v2 = round(sum(duck.get(n, 0.0) for n in HEADLINE_V2), 3)
+
     timings = cold
     total = round(sum(cold.values()), 3)
     print(
@@ -146,6 +171,18 @@ def main() -> int:
                 "v2_queries": v2_cold,
                 "v2_steady_total": round(sum(v2_steady.values()), 3),
                 "v2_queries_steady": v2_steady,
+                "duckdb_same_session": {
+                    "queries": duck,
+                    "skipped_no_oracle": duck_skipped,
+                    "v1_total": duck_v1,
+                    "v2_total": duck_v2,
+                    "ratio_v1_steady": round(sum(steady.values()) / duck_v1, 2)
+                    if duck_v1
+                    else None,
+                    "ratio_v2_steady": round(sum(v2_steady.values()) / duck_v2, 2)
+                    if duck_v2
+                    else None,
+                },
             }
         )
     )
