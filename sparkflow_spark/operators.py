@@ -946,3 +946,58 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified split with EXACT per-stratum counts —
+    the companion to :func:`hash_split` when proportions are a
+    contract, not an expectation.
+
+    hash_split assigns each row independently (binomial proportions:
+    a 25-doc stratum at 0.8 lands anywhere around 20); here each
+    stratum is ranked by the md5 variate (ties broken by id — a total
+    order, so ranks are engine- and layout-independent) and CUT at
+    ``floor(cum_fraction · n)``: every stratum contributes exactly
+    ⌊p·n⌋ rows to each split. The trade against hash_split is
+    stability under growth: adding rows to a stratum shifts its
+    cut points, so rows near a boundary can change split — use
+    hash_split when incremental stability matters more than exact
+    proportions (the train/test-leakage note there).
+
+    Scale shape: one grouped :func:`global_rank` (range exchange —
+    never a per-stratum single task, however hot a stratum) + a
+    broadcast per-stratum count table. Fractions must sum to ≤ 1;
+    the remainder falls into the last split.
+    """
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be a non-empty dict of non-negatives")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    u = md5_uniform(F.col(id_col), f":{seed}")
+    staged = df.withColumn("_u", u)
+    ranked = global_rank(
+        staged, ["_u", id_col], rank_col="_srk", group_cols=list(strata_cols)
+    )
+    counts = staged.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_sn"))
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = F.col("_srk") <= F.floor(F.lit(cum) * F.col("_sn"))
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        )
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return (
+        ranked.join(F.broadcast(counts), list(strata_cols))
+        .withColumn(split_col, expr)
+        .drop("_u", "_srk", "_sn")
+    )

@@ -2275,3 +2275,119 @@ def g_link_pred(spark: SparkSession, sf: str) -> DataFrame:
         "degree_b",
         (F.round(F.col("jaccard"), 6).cast("double") + F.lit(0.0)).alias("jaccard"),
     )
+
+
+@register(
+    "p_stratified_split",
+    # The md5 variate and the rank cut are both replayed exactly: the
+    # oracle re-derives u from the same hex slice, ranks within source
+    # by (u, doc_id) — a total order, so ranks are engine-independent —
+    # and cuts at floor(cum_p * n). Output is the per-(source, split)
+    # contract: exact counts + id-sum (covers ASSIGNMENT, not just
+    # sizes).
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS u
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM u
+        ),
+        s AS (
+            SELECT source, doc_id,
+                   CASE WHEN rk <= floor(0.8 * n) THEN 'train'
+                        WHEN rk <= floor(0.9 * n) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
+        )
+        SELECT source, split, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY source, split ORDER BY source, split
+    """,
+    tags=("pipeline", "sampling", "split"),
+)
+def p_stratified_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum
+    proportions (80/10/10 by source) — operators.stratified_exact_split.
+    q77_hash_split's independent-assignment split gives binomial
+    proportions; a training-mixture contract ("exactly 10% of every
+    source held out") needs the rank-cut form. Deterministic end to
+    end: md5 variate + total-order tie-break, so the same rows land in
+    the same split on any engine, layout, or rerun. Rides the grouped
+    two-phase global_rank — a hot stratum spreads across range
+    partitions instead of serializing into one task."""
+    from sparkflow_spark.operators import stratified_exact_split
+
+    t = Tables(spark, sf)
+    split = stratified_exact_split(
+        t.documents.select("doc_id", "source"),
+        id_col="doc_id",
+        strata_cols=["source"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        split.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .transform(ordered, "source", "split")
+    )
+
+
+@register(
+    "p_shard_assignment",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':shard7'), 1, 8))::UBIGINT
+                   % 16 AS shard
+            FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("pipeline", "layout", "shard"),
+)
+def p_shard_assignment_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic shard assignment for training-data writers: shard
+    = md5(doc_id) mod 16 — a pure content function, so re-running the
+    export (or growing the corpus) never moves an existing doc between
+    shards, and every engine derives the same layout. The registered
+    query is the shard MANIFEST (per-shard counts / byte mass / id
+    range — what a loader needs to plan epochs and what a balance
+    monitor alerts on); the writer itself is
+    ``df.withColumn("shard", ...).repartition("shard").write
+    .partitionBy("shard")`` — one exchange keyed on the same
+    expression, each shard a contiguous parquet dir. The md5 variate
+    makes shard mass ~multinomial-even regardless of doc_id
+    distribution (the fixture manifest shows every shard populated)."""
+    t = Tables(spark, sf)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard7"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    return (
+        t.documents.select(F.col("doc_id"), F.col("n_chars"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .transform(ordered, "shard")
+    )

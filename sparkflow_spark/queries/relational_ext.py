@@ -1511,3 +1511,69 @@ def q106_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
             dec4(F.col("_z")).alias("zscore"),
         )
     )
+
+
+@register(
+    "q107_ewma_per_event",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, value,
+                   LAG(value, 1) OVER w AS l1,
+                   LAG(value, 2) OVER w AS l2,
+                   LAG(value, 3) OVER w AS l3,
+                   LAG(value, 4) OVER w AS l4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               CAST(ROUND(
+                 (value + 0.5 * COALESCE(l1, 0) + 0.25 * COALESCE(l2, 0)
+                        + 0.125 * COALESCE(l3, 0) + 0.0625 * COALESCE(l4, 0))
+                 / (1 + 0.5 * CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+                      + 0.25 * CASE WHEN l2 IS NULL THEN 0 ELSE 1 END
+                      + 0.125 * CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
+                      + 0.0625 * CASE WHEN l4 IS NULL THEN 0 ELSE 1 END),
+                 6) AS DOUBLE) + 0.0 AS ewma
+        FROM l ORDER BY event_id
+    """,
+    tags=("relational", "window", "timeseries", "smoothing", "large-output"),
+)
+def q107_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 0.5, 5-tap) of each
+    user's event values — the time-series smoothing primitive feeding
+    anomaly scores (q106's z-score twin with decay) and forecast
+    features. A truncated-tap EWMA instead of the recursive infinite
+    form: recursion per key is not SQL-expressible and needs stateful
+    streaming, while a 5-tap FIR with weights α^i is four LAGs over one
+    (ts, event_id)-ordered window — bit-identical cross-engine because
+    BOTH engines evaluate the identical left-to-right IEEE expression.
+    Early-life rows renormalize over the taps that exist (a 2-event
+    history averages over weights {1, 0.5}) rather than zero-padding,
+    matching the streaming EWMA's warm-up behavior.
+
+    Scale: one hash exchange on high-cardinality user_id, O(4) lag
+    state per row — same running-state window evaluation as q106; no
+    rescan, no per-key task serialization.
+    """
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3, l4 = (F.lag("value", i).over(w) for i in (1, 2, 3, 4))
+    num = (
+        F.col("value")
+        + F.lit(0.5) * F.coalesce(l1, F.lit(0))
+        + F.lit(0.25) * F.coalesce(l2, F.lit(0))
+        + F.lit(0.125) * F.coalesce(l3, F.lit(0))
+        + F.lit(0.0625) * F.coalesce(l4, F.lit(0))
+    )
+    den = (
+        F.lit(1)
+        + F.lit(0.5) * l1.isNotNull().cast("int")
+        + F.lit(0.25) * l2.isNotNull().cast("int")
+        + F.lit(0.125) * l3.isNotNull().cast("int")
+        + F.lit(0.0625) * l4.isNotNull().cast("int")
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        (F.round(num / den, 6).cast("double") + F.lit(0.0)).alias("ewma"),
+    )

@@ -262,3 +262,86 @@ def test_hard_negative_ann_plan_is_keyed_join(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_exact_split_counts_and_determinism(spark):
+    """Exact per-stratum proportions (the contract hash_split cannot
+    give), determinism across repartitioning, and input validation."""
+    import pytest
+
+    from sparkflow_spark.operators import stratified_exact_split
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = stratified_exact_split(
+        df, "id", ["src"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {
+        (r["src"], r["split"]): r["n"]
+        for r in out.groupBy("src", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    for s in ("s0", "s1", "s2"):  # 100 rows per stratum -> exactly 80/10/10
+        assert counts[(s, "train")] == 80
+        assert counts[(s, "val")] == 10
+        assert counts[(s, "test")] == 10
+
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["id"], r["split"])
+        for r in stratified_exact_split(
+            df.repartition(13), "id", ["src"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b, "split assignment depends on layout"
+
+    with pytest.raises(ValueError, match="sum to <= 1"):
+        stratified_exact_split(df, "id", ["src"], {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        stratified_exact_split(df, "id", ["src"], {})
+
+
+def test_shard_assignment_stable_under_growth(spark, sf_dir):
+    """The shard layout claim: an existing doc's shard never changes
+    when the corpus grows (pure content function)."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard7"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint") % 16
+    )
+    base = {r["doc_id"]: r["s"] for r in docs.limit(100).select("doc_id", shard.alias("s")).collect()}
+    grown = {r["doc_id"]: r["s"] for r in docs.select("doc_id", shard.alias("s")).collect()}
+    assert all(grown[k] == v for k, v in base.items())
+    assert len(set(grown.values())) == 16  # every shard populated
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    """q107's 5-tap EWMA equals a direct python replay on a sampled
+    user's ordered history."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.queries import load_all
+
+    t = Tables(spark, sf_dir)
+    uid = t.events.select("user_id").first()["user_id"]
+    hist = sorted(
+        ((r["ts"], r["event_id"], r["value"]) for r in
+         t.events.where(F.col("user_id") == uid).collect())
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in load_all()["q107_ewma_per_event"].fn(spark, sf_dir)
+        .where(F.col("user_id") == uid).collect()
+    }
+    ws = [1.0, 0.5, 0.25, 0.125, 0.0625]
+    for i, (_, eid, _) in enumerate(hist):
+        vals = [hist[i - j][2] for j in range(min(i + 1, 5))]
+        num = sum(w * v for w, v in zip(ws, vals))
+        den = sum(ws[: len(vals)])
+        assert abs(got[eid] - num / den) < 1e-6, eid
