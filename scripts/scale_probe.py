@@ -150,6 +150,13 @@ PROBES = [
     # twin s_hard_negative_top1).
     "d_prefix_jaccard_pairs",
     "s_hard_negative_ann",
+    # round-7b additions: EWMA (one user_id exchange, O(4) lag state —
+    # q106's shape), exact stratified split (grouped global_rank +
+    # broadcast counts; documents scale with m), shard manifest (one
+    # partial agg over a scan-bound md5 expression)
+    "q107_ewma_per_event",
+    "p_stratified_split",
+    "p_shard_assignment",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
