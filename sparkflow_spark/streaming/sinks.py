@@ -164,6 +164,16 @@ def stream_merge_to_parquet(
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(path, "_checkpoint")
 
+    # table metadata sidecar (keys + arbitration column): what
+    # downstream consumers (snapshot_changes) need to diff snapshots
+    # without re-supplying the sink's contract. Written before the
+    # stream starts; idempotent under restarts.
+    os.makedirs(path, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        _json.dump({"keys": list(keys), "order_col": order_col}, f)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_listener is not None:
             batch_listener(batch_id)
@@ -378,3 +388,78 @@ def stream_append_to_ivf_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_changes(
+    spark,
+    path: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed between two COMMITTED snapshots of a stream_merge
+    table → the per-key delta a downstream incremental consumer
+    processes instead of re-reading the whole dimension (the Delta
+    ``table_changes`` / Iceberg changelog-scan idea on the versioned-
+    parquet layout).
+
+    Output: one row per changed key with ``_op`` ∈ {insert, update,
+    delete} and the AFTER image (deletes carry the before image —
+    the only image a delete has). Keys and the arbitration column come
+    from the sink's ``_meta.json`` sidecar, so callers never re-supply
+    the table's contract. Defaults: ``to_version`` = the manifest's
+    committed version, ``from_version`` = to−1 (the latest delta).
+
+    Shape at scale: one full-outer join keyed on the table keys — both
+    sides are complete snapshots, so the join shuffles each once; the
+    update check is a null-safe any-column comparison (``<=>``), no
+    per-column rescan. Uncommitted/torn versions are not addressable:
+    ``to_version`` beyond the manifest raises rather than diffing
+    against a snapshot no reader is allowed to see.
+    """
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = _json.load(f)
+    keys = meta["keys"]
+    committed = _read_manifest(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    if to_version is None:
+        to_version = committed
+    if to_version > committed:
+        raise ValueError(
+            f"to_version={to_version} is beyond the committed manifest "
+            f"({committed}) — uncommitted snapshots are not readable"
+        )
+    if from_version is None:
+        from_version = to_version - 1
+    if from_version >= to_version:
+        raise ValueError(f"need from_version < to_version, got {from_version} >= {to_version}")
+
+    new = spark.read.parquet(os.path.join(path, f"v={to_version}"))
+    cols = new.columns
+    val_cols = [c for c in cols if c not in keys]
+    if from_version < 0:  # table birth: everything is an insert
+        return new.select(F.lit("insert").alias("_op"), *cols)
+    old = spark.read.parquet(os.path.join(path, f"v={from_version}")).select(*cols)
+
+    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])
+    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
+    cond = [n[f"_n_{k}"] == o[f"_o_{k}"] for k in keys]
+    j = n.join(o, cond, "full_outer")
+    some_new_key = F.coalesce(*[j[f"_n_{k}"] for k in keys]) if len(keys) > 1 else j[f"_n_{keys[0]}"]
+    some_old_key = F.coalesce(*[j[f"_o_{k}"] for k in keys]) if len(keys) > 1 else j[f"_o_{keys[0]}"]
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~j[f"_n_{c}"].eqNullSafe(j[f"_o_{c}"])
+    op = (
+        F.when(some_old_key.isNull(), F.lit("insert"))
+        .when(some_new_key.isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    # after image for insert/update; before image for delete
+    out_cols = [
+        F.when(some_new_key.isNull(), j[f"_o_{c}"]).otherwise(j[f"_n_{c}"]).alias(c)
+        for c in cols
+    ]
+    return j.select(op.alias("_op"), *out_cols).where(F.col("_op").isNotNull())

@@ -451,3 +451,55 @@ def test_manifest_commit_no_torn_read_and_vacuum_protection(
         r.user_id: (r.value, r.seq) for r in spark.read.parquet(final_dir).collect()
     }
     assert got == {1: (11.0, 7), 2: (21.0, 4), 3: (30.0, 5), 4: (40.0, 8)}
+
+
+def test_snapshot_changes_feed(spark, tmp_path):
+    """Change feed over committed snapshots: insert/update/delete ops
+    with after images (before image for deletes), manifest-bounded
+    addressing, and the table-birth feed."""
+    import os
+
+    import pytest
+
+    from sparkflow_spark.streaming import sinks
+    from sparkflow_spark.streaming.sinks import snapshot_changes
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    import json
+
+    with open(os.path.join(table, "_meta.json"), "w") as f:
+        json.dump({"keys": ["user_id"], "order_col": "seq"}, f)
+    spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 2), (3, 30.0, 3)], "user_id long, value double, seq long"
+    ).write.parquet(os.path.join(table, "v=0"))
+    spark.createDataFrame(
+        [(1, 10.0, 1), (2, 21.0, 4), (4, 40.0, 5)], "user_id long, value double, seq long"
+    ).write.parquet(os.path.join(table, "v=1"))
+    sinks._commit_manifest(table, 1)
+
+    got = {
+        r["user_id"]: (r["_op"], r["value"], r["seq"])
+        for r in snapshot_changes(spark, table).collect()
+    }
+    # key 1 unchanged -> absent; 2 updated (after image); 3 deleted
+    # (before image); 4 inserted
+    assert got == {
+        2: ("update", 21.0, 4),
+        3: ("delete", 30.0, 3),
+        4: ("insert", 40.0, 5),
+    }
+
+    # table birth: from_version=-1 -> everything an insert
+    birth = snapshot_changes(spark, table, from_version=-1, to_version=0)
+    assert {r["_op"] for r in birth.collect()} == {"insert"}
+    assert birth.count() == 3
+
+    # uncommitted snapshots are not addressable
+    spark.createDataFrame(
+        [(9, 99.0, 9)], "user_id long, value double, seq long"
+    ).write.parquet(os.path.join(table, "v=2"))  # torn/unpublished
+    with pytest.raises(ValueError, match="beyond the committed manifest"):
+        snapshot_changes(spark, table, to_version=2)
+    with pytest.raises(ValueError, match="from_version < to_version"):
+        snapshot_changes(spark, table, from_version=1, to_version=1)
