@@ -837,3 +837,56 @@ def d_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_b",
         (F.round(F.col("jaccard"), 6).cast("double") + F.lit(0.0)).alias("jaccard"),
     )
+
+
+@register(
+    "d_cross_source_dup_matrix",
+    # reuses the capped-jaccard CTE prelude (cap mirrored both sides)
+    # and rolls qualifying pairs up to the (source_a, source_b) matrix
+    oracle=f"""
+        WITH {_JACCARD_CTES},
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = pairs.id_a
+        JOIN documents db ON db.doc_id = pairs.id_b
+        GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "analysis"),
+)
+def d_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Where is the duplication COMING FROM: near-dup pairs (the capped
+    jaccard kernel, threshold 0.5) rolled up to an UNORDERED
+    source-pair matrix. The triage view a corpus owner reads before
+    dedup policy decisions — diagonal cells are within-source churn
+    (crawl revisits), off-diagonal cells are cross-source mirroring
+    (the pairs that silently over-weight content under per-source
+    mixture sampling). Shape: the existing inverted-index pair join +
+    two source-attachment joins (documents is the small side at any
+    scale relative to the pair stream) + one partial-agg rollup."""
+    t = Tables(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(
+        t.documents, shingle_k=3, threshold=0.5, max_shingle_freq=_SHINGLE_FREQ_CAP
+    ).select("id_a", "id_b")
+    src = t.documents.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .transform(ordered, "source_a", "source_b")
+    )

@@ -1577,3 +1577,41 @@ def q107_ewma(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (F.round(num / den, 6).cast("double") + F.lit(0.0)).alias("ewma"),
     )
+
+
+@register(
+    "q108_cumulative_new_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+        )
+        SELECT d, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        FROM daily ORDER BY d
+    """,
+    tags=("relational", "analytics", "window"),
+)
+def q108_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct-user growth curve — the running COUNT
+    (DISTINCT) every dashboard wants, computed WITHOUT a distinct-over-
+    window (which Spark rejects and which at scale would keep a
+    per-frame dedup state): reduce each user to their FIRST-SEEN day
+    (one partial-agg'd groupBy — the only shuffle that touches the
+    event stream), roll up to daily new-user counts (|days| rows), and
+    take a running sum over the tiny daily table. The running-sum
+    window orders a bounded, days-sized frame, so the single-task
+    window is fine (and the oracle's is identical)."""
+    t = Tables(spark, sf)
+    first_seen = t.events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .transform(ordered, "d")
+    )
