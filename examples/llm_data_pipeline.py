@@ -128,6 +128,41 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         F.countDistinct("bin_id").alias("bins"),
         F.sum("n_tokens").alias("tokens"),
     ).orderBy("source").show()
+
+    # round-7 tail of the pipeline: EXACT-proportion stratified split
+    # (every source contributes exactly ⌊p·n⌋ docs per split), the
+    # deterministic shard layout a training loader reads, and batch
+    # scoring through the framework-agnostic serving hook (here the
+    # numpy stub backend; in production a Torch/TF/onnx factory).
+    from sparkflow_spark.operators import stratified_exact_split
+
+    split = stratified_exact_split(
+        final.join(t.documents.select("doc_id", "source"), "doc_id"),
+        id_col="doc_id",
+        strata_cols=["source"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    split.groupBy("split").count().orderBy("split").show()
+
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":shard7"))), 1, 8), 16, 10)
+        .cast("bigint") % 8
+    )
+    split.withColumn("shard", shard).groupBy("shard").count().orderBy("shard").show()
+
+    from sparkflow_spark.ml.predict import predict_with
+
+    dim = len(t.embeddings.select("embedding").first()["embedding"])
+    scored_vecs = predict_with(
+        t.embeddings.select("vec_id", F.col("embedding").alias("features")),
+        "sparkflow_spark.ml.stub_backend:make_affine_predict_fn",
+        return_type="double",
+        input_tensor_shape=[dim],
+        W=[((i % 5) - 2) / 10.0 for i in range(dim)],
+        b=0.05,
+    )
+    scored_vecs.orderBy(F.col("predicted").desc()).limit(3).show()
     spark.stop()
 
 
