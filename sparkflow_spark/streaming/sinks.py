@@ -463,3 +463,29 @@ def snapshot_changes(
         for c in cols
     ]
     return j.select(op.alias("_op"), *out_cols).where(F.col("_op").isNotNull())
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read of a stream_merge table: the committed snapshot
+    at ``version`` (default: latest committed). Only versions at or
+    below the manifest are addressable — same rule as
+    ``snapshot_changes`` — so a torn/unpublished ``v=N`` can never be
+    read; a vacuumed version raises FileNotFoundError rather than
+    silently reading nothing."""
+    committed = _read_manifest(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    if version is None:
+        version = committed
+    if version > committed:
+        raise ValueError(
+            f"version={version} is beyond the committed manifest "
+            f"({committed}) — uncommitted snapshots are not readable"
+        )
+    target = os.path.join(path, f"v={version}")
+    if not os.path.isdir(target):
+        raise FileNotFoundError(
+            f"snapshot v={version} was vacuumed (retention removed it); "
+            f"available committed head is v={committed}"
+        )
+    return spark.read.parquet(target)

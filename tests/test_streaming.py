@@ -503,3 +503,35 @@ def test_snapshot_changes_feed(spark, tmp_path):
         snapshot_changes(spark, table, to_version=2)
     with pytest.raises(ValueError, match="from_version < to_version"):
         snapshot_changes(spark, table, from_version=1, to_version=1)
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from sparkflow_spark.streaming import sinks
+    from sparkflow_spark.streaming.sinks import read_snapshot
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    spark.createDataFrame([(1, 1.0)], "k long, v double").write.parquet(
+        os.path.join(table, "v=0")
+    )
+    spark.createDataFrame([(1, 2.0)], "k long, v double").write.parquet(
+        os.path.join(table, "v=1")
+    )
+    spark.createDataFrame([(1, 9.0)], "k long, v double").write.parquet(
+        os.path.join(table, "v=2")  # unpublished
+    )
+    sinks._commit_manifest(table, 1)
+
+    assert read_snapshot(spark, table).collect()[0]["v"] == 2.0
+    assert read_snapshot(spark, table, version=0).collect()[0]["v"] == 1.0
+    with pytest.raises(ValueError, match="beyond the committed"):
+        read_snapshot(spark, table, version=2)
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "v=0"))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_snapshot(spark, table, version=0)
