@@ -489,3 +489,80 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
             f"available committed head is v={committed}"
         )
     return spark.read.parquet(target)
+
+
+_LEASE = "_WRITER_LEASE"
+
+
+def acquire_writer_lease(path: str, ttl_seconds: float = 600.0) -> str:
+    """Advisory single-writer fencing for a snapshot table.
+
+    The manifest commit is atomic for READERS; two concurrent WRITERS
+    would still interleave version writes (both deriving v=N from the
+    same prev — lost update). This lease makes the single-writer
+    assumption explicit and checkable: O_CREAT|O_EXCL creation of a
+    lease file (atomic on POSIX) holding a random token + absolute
+    expiry. A second writer gets WriterConflict while the lease is
+    live; an EXPIRED lease (crashed writer) is taken over via atomic
+    rename. Same-host POSIX scope — on an object store, swap for the
+    store's conditional-put, same shape. Re-acquire (heartbeat) by
+    calling again with your token via ``release`` + acquire, or just
+    keep ttl ≥ the job's runtime.
+
+    Returns the token; pass it to :func:`release_writer_lease`.
+    """
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    os.makedirs(path, exist_ok=True)
+    lease_path = os.path.join(path, _LEASE)
+    token = _uuid.uuid4().hex
+    payload = _json.dumps({"token": token, "expires": _time.time() + ttl_seconds})
+    try:
+        fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return token
+    except FileExistsError:
+        pass
+    try:
+        with open(lease_path) as f:
+            held = _json.load(f)
+    except (ValueError, FileNotFoundError):
+        held = {"token": "?", "expires": 0.0}
+    if held.get("expires", 0.0) > _time.time():
+        raise WriterConflict(
+            f"another writer holds the lease on {path} until "
+            f"{held['expires']:.0f} (epoch); retry later or raise ttl"
+        )
+    # stale lease (crashed writer): atomic takeover
+    tmp = lease_path + f".{token}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, lease_path)
+    return token
+
+
+def release_writer_lease(path: str, token: str) -> None:
+    """Release only YOUR lease (a token mismatch means someone took
+    over an expired lease you were holding — releasing theirs would
+    reopen the race; raise instead)."""
+    import json as _json
+
+    lease_path = os.path.join(path, _LEASE)
+    try:
+        with open(lease_path) as f:
+            held = _json.load(f)
+    except (FileNotFoundError, ValueError):
+        return
+    if held.get("token") != token:
+        raise WriterConflict(
+            f"lease on {path} is held by a different writer (takeover "
+            "after expiry?) — this writer must stop, not release"
+        )
+    os.remove(lease_path)
+
+
+class WriterConflict(RuntimeError):
+    """A second writer attempted to acquire a live lease."""

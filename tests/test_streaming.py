@@ -535,3 +535,36 @@ def test_read_snapshot_time_travel(spark, tmp_path):
     shutil.rmtree(os.path.join(table, "v=0"))
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         read_snapshot(spark, table, version=0)
+
+
+def test_writer_lease_fencing(tmp_path):
+    """Advisory single-writer lease: live conflict, expiry takeover,
+    token-checked release."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from sparkflow_spark.streaming.sinks import (
+        WriterConflict,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    table = str(tmp_path / "table")
+    tok = acquire_writer_lease(table, ttl_seconds=600)
+    with pytest.raises(WriterConflict, match="another writer"):
+        acquire_writer_lease(table, ttl_seconds=600)
+    release_writer_lease(table, tok)
+
+    # released -> a new writer acquires
+    tok2 = acquire_writer_lease(table, ttl_seconds=0.05)
+    time.sleep(0.1)  # let it expire (crashed writer)
+    tok3 = acquire_writer_lease(table, ttl_seconds=600)  # takeover
+    assert tok3 != tok2
+    # the stale holder must NOT be able to release the new lease
+    with pytest.raises(WriterConflict, match="different writer"):
+        release_writer_lease(table, tok2)
+    release_writer_lease(table, tok3)
+    assert not os.path.exists(os.path.join(table, "_WRITER_LEASE"))
