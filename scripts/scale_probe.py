@@ -379,6 +379,13 @@ def main() -> int:
         "adding probes; the full sweep stays the recorded baseline)",
     )
     ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="reuse an existing generated dir from a prior --keep run "
+        "instead of regenerating (incremental probe batches at big "
+        "scale factors, where generation dominates)",
+    )
+    ap.add_argument(
         "--skew",
         action="store_true",
         help="run the Zipfian hot-key comparison (uniform vs skewed at "
@@ -453,8 +460,11 @@ def main() -> int:
     dirs = {}
     for m in scales:
         dest = os.path.join(WORK, f"x{m}")
-        print(f"# generating x{m} -> {dest}", file=sys.stderr)
-        generate(spark, m, dest)
+        if args.reuse and os.path.isdir(os.path.join(dest, "lineitem.parquet")):
+            print(f"# reusing x{m} at {dest}", file=sys.stderr)
+        else:
+            print(f"# generating x{m} -> {dest}", file=sys.stderr)
+            generate(spark, m, dest)
         dirs[m] = dest
 
     # Warm shared machinery (codegen families, python workers, streaming
