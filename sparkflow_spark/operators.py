@@ -1001,3 +1001,148 @@ def stratified_exact_split(
         .withColumn(split_col, expr)
         .drop("_u", "_srk", "_sn")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    closed: str = "left",
+) -> DataFrame:
+    """Binned range join: every (point, interval) pair with
+    start <= point < end (``closed='left'``; ``'both'`` makes the end
+    inclusive), as an EQUI-join on a derived bin key.
+
+    A raw inequality join has no equi-key, so Spark plans it as
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) compares and a
+    driver OOM the moment neither side fits in a broadcast. Binning is
+    the standard fix (the same strategy behind Databricks' range-join
+    hint): bucket the domain into ``bin_width``-sized bins, replicate
+    each interval into the ceil(len/width)+1 bins it covers
+    (``sequence`` + ``explode``), map each point to its single bin,
+    hash-join on the bin id, then re-check the exact predicate. Each
+    qualifying pair meets in exactly one bin (the point's), so the
+    output needs no dedup.
+
+    Scale shape: ONE shuffle on the bin key for each side; interval
+    replication is O(1) when ``bin_width`` is chosen near the typical
+    interval length (too small -> replication grows, too large -> bins
+    collect non-matching candidates; either way correctness holds).
+    Dense bins (bursty time ranges) are ordinary join skew — AQE's
+    skew-join split applies, as does :func:`salted_join`.
+
+    ``point_col``/``start_col``/``end_col`` may be timestamp, date, or
+    numeric; the two frames' column names must be disjoint (pre-alias).
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both'; got {closed!r}")
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError(f"bin_width must be a positive integer; got {bin_width!r}")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"points/intervals column names must be disjoint; shared: {sorted(shared)}"
+        )
+
+    def _as_long(df: DataFrame, c: str) -> Column:
+        kind = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if kind == "date":
+            col = col.cast("timestamp")
+        return col.cast("long")
+
+    p = points.withColumn("_pbin", F.floor(_as_long(points, point_col) / F.lit(w)))
+    i = intervals.withColumn(
+        "_ibin",
+        F.explode(
+            F.sequence(
+                F.floor(_as_long(intervals, start_col) / F.lit(w)),
+                F.floor(_as_long(intervals, end_col) / F.lit(w)),
+            )
+        ),
+    )
+    upper = (
+        F.col(point_col) <= F.col(end_col)
+        if closed == "both"
+        else F.col(point_col) < F.col(end_col)
+    )
+    return (
+        p.join(i, F.col("_pbin") == F.col("_ibin"))
+        .where((F.col(point_col) >= F.col(start_col)) & upper)
+        .drop("_pbin", "_ibin")
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose half-open
+    ranges intersect — ``l.start < r.end AND r.start < l.end`` — via
+    the same bin-explosion rewrite as :func:`interval_join`.
+
+    Both sides replicate into the bins they cover, hash-join on the
+    bin id, and re-check the exact predicate. An overlapping pair can
+    co-occupy MANY bins; instead of a distinct() over the (wide) pair
+    output, each pair is claimed exactly once by the bin that contains
+    ``greatest(l.start, r.start)`` — the first bin where both are
+    present — so the join stays dedup-free (a post-join filter on two
+    already-present columns, not an extra shuffle).
+
+    Scale shape: one shuffle per side on the bin key; replication is
+    O(interval_len / bin_width). Same skew posture as interval_join.
+    Column names must be disjoint across the two frames.
+    """
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError(f"bin_width must be a positive integer; got {bin_width!r}")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"left/right column names must be disjoint; shared: {sorted(shared)}"
+        )
+
+    def _as_long(df: DataFrame, c: str) -> Column:
+        kind = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if kind == "date":
+            col = col.cast("timestamp")
+        return col.cast("long")
+
+    l = left.withColumn(
+        "_lbin",
+        F.explode(
+            F.sequence(
+                F.floor(_as_long(left, left_start) / F.lit(w)),
+                F.floor(_as_long(left, left_end) / F.lit(w)),
+            )
+        ),
+    ).withColumn("_lsl", _as_long(left, left_start))
+    r = right.withColumn(
+        "_rbin",
+        F.explode(
+            F.sequence(
+                F.floor(_as_long(right, right_start) / F.lit(w)),
+                F.floor(_as_long(right, right_end) / F.lit(w)),
+            )
+        ),
+    ).withColumn("_rsl", _as_long(right, right_start))
+    return (
+        l.join(r, F.col("_lbin") == F.col("_rbin"))
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            # claim each pair once: in the bin holding the later start
+            & (F.col("_lbin") == F.floor(F.greatest("_lsl", "_rsl") / F.lit(w)))
+        )
+        .drop("_lbin", "_rbin", "_lsl", "_rsl")
+    )

@@ -1615,3 +1615,130 @@ def q108_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
         daily.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
         .transform(ordered, "d")
     )
+
+
+@register(
+    "q109_interval_join_shipments",
+    oracle="""
+        WITH cnt AS (
+            SELECT o.o_orderkey,
+                   MIN(date_trunc('month', o.o_orderdate)) AS order_month,
+                   COUNT(l.l_shipdate) AS hits
+            FROM orders o
+            LEFT JOIN lineitem l
+              ON l.l_returnflag = 'R' AND l.l_quantity >= 45
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o.o_orderkey
+        )
+        SELECT CAST(order_month AS TIMESTAMP) AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(hits) AS BIGINT) AS returned_shipments,
+               CAST(ROUND(AVG(hits), 6) AS DOUBLE) + 0.0 AS avg_hits
+        FROM cnt GROUP BY order_month ORDER BY order_month
+    """,
+    tags=("relational", "range_join"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal range join via BIN EXPLOSION (operators.interval_join):
+    heavy returned shipments landing inside each urgent order's first
+    week, rolled up monthly. The oracle is the raw inequality join
+    (DuckDB plans it as an IEJoin); Spark would plan that same
+    predicate as BroadcastNestedLoopJoin — O(n*m) — so the engine path
+    buckets both sides into 7-day bins and hash-joins on the bin id
+    (<=2 bins per interval at this width), then re-checks the exact
+    bounds. Zero-hit orders are kept by a second left join of the
+    interval side onto the per-order counts (the binned join itself is
+    inner)."""
+    t = Tables(spark, sf)
+    o = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("w_end"),
+    )
+    pts = t.lineitem.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+    ).select(F.col("l_shipdate").alias("ship_ts"))
+    pairs = operators.interval_join(
+        pts, o, "ship_ts", "w_start", "w_end", bin_width=7 * 86400
+    )
+    per_order = pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("_hits"))
+    counted = (
+        o.select("o_orderkey", "order_month")
+        .join(per_order, "o_orderkey", "left")
+        .select("order_month", F.coalesce("_hits", F.lit(0)).alias("hits"))
+    )
+    return counted.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("hits").cast("bigint").alias("returned_shipments"),
+        (F.round(F.avg("hits"), 6).cast("double") + F.lit(0.0)).alias("avg_hits"),
+    ).transform(ordered, "order_month")
+
+
+@register(
+    "q110_overlap_join_congestion",
+    oracle="""
+        WITH u AS (
+            SELECT o_orderkey AS k, o_orderdate AS s,
+                   o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT CAST(date_trunc('month', greatest(a.s, b.s)) AS TIMESTAMP)
+                   AS order_month,
+               COUNT(*) AS n_pairs,
+               CAST(ROUND(AVG(date_diff('second', greatest(a.s, b.s),
+                                        least(a.e, b.e)) / 3600.0), 6)
+                    AS DOUBLE) + 0.0 AS avg_overlap_hours
+        FROM u a JOIN u b
+          ON a.k < b.k AND a.s < b.e AND b.s < a.e
+        GROUP BY order_month ORDER BY order_month
+    """,
+    tags=("relational", "range_join"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """KEYLESS interval-overlap self-join via bin explosion
+    (operators.overlap_join) — the case q101's per-entity bucketing
+    cannot handle: urgent-order fulfillment windows that overlap
+    ANY other urgent window (fulfillment congestion), rolled up
+    monthly. The oracle is the raw double-inequality join (DuckDB
+    IEJoin); Spark's plan for that predicate is a nested loop, so the
+    engine path replicates each 7-day window into its <=2 covering
+    7-day bins, hash-joins on the bin id, and claims each pair in the
+    single bin containing the later start (no post-join distinct).
+    Monthly rollup keeps output bounded while the pair set stays the
+    exact quadratic-output truth."""
+    t = Tables(spark, sf)
+    u = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    a = u.select(
+        F.col("o_orderkey").alias("k_a"),
+        F.col("o_orderdate").alias("s_a"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e_a"),
+    )
+    b = u.select(
+        F.col("o_orderkey").alias("k_b"),
+        F.col("o_orderdate").alias("s_b"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e_b"),
+    )
+    pairs = operators.overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", bin_width=7 * 86400
+    ).where(F.col("k_a") < F.col("k_b"))
+    late_start = F.greatest("s_a", "s_b")
+    overlap_h = (
+        F.least("e_a", "e_b").cast("long") - late_start.cast("long")
+    ) / F.lit(3600.0)
+    return (
+        pairs.select(
+            F.date_trunc("month", late_start).alias("order_month"),
+            overlap_h.alias("_oh"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.round(F.avg("_oh"), 6).cast("double") + F.lit(0.0)).alias(
+                "avg_overlap_hours"
+            ),
+        )
+        .transform(ordered, "order_month")
+    )

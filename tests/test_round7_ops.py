@@ -345,3 +345,136 @@ def test_ewma_matches_python_reference(spark, sf_dir):
         num = sum(w * v for w, v in zip(ws, vals))
         den = sum(ws[: len(vals)])
         assert abs(got[eid] - num / den) < 1e-6, eid
+
+
+# ---- interval_join (binned range join) ----------------------------------
+
+
+def _naive_pairs(points, ivals, closed):
+    out = set()
+    for pid, p in points:
+        for iid, s, e in ivals:
+            hi = p <= e if closed == "both" else p < e
+            if s <= p and hi:
+                out.add((pid, iid))
+    return out
+
+
+def test_interval_join_matches_naive_numeric(spark):
+    """Bin explosion is an equi-join REWRITE, not an approximation:
+    output matches the nested-loop definition for any bin width."""
+    import random
+
+    from sparkflow_spark.operators import interval_join
+
+    rnd = random.Random(7)
+    ivals = []
+    for i in range(150):
+        s = rnd.randint(0, 1000)
+        ivals.append((i, s, s + rnd.randint(0, 60)))
+    points = [(j, rnd.randint(-20, 1020)) for j in range(400)]
+    pdf = spark.createDataFrame(points, "pid long, p long")
+    idf = spark.createDataFrame(ivals, "iid long, s long, e long")
+    for closed in ("left", "both"):
+        want = _naive_pairs(points, ivals, closed)
+        for w in (1, 16, 64, 100000):
+            got = {
+                (r["pid"], r["iid"])
+                for r in interval_join(
+                    pdf, idf, "p", "s", "e", bin_width=w, closed=closed
+                ).collect()
+            }
+            assert got == want, (closed, w)
+
+
+def test_interval_join_timestamps_and_plan(spark):
+    """Timestamp bounds work through the epoch-long path, and the
+    physical plan is a hash/merge EQUI-join — never the
+    BroadcastNestedLoopJoin a raw inequality join plans as."""
+    import datetime
+
+    from sparkflow_spark.operators import interval_join
+
+    t0 = datetime.datetime(2024, 3, 1)
+    pts = [(j, t0 + datetime.timedelta(hours=5 * j)) for j in range(200)]
+    ivs = [
+        (i, t0 + datetime.timedelta(days=i), t0 + datetime.timedelta(days=i, hours=36))
+        for i in range(40)
+    ]
+    pdf = spark.createDataFrame(pts, "pid long, ts timestamp")
+    idf = spark.createDataFrame(ivs, "iid long, st timestamp, en timestamp")
+    out = interval_join(pdf, idf, "ts", "st", "en", bin_width=86400)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    want = _naive_pairs(
+        [(j, ts) for j, ts in pts], [(i, s, e) for i, s, e in ivs], "left"
+    )
+    assert got == want and got
+
+
+def test_interval_join_validation(spark):
+    import pytest
+
+    from sparkflow_spark.operators import interval_join
+
+    pdf = spark.createDataFrame([(1, 2)], "pid long, p long")
+    idf = spark.createDataFrame([(1, 2, 3)], "iid long, s long, e long")
+    with pytest.raises(ValueError, match="closed"):
+        interval_join(pdf, idf, "p", "s", "e", 10, closed="right")
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(pdf, idf, "p", "s", "e", 0)
+    shared = spark.createDataFrame([(1, 2, 3)], "pid long, s long, e long")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(pdf, shared, "p", "s", "e", 10)
+
+
+def test_overlap_join_matches_naive(spark):
+    """Keyless interval-overlap join: bin rewrite + later-start claim
+    equals the nested-loop definition, with no duplicate pairs, for
+    any bin width."""
+    import random
+
+    from sparkflow_spark.operators import overlap_join
+
+    rnd = random.Random(11)
+    lrows, rrows = [], []
+    for i in range(120):
+        s = rnd.randint(0, 500)
+        lrows.append((i, s, s + rnd.randint(1, 80)))
+    for j in range(120):
+        s = rnd.randint(0, 500)
+        rrows.append((j, s, s + rnd.randint(1, 80)))
+    ldf = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    want = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls < re and rs < le
+    }
+    for w in (1, 13, 80, 10000):
+        got = [
+            (r["lid"], r["rid"])
+            for r in overlap_join(ldf, rdf, "ls", "le", "rs", "re", w).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+        assert set(got) == want, w
+
+
+def test_overlap_join_plan_is_equi(spark):
+    from sparkflow_spark.operators import overlap_join
+
+    ldf = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 3).alias("ls"),
+        (F.col("id") * 3 + 10).alias("le"),
+    )
+    rdf = spark.range(100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 5).alias("rs"),
+        (F.col("id") * 5 + 7).alias("re"),
+    )
+    out = overlap_join(ldf, rdf, "ls", "le", "rs", "re", bin_width=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
