@@ -157,6 +157,13 @@ PROBES = [
     "q107_ewma_per_event",
     "p_stratified_split",
     "p_shard_assignment",
+    # round-7e additions: KEYLESS binned range joins. The copy harness
+    # densifies the shared time axis (m× intervals AND m× points in the
+    # same date range), so the TRUE match count grows ~m² — judge these
+    # on per-output-pair cost (flat/falling = healthy), not per-input-row
+    # wall clock; bin width controls candidate overhead, never matches.
+    "q109_interval_join_shipments",
+    "q110_overlap_join_congestion",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
