@@ -245,7 +245,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q15_approx_within_5pct",
     "a_heavy_hitters_mg",
     "q105_spearman_corr",
-    "q101_order_overlap_pairs",
+    # round-7e swap: q101_order_overlap_pairs (keyed overlap; keeps
+    # local oracle + pytest) rotates out for the KEYLESS binned
+    # overlap join — the same interval-overlap family repped by its
+    # strictly harder member, and the range-join operator family's
+    # (X124-X125) first driver record.
+    "q110_overlap_join_congestion",
     "q102_equiheight_histogram",
     "q65_scd2_history",
     "d_prefix_jaccard_pairs",
