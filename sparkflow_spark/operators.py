@@ -1011,6 +1011,7 @@ def interval_join(
     end_col: str,
     bin_width: int,
     closed: str = "left",
+    salt: int = 1,
 ) -> DataFrame:
     """Binned range join: every (point, interval) pair with
     start <= point < end (``closed='left'``; ``'both'`` makes the end
@@ -1031,8 +1032,16 @@ def interval_join(
     replication is O(1) when ``bin_width`` is chosen near the typical
     interval length (too small -> replication grows, too large -> bins
     collect non-matching candidates; either way correctness holds).
-    Dense bins (bursty time ranges) are ordinary join skew — AQE's
-    skew-join split applies, as does :func:`salted_join`.
+
+    Dense bins (bursty time ranges) need ``salt`` > 1, not AQE: the
+    hot bin's join task has SMALL shuffle input but quadratic OUTPUT,
+    and AQE's skew split keys off input block size, so the explosion
+    serializes in one task (measured: a 10%-mass burst bin grew true
+    pairs 2.8x but wall clock 25x — SCALE.md round-7g). Salting splits
+    the point side of every bin into ``salt`` deterministic slices
+    (content hash) and replicates the interval side per slice, cutting
+    the hot task's output by ``salt``x at an interval-replication cost
+    that applies to all bins — exactness is unaffected.
 
     ``point_col``/``start_col``/``end_col`` may be timestamp, date, or
     numeric; the two frames' column names must be disjoint (pre-alias).
@@ -1042,6 +1051,9 @@ def interval_join(
     w = int(bin_width)
     if w <= 0:
         raise ValueError(f"bin_width must be a positive integer; got {bin_width!r}")
+    s = int(salt)
+    if s <= 0:
+        raise ValueError(f"salt must be a positive integer; got {salt!r}")
     shared = set(points.columns) & set(intervals.columns)
     if shared:
         raise ValueError(
@@ -1065,15 +1077,24 @@ def interval_join(
             )
         ),
     )
+    on = [F.col("_pbin") == F.col("_ibin")]
+    drop = ["_pbin", "_ibin"]
+    if s > 1:
+        p = p.withColumn(
+            "_psalt", F.pmod(F.hash(*[F.col(c) for c in points.columns]), F.lit(s))
+        )
+        i = i.withColumn("_isalt", F.explode(F.array(*[F.lit(k) for k in range(s)])))
+        on.append(F.col("_psalt") == F.col("_isalt"))
+        drop += ["_psalt", "_isalt"]
     upper = (
         F.col(point_col) <= F.col(end_col)
         if closed == "both"
         else F.col(point_col) < F.col(end_col)
     )
     return (
-        p.join(i, F.col("_pbin") == F.col("_ibin"))
+        p.join(i, on[0] if s == 1 else (on[0] & on[1]))
         .where((F.col(point_col) >= F.col(start_col)) & upper)
-        .drop("_pbin", "_ibin")
+        .drop(*drop)
     )
 
 
@@ -1085,6 +1106,7 @@ def overlap_join(
     right_start: str,
     right_end: str,
     bin_width: int,
+    salt: int = 1,
 ) -> DataFrame:
     """Interval-overlap join: every (left, right) pair whose half-open
     ranges intersect — ``l.start < r.end AND r.start < l.end`` — via
@@ -1099,12 +1121,19 @@ def overlap_join(
     already-present columns, not an extra shuffle).
 
     Scale shape: one shuffle per side on the bin key; replication is
-    O(interval_len / bin_width). Same skew posture as interval_join.
-    Column names must be disjoint across the two frames.
+    O(interval_len / bin_width). Burst bins (``salt``): see
+    interval_join's docstring — the left side splits into ``salt``
+    content-hash slices, the right side replicates per slice, and the
+    claim rule is untouched (each pair's left slice is fixed, so it
+    still meets exactly once). Column names must be disjoint across
+    the two frames.
     """
     w = int(bin_width)
     if w <= 0:
         raise ValueError(f"bin_width must be a positive integer; got {bin_width!r}")
+    s = int(salt)
+    if s <= 0:
+        raise ValueError(f"salt must be a positive integer; got {salt!r}")
     shared = set(left.columns) & set(right.columns)
     if shared:
         raise ValueError(
@@ -1136,13 +1165,22 @@ def overlap_join(
             )
         ),
     ).withColumn("_rsl", _as_long(right, right_start))
+    cond = F.col("_lbin") == F.col("_rbin")
+    drop = ["_lbin", "_rbin", "_lsl", "_rsl"]
+    if s > 1:
+        l = l.withColumn(
+            "_lslt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(s))
+        )
+        r = r.withColumn("_rslt", F.explode(F.array(*[F.lit(k) for k in range(s)])))
+        cond = cond & (F.col("_lslt") == F.col("_rslt"))
+        drop += ["_lslt", "_rslt"]
     return (
-        l.join(r, F.col("_lbin") == F.col("_rbin"))
+        l.join(r, cond)
         .where(
             (F.col(left_start) < F.col(right_end))
             & (F.col(right_start) < F.col(left_end))
             # claim each pair once: in the bin holding the later start
             & (F.col("_lbin") == F.floor(F.greatest("_lsl", "_rsl") / F.lit(w)))
         )
-        .drop("_lbin", "_rbin", "_lsl", "_rsl")
+        .drop(*drop)
     )

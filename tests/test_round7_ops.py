@@ -377,14 +377,13 @@ def test_interval_join_matches_naive_numeric(spark):
     idf = spark.createDataFrame(ivals, "iid long, s long, e long")
     for closed in ("left", "both"):
         want = _naive_pairs(points, ivals, closed)
-        for w in (1, 16, 64, 100000):
-            got = {
-                (r["pid"], r["iid"])
-                for r in interval_join(
-                    pdf, idf, "p", "s", "e", bin_width=w, closed=closed
-                ).collect()
-            }
-            assert got == want, (closed, w)
+        for w, salt in ((1, 1), (16, 1), (16, 4), (64, 1), (100000, 7)):
+            rows = interval_join(
+                pdf, idf, "p", "s", "e", bin_width=w, closed=closed, salt=salt
+            ).collect()
+            got = [(r["pid"], r["iid"]) for r in rows]
+            assert len(got) == len(set(got)), (closed, w, salt)
+            assert set(got) == want, (closed, w, salt)
 
 
 def test_interval_join_timestamps_and_plan(spark):
@@ -453,13 +452,15 @@ def test_overlap_join_matches_naive(spark):
         for rj, rs, re in rrows
         if ls < re and rs < le
     }
-    for w in (1, 13, 80, 10000):
+    for w, salt in ((1, 1), (13, 1), (13, 4), (80, 1), (10000, 5)):
         got = [
             (r["lid"], r["rid"])
-            for r in overlap_join(ldf, rdf, "ls", "le", "rs", "re", w).collect()
+            for r in overlap_join(
+                ldf, rdf, "ls", "le", "rs", "re", w, salt=salt
+            ).collect()
         ]
-        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
-        assert set(got) == want, w
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}, salt {salt}"
+        assert set(got) == want, (w, salt)
 
 
 def test_overlap_join_plan_is_equi(spark):
