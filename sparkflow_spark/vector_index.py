@@ -67,9 +67,27 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
+    train_max_rows: int = 65536,
 ) -> None:
     """Train the coarse quantizer (distributed k-means) and persist
-    centroids + cell-partitioned assignments. Overwrites ``path``."""
+    centroids + cell-partitioned assignments. Overwrites ``path``.
+
+    Two scale rules, both measured at 64× bench data (SCALE.md
+    round-7h):
+
+    * the quantizer trains on a deterministic SAMPLE capped at
+      ``train_max_rows`` (the FAISS operating model — tens to a few
+      hundred training points per centroid suffice); Lloyd's cost is
+      then O(k · train_max_rows) instead of O(k · n), while cell
+      ASSIGNMENT still covers every row (one model.transform pass).
+    * the cells table repartitions ON the cell id before the
+      partitioned write — ONE file per cell, not one per (cell ×
+      input-partition). Thousands of sub-``openCostInBytes`` files
+      collapse Spark's file packing (maxSplitBytes floors at the open
+      cost, so every file becomes its own scan task): the unfixed
+      layout cost 32,000 scan tasks ≈ 350 s of pure task scheduling
+      per query at 64×.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -78,9 +96,17 @@ def build_ivf_index(
         F.col(vec_col),
         array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("_fv"),
     )
+    n = feats.count()
+    train = feats
+    if n > train_max_rows:
+        # oversample slightly so the post-limit frame still covers the
+        # cap; sample+limit keeps the training set size deterministic.
+        train = feats.sample(min(1.0, 1.2 * train_max_rows / n), seed=seed).limit(
+            train_max_rows
+        )
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell"
-    ).fit(feats)
+    ).fit(train)
     centroids = np.stack(model.clusterCenters())
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _CENTROIDS_FILE), "w") as f:
@@ -91,7 +117,9 @@ def build_ivf_index(
         l2_norm(vec_col).alias("norm"),
         F.col("_cell").cast("int").alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "cells"))
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
 
 
 def load_centroids(path: str) -> np.ndarray:
@@ -106,7 +134,11 @@ def append_to_ivf_index(spark: SparkSession, path: str, new_vecs: DataFrame) -> 
         meta = json.load(f)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     out = _assign_cells(new_vecs, centroids, meta["id_col"], meta["vec_col"])
-    out.write.mode("append").partitionBy("cell").parquet(os.path.join(path, "cells"))
+    # one file per touched cell per append (same file-packing rule as
+    # the build; appends stay O(delta) in both rows and files)
+    out.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
 
 
 def query_ivf_index(
