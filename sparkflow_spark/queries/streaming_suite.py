@@ -264,3 +264,51 @@ def st_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("w", "event_type", "c")
         .transform(ordered, "w")
     )
+
+
+@register(
+    "st_stream_interval_join",
+    oracle="""
+        SELECT CAST(date_trunc('day', s.ts) AS TIMESTAMP) AS signup_day,
+               COUNT(*) AS n_purchases_in_windows
+        FROM events s JOIN events e
+          ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 6 HOUR
+        WHERE s.event_type = 'signup' AND e.event_type = 'purchase'
+        GROUP BY signup_day ORDER BY signup_day
+    """,
+    tags=("streaming", "range_join"),
+    memo=False,  # fn runs eager streaming work per call
+)
+def st_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming KEYLESS range join: the purchase stream lands in
+    every signup's first-6-hours window (platform-wide conversion
+    pressure per signup day). operators.interval_join composes
+    unchanged onto a streaming points side — the bin column is a
+    stateless projection and the bin equi-join is a stream-static
+    inner join (static side re-planned per micro-batch), so the only
+    stateful operator is the final day rollup; a raw inequality
+    stream-static join would be a per-batch nested loop. Oracle = the
+    equivalent batch inequality join, so stream-batch equivalence is
+    hash-checked."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.operators import interval_join
+    from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    signups = (
+        Tables(sdf.sparkSession, sf)
+        .events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("ts").alias("s_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("s_end"),
+            F.date_trunc("day", "ts").alias("signup_day"),
+        )
+    )
+    pairs = interval_join(sdf, signups, "p_ts", "s_ts", "s_end", bin_width=6 * 3600)
+    agg = pairs.groupBy("signup_day").agg(
+        F.count(F.lit(1)).alias("n_purchases_in_windows")
+    )
+    out = run_stream_to_memory(agg, "complete")
+    return out.orderBy("signup_day")
