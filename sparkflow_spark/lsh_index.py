@@ -220,3 +220,60 @@ def query_lsh_index(
     return cand.select("probe_id", "match_id", est).filter(
         F.col("est_jaccard") >= min_est_jaccard
     )
+
+
+def compact_lsh_index(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Offline small-files maintenance for an appended index.
+
+    Every ``append_to_lsh_index`` call adds one file to sigs/ and one
+    per touched band dir — O(appends) files. Sub-``openCostInBytes``
+    files defeat Spark's file packing (maxSplitBytes floors at the
+    open cost, so each tiny file becomes its own scan task — the exact
+    failure measured on the IVF cells table, SCALE.md round-7h), so an
+    index that takes thousands of small deltas eventually pays a
+    per-file task tax on EVERY query. This rewrites sigs/ into
+    ⌈rows/target⌉ files and buckets/ into ~⌈band_rows/target⌉ files
+    per band dir (repartitioned on (band, id-hash slice) so the band
+    partitioning survives), then swaps each rewrite in via two
+    renames.
+
+    Single-writer maintenance op, same contract as
+    ``reconcile_lsh_index``. Crash safety: a crash before a swap
+    leaves the live index untouched (the __compact dir is simply
+    re-overwritten next run); a crash BETWEEN the two renames leaves
+    the live dir absent — queries fail LOUDLY (never silently wrong)
+    and the repair is renaming the __old dir back. Local/posix rename
+    semantics; on object stores run it as a copy-then-repoint job.
+    Content equality under compaction is the order-independent
+    invariant pinned in tests/test_lsh_index.py.
+    """
+    import shutil
+
+    p = load_params(path)
+    out: dict = {}
+    for sub, banded in (("sigs", False), ("buckets", True)):
+        src = os.path.join(path, sub)
+        tmp, old = src + "__compact", src + "__old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df = spark.read.parquet(src)
+        out[f"{sub}_files_before"] = len(df.inputFiles())
+        n = df.count()
+        if banded:
+            per_band = max(1, -(-n // p["bands"] // target_rows_per_file))
+            rep = df.repartition(
+                p["bands"] * per_band,
+                F.col("band"),
+                F.pmod(F.hash(F.col(p["id_col"])), F.lit(per_band)),
+            )
+            rep.write.mode("overwrite").partitionBy("band").parquet(tmp)
+        else:
+            n_files = max(1, -(-n // target_rows_per_file))
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        out[f"{sub}_files_after"] = len(spark.read.parquet(src).inputFiles())
+    return out

@@ -141,3 +141,40 @@ def test_reconcile_repairs_partial_append(spark, tmp_path):
     b = sorted(map(tuple, spark.read.parquet(ref + "/buckets")
                    .select("doc_id", "band", "bucket").collect()))
     assert a == b
+
+
+def test_compact_preserves_queries_and_cuts_files(spark, tmp_path):
+    """compact_lsh_index: after many O(delta) appends the index carries
+    O(appends) sub-openCost files (the per-file task-tax class measured
+    on the IVF cells table); compaction must cut the file count while
+    leaving params, query results, and reconcile-consistency untouched."""
+    from sparkflow_spark.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        load_params,
+        query_lsh_index,
+        reconcile_lsh_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = _docs(spark, 0, 60)
+    build_lsh_index(docs.filter(F.col("doc_id") < 20), idx)
+    for lo in range(20, 60, 10):
+        append_to_lsh_index(
+            spark, idx, docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        )
+    probes = _docs(spark, 0, 10)
+    before = sorted(
+        map(tuple, query_lsh_index(spark, idx, probes).collect())
+    )
+    params_before = load_params(idx)
+    stats = compact_lsh_index(spark, idx, target_rows_per_file=1_000_000)
+    assert stats["sigs_files_before"] > stats["sigs_files_after"]
+    assert stats["buckets_files_before"] > stats["buckets_files_after"]
+    after = sorted(
+        map(tuple, query_lsh_index(spark, idx, probes).collect())
+    )
+    assert after == before and before  # identical results, non-empty
+    assert load_params(idx) == params_before
+    assert reconcile_lsh_index(spark, idx) == 0  # still self-consistent
