@@ -1184,3 +1184,117 @@ def overlap_join(
         )
         .drop(*drop)
     )
+
+
+def _bloom_positions(col: Column, n_bits: int, k: int) -> Column:
+    """k bloom bit positions per value — JVM-side xxhash64 with k seed
+    variants over the STRING rendering (type-stable across build/probe
+    and across int/string key columns)."""
+    s = col.cast("string")
+    return F.array(
+        *[F.pmod(F.xxhash64(s, F.lit(i)), F.lit(n_bits)) for i in range(k)]
+    )
+
+
+def build_bloom_filter(
+    df: DataFrame, on: str, n_bits: int = 1 << 23, k: int = 5
+) -> bytes:
+    """Build a bloom bitmap over ``df[on]`` distributedly: bit positions
+    are computed JVM-side (xxhash64), each partition ORs its positions
+    into a local numpy bitmap (one Arrow pass), and the driver ORs the
+    per-partition bitmaps — the driver artifact is P × n_bits/8 bytes
+    of bitmaps, never the keys. Size ``n_bits`` ≈ 10–20 bits per
+    expected distinct key for ~sub-1% false-positive rates at k=5.
+
+    This is the build-once side of :func:`bloom_ingest_membership`; at
+    100 TB the corpus pays ONE scan to produce a megabytes-sized
+    reusable artifact (persist it next to the table like the IVF
+    centroids sidecar).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nb = int(n_bits)
+    if nb <= 0 or nb % 8:
+        raise ValueError(f"n_bits must be a positive multiple of 8; got {n_bits!r}")
+
+    pos = df.select(F.explode(_bloom_positions(F.col(on), nb, int(k))).alias("p"))
+
+    def bitmaps(batches):
+        bm = np.zeros(nb // 8, dtype=np.uint8)
+        for pdf in batches:
+            p = pdf["p"].to_numpy()
+            # |= with duplicate byte indexes drops all but one update —
+            # bitwise_or.at is the accumulate-safe form
+            np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = pos.mapInPandas(bitmaps, "bm binary").collect()
+    import functools
+
+    out = functools.reduce(
+        np.bitwise_or,
+        (np.frombuffer(r["bm"], dtype=np.uint8) for r in parts),
+        np.zeros(nb // 8, dtype=np.uint8),
+    )
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    spark, bloom: bytes, col: Column, k: int = 5
+) -> Column:
+    """Boolean membership-MAYBE column: positions JVM-side, bit lookups
+    in an Arrow-batched kernel over the broadcast bitmap (no hashing in
+    Python — the UDF only tests k bits per row). False positives
+    possible, false negatives impossible; pair with an exact verify for
+    deterministic results."""
+    import numpy as np
+    import pandas as pd
+
+    nb = len(bloom) * 8
+    bvar = spark.sparkContext.broadcast(np.frombuffer(bloom, dtype=np.uint8))
+
+    @F.pandas_udf("boolean")
+    def _hit(pos):
+        bm = bvar.value
+        out = []
+        for arr in pos:
+            p = np.asarray(arr, dtype=np.int64)
+            out.append(bool(np.all(bm[p >> 3] & (1 << (p & 7)).astype(np.uint8))))
+        return pd.Series(out)
+
+    return _hit(_bloom_positions(col, nb, int(k)))
+
+
+def bloom_ingest_membership(
+    spark,
+    corpus_keys: DataFrame,
+    incoming: DataFrame,
+    on: str,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+    bloom: bytes | None = None,
+) -> DataFrame:
+    """EXACT "which incoming rows carry a key the corpus already has"
+    — the ingest-time membership/dedup shape — without ever shuffling
+    the corpus per batch.
+
+    Plain semi-join would reshuffle corpus keys on every incoming
+    batch. Here: (1) a bloom over corpus keys (built once, reusable
+    via ``bloom``) prunes incoming rows to candidates with zero joins;
+    (2) the surviving candidate keys — now batch-sized — broadcast
+    against the corpus for a scan-only exact verify (semi-join with
+    the corpus as probe side, no corpus exchange); (3) verified keys
+    broadcast back onto the incoming batch. The bloom cannot drop a
+    true member (no false negatives) and the verify removes its false
+    positives, so the OUTPUT is exactly the semi-join's — the bloom is
+    a pure pruning layer, which keeps this oracle-checkable.
+    """
+    if bloom is None:
+        bloom = build_bloom_filter(corpus_keys, on, n_bits=n_bits, k=k)
+    hits = incoming.where(bloom_might_contain(spark, bloom, F.col(on), k=k))
+    cand_keys = hits.select(on).distinct()
+    verified = (
+        corpus_keys.join(F.broadcast(cand_keys), on, "left_semi").select(on).distinct()
+    )
+    return incoming.join(F.broadcast(verified), on, "inner")

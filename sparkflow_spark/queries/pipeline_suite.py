@@ -2391,3 +2391,51 @@ def p_shard_assignment_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "shard")
     )
+
+
+@register(
+    "p_bloom_known_users",
+    oracle="""
+        WITH corpus AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-25'
+        ),
+        inc AS (
+            SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+        )
+        SELECT i.event_type,
+               COUNT(*) AS n_events_known,
+               COUNT(DISTINCT i.user_id) AS n_known_users
+        FROM inc i JOIN corpus c ON i.user_id = c.user_id
+        GROUP BY i.event_type ORDER BY i.event_type
+    """,
+    tags=("pipeline", "bloom", "ingest"),
+)
+def p_bloom_known(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time membership against the historical corpus — "which
+    incoming events come from already-known users" — via
+    operators.bloom_ingest_membership: a bloom over corpus user ids
+    (built once per corpus version, megabytes-sized) prunes the
+    incoming batch with ZERO joins, then batch-sized candidate keys
+    broadcast against the corpus for a scan-only exact verify — the
+    corpus never shuffles per batch, unlike the plain semi-join this
+    hash-checks against. The bloom has no false negatives and the
+    verify removes its false positives, so the output is exactly the
+    semi-join's (the oracle replays it as one)."""
+    from sparkflow_spark.operators import bloom_ingest_membership
+
+    t = Tables(spark, sf)
+    cut = F.lit("2024-01-25").cast("timestamp")
+    corpus_keys = t.events.where(F.col("ts") < cut).select("user_id")
+    incoming = t.events.where(F.col("ts") >= cut)
+    known = bloom_ingest_membership(
+        spark, corpus_keys, incoming, "user_id", n_bits=1 << 20, k=5
+    )
+    return (
+        known.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_known"),
+            F.countDistinct("user_id").alias("n_known_users"),
+        )
+        .transform(ordered, "event_type")
+    )

@@ -479,3 +479,55 @@ def test_overlap_join_plan_is_equi(spark):
     out = overlap_join(ldf, rdf, "ls", "le", "rs", "re", bin_width=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---- bloom ingest membership ---------------------------------------------
+
+
+def test_bloom_membership_equals_semi_join(spark):
+    """The bloom is a pure pruning layer: output == the plain semi-join
+    for corpora/batches with hits, misses, and absent keys — at any
+    (n_bits, k), including tiny bitmaps with many false positives."""
+    from sparkflow_spark.operators import bloom_ingest_membership
+
+    corpus = spark.range(0, 5000, 3).select(F.col("id").alias("uid"))
+    inc = spark.range(0, 8000).select(
+        F.col("id").alias("uid"), (F.col("id") * 7 % 13).alias("v")
+    )
+    want = sorted(
+        (r["uid"], r["v"]) for r in inc.join(corpus, "uid", "left_semi").collect()
+    )
+    for n_bits, k in ((1 << 16, 5), (1 << 10, 2)):  # second: FP-heavy on purpose
+        got = sorted(
+            (r["uid"], r["v"])
+            for r in bloom_ingest_membership(
+                spark, corpus, inc, "uid", n_bits=n_bits, k=k
+            ).collect()
+        )
+        assert got == want and got, (n_bits, k)
+
+
+def test_bloom_filter_layout_invariant(spark):
+    """The built bitmap is a pure content function — identical bytes
+    regardless of partition layout (bitwise_or.at accumulation and the
+    driver OR are both order-free)."""
+    from sparkflow_spark.operators import build_bloom_filter
+
+    keys = spark.range(0, 3000, 2).select(F.col("id").alias("k"))
+    a = build_bloom_filter(keys, "k", n_bits=1 << 14, k=4)
+    b = build_bloom_filter(keys.repartition(17), "k", n_bits=1 << 14, k=4)
+    assert a == b and any(a)
+
+
+def test_bloom_membership_plan_broadcasts(spark):
+    """Neither join in the verify chain may sort-merge: candidate keys
+    and verified keys are batch-sized and must broadcast — the corpus
+    is scan-only per batch."""
+    from sparkflow_spark.operators import bloom_ingest_membership
+
+    corpus = spark.range(0, 2000).select(F.col("id").alias("uid"))
+    inc = spark.range(0, 100).select(F.col("id").alias("uid"))
+    out = bloom_ingest_membership(spark, corpus, inc, "uid", n_bits=1 << 14)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
