@@ -164,6 +164,10 @@ PROBES = [
     # wall clock; bin width controls candidate overhead, never matches.
     "q109_interval_join_shipments",
     "q110_overlap_join_congestion",
+    # round-7f addition: bloom build is one corpus pass (amortized in
+    # production; rebuilt per call here), probe+verify is batch-sized —
+    # per-row cost should fall like any scan-bound shape.
+    "p_bloom_known_users",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
