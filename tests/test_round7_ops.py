@@ -531,3 +531,28 @@ def test_bloom_membership_plan_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_daily_union_is_lossless(spark):
+    """The property that makes a persisted daily-sketch table
+    trustworthy: HLL merge is lossless — the union of per-day sketches
+    estimates EXACTLY what a single-pass sketch over the same rows
+    estimates, and the build is split-invariant."""
+    rows = [(d, u) for d in range(10) for u in range((d * 37) % 200 + 50)]
+    df = spark.createDataFrame(rows, "d int, u long")
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", 14)).alias("e")
+    ).collect()[0]["e"]
+    daily = df.groupBy("d").agg(F.hll_sketch_agg("u", 14).alias("sk"))
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert merged == direct
+    # split-merge invariance: sketch table built from two halves unions
+    # to the same estimate
+    lo = df.where(F.col("d") < 5).groupBy("d").agg(F.hll_sketch_agg("u", 14).alias("sk"))
+    hi = df.where(F.col("d") >= 5).groupBy("d").agg(F.hll_sketch_agg("u", 14).alias("sk"))
+    merged2 = lo.unionByName(hi).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert merged2 == direct
