@@ -168,6 +168,9 @@ PROBES = [
     # production; rebuilt per call here), probe+verify is batch-sized —
     # per-row cost should fall like any scan-bound shape.
     "p_bloom_known_users",
+    # round-7g addition: the sketch table is days-sized; rolling union
+    # cost scales with |days|, not events — expect near-flat.
+    "q111_hll_rolling_distinct",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
