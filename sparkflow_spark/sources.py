@@ -135,11 +135,24 @@ def write_partitioned(
     partition_by: list[str],
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    coalesce_partitions: bool = True,
 ) -> None:
     """Partitioned parquet sink: downstream filters on the partition
     columns become directory pruning (zero data read for pruned
-    partitions). ``max_records_per_file`` guards against the
-    small-files *and* giant-files failure modes."""
+    partitions).
+
+    ``coalesce_partitions`` (default ON) repartitions on the partition
+    columns first, so each directory gets ONE file instead of one per
+    (directory × input-partition). The raw form's file explosion is
+    not just ugly — sub-``openCostInBytes`` files each become their
+    own scan task (maxSplitBytes floors at the open cost), measured at
+    32,000 tasks ≈ 350 s/query on the IVF cells table (SCALE.md
+    round-7h). The trade: each partition value is written by a single
+    task — for few, huge partition values set it False (keep write
+    parallelism) and size files with ``max_records_per_file``, which
+    also splits giants in the coalesced form."""
+    if coalesce_partitions:
+        df = df.repartition(*[F.col(c) for c in partition_by])
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

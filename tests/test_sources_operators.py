@@ -545,3 +545,30 @@ def test_prop_near_dedup_keep_best_matches_union_find(edges, lengths):
         for members in comps.values()
     )
     assert got == want
+
+
+def test_write_partitioned_coalesces_files(spark, tmp_path):
+    """coalesce_partitions must give ONE file per partition dir (the
+    sub-openCost small-files fix, SCALE.md round-7h) without changing
+    content; False keeps the raw many-files-per-dir layout."""
+    import glob as _glob
+
+    from sparkflow_spark import sources
+
+    df = (
+        spark.range(4000)
+        .select((F.col("id") % 4).alias("yr"), F.col("id").alias("v"))
+        .repartition(16)
+    )
+    one = str(tmp_path / "one")
+    sources.write_partitioned(df, one, ["yr"])
+    files_per_dir = [
+        len(_glob.glob(f"{one}/yr={y}/*.parquet")) for y in range(4)
+    ]
+    assert files_per_dir == [1, 1, 1, 1]
+    raw = str(tmp_path / "raw")
+    sources.write_partitioned(df, raw, ["yr"], coalesce_partitions=False)
+    assert sum(len(_glob.glob(f"{raw}/yr={y}/*.parquet")) for y in range(4)) > 4
+    a = sorted((r["yr"], r["v"]) for r in spark.read.parquet(one).collect())
+    b = sorted((r["yr"], r["v"]) for r in spark.read.parquet(raw).collect())
+    assert a == b and len(a) == 4000
