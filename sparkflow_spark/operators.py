@@ -717,7 +717,11 @@ def hash_split(
     expr = None
     cum = 0.0
     for name in names[:-1]:
-        cum += fractions[name]
+        # round the cumulative fraction so the engine evaluates the same
+        # literal the SQL oracle writes (0.8+0.1 in float is
+        # 0.9000000000000001; a cut landing on the ulp boundary would
+        # otherwise assign a row differently cross-engine)
+        cum = round(cum + fractions[name], 12)
         cond = u < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
@@ -990,7 +994,11 @@ def stratified_exact_split(
     expr = None
     cum = 0.0
     for name in names[:-1]:
-        cum += fractions[name]
+        # round the cumulative fraction so the engine evaluates the same
+        # literal the SQL oracle writes (0.8+0.1 in float is
+        # 0.9000000000000001; a cut landing on the ulp boundary would
+        # otherwise assign a row differently cross-engine)
+        cum = round(cum + fractions[name], 12)
         cond = F.col("_srk") <= F.floor(F.lit(cum) * F.col("_sn"))
         expr = (
             F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
@@ -1003,6 +1011,42 @@ def stratified_exact_split(
     )
 
 
+def _guard_bins(
+    lo: Column,
+    hi: Column,
+    bin_width: int,
+    max_bins: int | None,
+    start_col: str,
+    end_col: str,
+) -> Column:
+    """Wrap a bin-range lower bound so any interval expanding into more
+    than ``max_bins`` bins raises AT EXECUTION with the offending span
+    named. One dirty row (a sentinel end like 9999-12-31) against a
+    small ``bin_width`` otherwise makes F.sequence emit millions of bin
+    rows per interval — blowing up the job (or tripping Spark's sequence
+    length cap) with no actionable message. ``max_bins=None`` disables
+    the guard (the caller vouches for clean spans)."""
+    if max_bins is None:
+        return lo
+    m = int(max_bins)
+    if m <= 0:
+        raise ValueError(f"max_bins_per_interval must be positive; got {max_bins!r}")
+    nbins = hi - lo + F.lit(1)
+    msg = F.concat(
+        F.lit("interval expands into "),
+        nbins.cast("string"),
+        F.lit(f" bins (> max_bins_per_interval={m}) at bin_width={bin_width}: "),
+        F.lit(f"{start_col}="),
+        F.col(start_col).cast("string"),
+        F.lit(f" .. {end_col}="),
+        F.col(end_col).cast("string"),
+        F.lit(" — widen bin_width, raise the cap, or pre-filter dirty spans"),
+    )
+    # raise_error in the taken branch aborts the task with `msg`; the
+    # otherwise-branch keeps the original bound (cast keeps types equal)
+    return F.when(nbins > m, F.raise_error(msg).cast("long")).otherwise(lo)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -1012,6 +1056,7 @@ def interval_join(
     bin_width: int,
     closed: str = "left",
     salt: int = 1,
+    max_bins_per_interval: int | None = None,
 ) -> DataFrame:
     """Binned range join: every (point, interval) pair with
     start <= point < end (``closed='left'``; ``'both'`` makes the end
@@ -1068,15 +1113,10 @@ def interval_join(
         return col.cast("long")
 
     p = points.withColumn("_pbin", F.floor(_as_long(points, point_col) / F.lit(w)))
-    i = intervals.withColumn(
-        "_ibin",
-        F.explode(
-            F.sequence(
-                F.floor(_as_long(intervals, start_col) / F.lit(w)),
-                F.floor(_as_long(intervals, end_col) / F.lit(w)),
-            )
-        ),
-    )
+    ilo = F.floor(_as_long(intervals, start_col) / F.lit(w))
+    ihi = F.floor(_as_long(intervals, end_col) / F.lit(w))
+    ilo = _guard_bins(ilo, ihi, w, max_bins_per_interval, start_col, end_col)
+    i = intervals.withColumn("_ibin", F.explode(F.sequence(ilo, ihi)))
     on = [F.col("_pbin") == F.col("_ibin")]
     drop = ["_pbin", "_ibin"]
     if s > 1:
@@ -1107,6 +1147,7 @@ def overlap_join(
     right_end: str,
     bin_width: int,
     salt: int = 1,
+    max_bins_per_interval: int | None = None,
 ) -> DataFrame:
     """Interval-overlap join: every (left, right) pair whose half-open
     ranges intersect — ``l.start < r.end AND r.start < l.end`` — via
@@ -1147,24 +1188,18 @@ def overlap_join(
             col = col.cast("timestamp")
         return col.cast("long")
 
-    l = left.withColumn(
-        "_lbin",
-        F.explode(
-            F.sequence(
-                F.floor(_as_long(left, left_start) / F.lit(w)),
-                F.floor(_as_long(left, left_end) / F.lit(w)),
-            )
-        ),
-    ).withColumn("_lsl", _as_long(left, left_start))
-    r = right.withColumn(
-        "_rbin",
-        F.explode(
-            F.sequence(
-                F.floor(_as_long(right, right_start) / F.lit(w)),
-                F.floor(_as_long(right, right_end) / F.lit(w)),
-            )
-        ),
-    ).withColumn("_rsl", _as_long(right, right_start))
+    llo = F.floor(_as_long(left, left_start) / F.lit(w))
+    lhi = F.floor(_as_long(left, left_end) / F.lit(w))
+    llo = _guard_bins(llo, lhi, w, max_bins_per_interval, left_start, left_end)
+    l = left.withColumn("_lbin", F.explode(F.sequence(llo, lhi))).withColumn(
+        "_lsl", _as_long(left, left_start)
+    )
+    rlo = F.floor(_as_long(right, right_start) / F.lit(w))
+    rhi = F.floor(_as_long(right, right_end) / F.lit(w))
+    rlo = _guard_bins(rlo, rhi, w, max_bins_per_interval, right_start, right_end)
+    r = right.withColumn("_rbin", F.explode(F.sequence(rlo, rhi))).withColumn(
+        "_rsl", _as_long(right, right_start)
+    )
     cond = F.col("_lbin") == F.col("_rbin")
     drop = ["_lbin", "_rbin", "_lsl", "_rsl"]
     if s > 1:
@@ -1229,7 +1264,28 @@ def build_bloom_filter(
             np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = pos.mapInPandas(bitmaps, "bm binary").collect()
+    def or_bitmaps(batches):
+        bm = np.zeros(nb // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for b in pdf["bm"]:
+                bm |= np.frombuffer(b, dtype=np.uint8)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    # Tree reduce: a scan with thousands of partitions would otherwise
+    # ship P × n_bits/8 bytes (~1 MB each at the 2^23 default) to the
+    # driver. One repartition of the MB-sized bitmap rows to a fixed
+    # fan-in keeps scan parallelism upstream and caps the driver at
+    # O(fan_in × bitmap), independent of P.
+    fan_in = 32
+    parts = (
+        pos.mapInPandas(bitmaps, "bm binary")
+        .repartition(fan_in)
+        .mapInPandas(or_bitmaps, "bm binary")
+        .collect()
+    )
     import functools
 
     out = functools.reduce(

@@ -443,12 +443,17 @@ def snapshot_changes(
         return new.select(F.lit("insert").alias("_op"), *cols)
     old = spark.read.parquet(os.path.join(path, f"v={from_version}")).select(*cols)
 
-    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])
-    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
+    # Side-presence markers, not key-column null probes: coalescing
+    # across heterogeneous composite key types silently coerces (or
+    # fails analysis), and an all-null key tuple would masquerade as
+    # the missing side. A lit(1) tag per side is type-independent and
+    # null only when the full-outer join produced no row on that side.
+    n = new.select(F.lit(1).alias("_n_present"), *[F.col(c).alias(f"_n_{c}") for c in cols])
+    o = old.select(F.lit(1).alias("_o_present"), *[F.col(c).alias(f"_o_{c}") for c in cols])
     cond = [n[f"_n_{k}"] == o[f"_o_{k}"] for k in keys]
     j = n.join(o, cond, "full_outer")
-    some_new_key = F.coalesce(*[j[f"_n_{k}"] for k in keys]) if len(keys) > 1 else j[f"_n_{keys[0]}"]
-    some_old_key = F.coalesce(*[j[f"_o_{k}"] for k in keys]) if len(keys) > 1 else j[f"_o_{keys[0]}"]
+    some_new_key = j["_n_present"]
+    some_old_key = j["_o_present"]
     changed = F.lit(False)
     for c in val_cols:
         changed = changed | ~j[f"_n_{c}"].eqNullSafe(j[f"_o_{c}"])
@@ -536,11 +541,27 @@ def acquire_writer_lease(path: str, ttl_seconds: float = 600.0) -> str:
             f"another writer holds the lease on {path} until "
             f"{held['expires']:.0f} (epoch); retry later or raise ttl"
         )
-    # stale lease (crashed writer): atomic takeover
+    # Stale lease (crashed writer): atomic takeover. Two contenders can
+    # BOTH observe the expired lease and both os.replace their own
+    # payload — rename is atomic but last-writer-wins, so without a
+    # confirmation step both would return believing they hold it (the
+    # exact interleaving the lease exists to prevent). Confirm by
+    # re-reading AFTER the replace: exactly one token survives (the last
+    # replace), every other contender sees a foreign token and raises.
     tmp = lease_path + f".{token}.tmp"
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, lease_path)
+    try:
+        with open(lease_path) as f:
+            winner = _json.load(f)
+    except (ValueError, FileNotFoundError):
+        winner = {}
+    if winner.get("token") != token:
+        raise WriterConflict(
+            f"lost the expired-lease takeover race on {path} — another "
+            "writer's replace landed after ours; retry later"
+        )
     return token
 
 
