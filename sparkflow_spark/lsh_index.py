@@ -120,6 +120,34 @@ def load_params(path: str) -> dict:
         return json.load(f)
 
 
+_TOMBSTONES = "tombstones"
+
+
+def delete_from_lsh_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Takedown support: tombstone doc ids (one O(delta) parquet append
+    beside the index — sigs/ and buckets/ are NOT rewritten). Queries
+    exclude tombstoned docs immediately; :func:`compact_lsh_index`
+    folds tombstones in, physically removing the rows and clearing the
+    tombstone table. Idempotent: deleting an id twice (or an id the
+    index never held) is a no-op at query time. This is the takedown
+    story a real LLM corpus pipeline needs — before this the only
+    answer to "remove this document" was a full index rebuild."""
+    p = load_params(path)
+    ids.select(p["id_col"]).distinct().write.mode("append").parquet(
+        os.path.join(path, _TOMBSTONES)
+    )
+
+
+def _live_tombstones(spark: SparkSession, path: str, id_col: str) -> DataFrame | None:
+    """The distinct tombstoned ids, or None when none exist. Takedown
+    tables are tiny (human-scale removal requests), so callers
+    broadcast the anti-join."""
+    tpath = os.path.join(path, _TOMBSTONES)
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).select(id_col).distinct()
+
+
 def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> None:
     """Index the NEW docs only (O(delta) signature work) using the
     STORED params; appends to the bucket table. Caller guarantees new
@@ -192,6 +220,17 @@ def query_lsh_index(
         # duplicated (probe_id, match_id) result rows.
         .dropDuplicates(["match_id"])
     )
+    # takedown filter: tombstoned docs never surface as matches. The
+    # candidate join inner-joins `stored`, so filtering the signature
+    # side alone excludes them everywhere; one broadcast anti-join
+    # against the (tiny) takedown table.
+    tomb = _live_tombstones(spark, path, p["id_col"])
+    if tomb is not None:
+        stored = stored.join(
+            F.broadcast(tomb.withColumnRenamed(p["id_col"], "match_id")),
+            on="match_id",
+            how="left_anti",
+        )
     psigs = minhash_signatures(
         probes, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
     )
@@ -253,6 +292,16 @@ def compact_lsh_index(
 
     p = load_params(path)
     out: dict = {}
+    # fold tombstones in: the compaction rewrite is the moment physical
+    # removal is free (every row is being rewritten anyway). The
+    # tombstone table is cleared only AFTER both swaps land — a crash
+    # in between leaves tombstones in place, and the query-time filter
+    # keeps excluding the ids (idempotent re-compaction removes them
+    # physically next run).
+    tomb = _live_tombstones(spark, path, p["id_col"])
+    if tomb is not None:
+        tomb = F.broadcast(tomb.localCheckpoint())
+        out["tombstoned_ids"] = tomb.count()
     for sub, banded in (("sigs", False), ("buckets", True)):
         src = os.path.join(path, sub)
         tmp, old = src + "__compact", src + "__old"
@@ -260,6 +309,8 @@ def compact_lsh_index(
         shutil.rmtree(old, ignore_errors=True)
         df = spark.read.parquet(src)
         out[f"{sub}_files_before"] = len(df.inputFiles())
+        if tomb is not None:
+            df = df.join(tomb, on=p["id_col"], how="left_anti")
         n = df.count()
         if banded:
             per_band = max(1, -(-n // p["bands"] // target_rows_per_file))
@@ -276,4 +327,10 @@ def compact_lsh_index(
         os.rename(tmp, src)
         shutil.rmtree(old)
         out[f"{sub}_files_after"] = len(spark.read.parquet(src).inputFiles())
+    if tomb is not None:
+        # both swaps committed: the rewritten index no longer holds the
+        # rows, so the tombstones are spent. (tomb was localCheckpointed
+        # above — the anti-joins and this cleanup cannot race the
+        # directory removal.)
+        shutil.rmtree(os.path.join(path, _TOMBSTONES), ignore_errors=True)
     return out

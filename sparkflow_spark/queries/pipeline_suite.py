@@ -2421,15 +2421,33 @@ def p_bloom_known(spark: SparkSession, sf: str) -> DataFrame:
     corpus never shuffles per batch, unlike the plain semi-join this
     hash-checks against. The bloom has no false negatives and the
     verify removes its false positives, so the output is exactly the
-    semi-join's (the oracle replays it as one)."""
+    semi-join's (the oracle replays it as one).
+
+    The bitmap is a PERSISTED versioned artifact (bloom_artifact.py:
+    build-on-absence, load thereafter — the production cadence where
+    one corpus scan amortizes over every ingest batch), not a per-call
+    rebuild; the staleness contract (an old bitmap never produces a
+    false negative for keys it covered) is pinned in
+    tests/test_round8_ops.py."""
+    from sparkflow_spark.bloom_artifact import ensure_bloom
+    from sparkflow_spark.catalog import warehouse_subdir
     from sparkflow_spark.operators import bloom_ingest_membership
 
     t = Tables(spark, sf)
     cut = F.lit("2024-01-25").cast("timestamp")
     corpus_keys = t.events.where(F.col("ts") < cut).select("user_id")
     incoming = t.events.where(F.col("ts") >= cut)
+    bloom, _meta = ensure_bloom(
+        spark,
+        corpus_keys,
+        warehouse_subdir(spark, "bloom_known_users", key=sf),
+        "user_id",
+        n_bits=1 << 20,
+        k=5,
+        corpus_version=f"{sf}@<2024-01-25",
+    )
     known = bloom_ingest_membership(
-        spark, corpus_keys, incoming, "user_id", n_bits=1 << 20, k=5
+        spark, corpus_keys, incoming, "user_id", n_bits=1 << 20, k=5, bloom=bloom
     )
     return (
         known.groupBy("event_type")

@@ -114,6 +114,7 @@ def stream_merge_to_parquet(
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
     batch_listener=None,
+    op_col: str | None = None,
 ) -> str:
     """Streaming CDC/upsert sink: maintain a keyed parquet table where
     each micro-batch MERGEs (last-write-wins per key) into the previous
@@ -155,6 +156,18 @@ def stream_merge_to_parquet(
     same file set from the offset log) and deterministically overwrites
     its own ``v=N``.
 
+    ``op_col`` (takedown/retraction support): when set, the stream
+    carries a change-op column and a row whose op is ``delete`` is a
+    KEY TOMBSTONE — it participates in per-key arbitration like any
+    row (with ``order_col``, a delete only wins over rows it outranks,
+    so a late-arriving old delete cannot resurrect-by-removal), and
+    when it wins, the key is ABSENT from the new snapshot. The op
+    column itself never lands in the snapshot (snapshots store state,
+    not change feeds), so ``snapshot_changes`` diffing two committed
+    versions reports the removal as its own ``_op='delete'`` row —
+    the two delete paths compose. This is the MERGE ... WHEN MATCHED
+    AND s.op = 'D' THEN DELETE idiom of Delta/Iceberg sinks.
+
     Returns the path of the final version directory.
     """
     from pyspark.sql import Window
@@ -178,7 +191,12 @@ def stream_merge_to_parquet(
         if batch_listener is not None:
             batch_listener(batch_id)
         spark = batch_df.sparkSession
-        cols = batch_df.columns
+        if op_col is not None and op_col not in batch_df.columns:
+            raise ValueError(
+                f"op_col={op_col!r} not in stream columns {batch_df.columns}"
+            )
+        # snapshots store STATE: the op column is arbitration-time-only
+        cols = [c for c in batch_df.columns if c != op_col]
         ver_dir = os.path.join(path, f"v={batch_id}")
         # prev resolves through the COMMITTED manifest, never a dir
         # listing: a crash after a snapshot write but before its
@@ -211,12 +229,24 @@ def stream_merge_to_parquet(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        is_del = (
+            F.lower(F.col(op_col)) == "delete" if op_col is not None else F.lit(False)
+        )
         if prev is None:
-            merged = delta
+            merged = delta.where(~is_del).select(*cols)
         elif order_col is None:
-            # no ordering column → delta wins (plain upsert)
+            # no ordering column → delta wins (plain upsert); a delete
+            # row wins its key and removes it
             target = spark.read.parquet(prev).select(*cols)
-            merged = merge_upsert(target, delta, keys)
+            if op_col is None:
+                merged = merge_upsert(target, delta, keys)
+            else:
+                dels = F.broadcast(delta.where(is_del).select(*keys).distinct())
+                merged = merge_upsert(
+                    target.join(dels, keys, "left_anti"),
+                    delta.where(~is_del).select(*cols),
+                    keys,
+                )
         else:
             # CDC arbitration: the HIGHER order_col wins even when the
             # table row is newer than the arriving delta (out-of-order
@@ -226,6 +256,10 @@ def stream_merge_to_parquet(
             # shuffles), contested ones union with the delta and take
             # per-key max order.
             target = spark.read.parquet(prev).select(*cols)
+            if op_col is not None:
+                # stored rows re-enter arbitration as upserts: a delete
+                # must OUTRANK the stored row to remove the key
+                target = target.withColumn(op_col, F.lit("upsert"))
             dkeys = F.broadcast(delta.select(*keys).distinct())
             kept = target.join(dkeys, keys, "left_anti")
             contested = target.join(dkeys, keys, "left_semi")
@@ -235,6 +269,8 @@ def stream_merge_to_parquet(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            if op_col is not None:
+                winners = winners.where(~is_del)
             merged = kept.select(*cols).unionByName(winners.select(*cols))
         merged.write.mode("overwrite").parquet(ver_dir)
         # publish AFTER the snapshot is fully on disk — the atomic

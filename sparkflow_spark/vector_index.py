@@ -167,6 +167,12 @@ def query_ivf_index(
     small-probe-batch fast path; False is the bulk re-scoring path)."""
     centroids = load_centroids(path)
     cells = spark.read.parquet(os.path.join(path, "cells"))
+    # takedown filter: tombstoned vectors never surface as neighbors —
+    # one broadcast anti-join against the (tiny) takedown table; the
+    # top-k window ranks only survivors, so k results stay k results.
+    tomb = _live_ivf_tombstones(spark, path)
+    if tomb is not None:
+        cells = cells.join(F.broadcast(tomb), on="id", how="left_anti")
     n_probe_eff = min(n_probe, centroids.shape[0])
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -218,3 +224,56 @@ def cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_TOMBSTONES = "tombstones"
+
+
+def delete_from_ivf_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Takedown support: tombstone vector ids (one O(delta) parquet
+    append beside the index — the cell-partitioned table is NOT
+    rewritten). Queries exclude tombstoned vectors immediately;
+    :func:`vacuum_ivf_index` folds tombstones in physically. Same
+    lifecycle as the LSH index's (lsh_index.py): delete → immediate
+    logical exclusion → eventual physical removal, idempotent at every
+    step."""
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        meta = json.load(f)
+    ids.select(F.col(meta["id_col"]).alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _TOMBSTONES))
+
+
+def _live_ivf_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tpath = os.path.join(path, _TOMBSTONES)
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).select("id").distinct()
+
+
+def vacuum_ivf_index(spark: SparkSession, path: str) -> int:
+    """Physically remove tombstoned vectors: rewrite cells/ without
+    them (repartition-per-cell, same one-file-per-cell layout rule as
+    the build), swap via two renames, then clear the tombstone table.
+    Crash between the renames leaves the live dir absent — queries
+    fail LOUDLY and repair is renaming __old back; a crash before the
+    tombstone clear re-applies the (now no-op) filter next query.
+    Returns the number of ids vacuumed."""
+    import shutil
+
+    tomb = _live_ivf_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    tomb = F.broadcast(tomb.localCheckpoint())
+    n = tomb.count()
+    src = os.path.join(path, "cells")
+    tmp, old = src + "__vacuum", src + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    kept = spark.read.parquet(src).join(tomb, on="id", how="left_anti")
+    kept.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(path, _TOMBSTONES), ignore_errors=True)
+    return n
