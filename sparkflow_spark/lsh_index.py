@@ -32,35 +32,72 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkflow_spark.dedup import minhash_signatures
+from sparkflow_spark.dedup import minhash_md5_signatures, minhash_signatures
 
 _PARAMS_FILE = "_lsh_params.json"
 
 
-def _banded(sigs: DataFrame, num_hashes: int, bands: int, id_col: str) -> DataFrame:
-    """(id, sig, band, bucket) — one row per (doc, band); bucket is the
-    64-bit hash of the band's signature slice (same keying as
-    dedup.minhash_candidate_pairs)."""
+def _signatures(df: DataFrame, p: dict) -> DataFrame:
+    """(id, sig) under the index's hash family. ``xxhash64`` (default)
+    is the fast JVM family (array<long> signatures); ``md5`` is the
+    engine-PORTABLE family (array<string> hex digests — bit-identical
+    in every engine, so the whole index lifecycle is replayable
+    hash-for-hash outside Spark; the d_lsh_index_md5_query oracle does
+    exactly that). The family is an INDEX property (stored in params):
+    signatures from different families never mix."""
+    fam = p.get("hash_family", "xxhash64")
+    if fam == "xxhash64":
+        return minhash_signatures(
+            df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
+        )
+    if fam == "md5":
+        wide = minhash_md5_signatures(
+            df,
+            text_col=p["text_col"],
+            id_col=p["id_col"],
+            num_hashes=p["num_hashes"],
+            shingle_k=p["shingle_k"],
+        )
+        return wide.select(
+            F.col(p["id_col"]),
+            F.array(*[F.col(f"h{i}") for i in range(p["num_hashes"])]).alias("sig"),
+        )
+    raise ValueError(f"unknown hash_family {fam!r} (expected 'xxhash64' or 'md5')")
+
+
+def _banded(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig, band, bucket) — one row per (doc, band); bucket keys
+    the band's signature slice. xxhash64 family: 64-bit hash of the
+    comma-joined slice (same keying as dedup.minhash_candidate_pairs).
+    md5 family: md5 of the joined slice — portable, and injective over
+    fixed-width digests, so band-equality decisions match any engine
+    concatenating the same digests."""
     rows_per_band = num_hashes // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def bucket_of(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
+
     return sigs.select(
         F.col(id_col),
         F.col("sig"),
         F.explode(
             F.transform(
                 band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -75,9 +112,15 @@ def build_lsh_index(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> None:
     """Create the index: banded buckets partitioned by band + params
-    sidecar. Overwrites an existing index at ``path``."""
+    sidecar. Overwrites an existing index at ``path``.
+
+    ``hash_family``: ``xxhash64`` (default, fast JVM family) or ``md5``
+    (engine-portable — every signature and bucket is reproducible
+    outside Spark; ~3x slower signing). The family is stored in params
+    and applies to every later append/query on this index."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # rows_per_band = num_hashes // bands would silently drop tail
         # hashes (recall loss) or, for bands > num_hashes, hash an EMPTY
@@ -93,8 +136,9 @@ def build_lsh_index(
         "bands": bands,
         "shingle_k": shingle_k,
         "seed": seed,
+        "hash_family": hash_family,
     }
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = _signatures(df, params)
     # the signature pandas stage feeds two writers; materialize once.
     # WRITE ORDER CONTRACT (here and in append_to_lsh_index): sigs/
     # BEFORE buckets/. The two writes are separate jobs, not a
@@ -108,7 +152,7 @@ def build_lsh_index(
     # DROPPED from every candidate list — permanent recall loss.
     # Writing sigs first makes the failure mode the recoverable one.
     sigs = sigs.localCheckpoint(eager=False)
-    out = _banded(sigs, num_hashes, bands, id_col).drop("sig")
+    out = _banded(sigs, num_hashes, bands, id_col, hash_family).drop("sig")
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
     with open(os.path.join(path, _PARAMS_FILE), "w") as f:
@@ -164,11 +208,11 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
     so a re-run stores a second copy of the delta's signatures —
     doubled storage and duplicated candidate rows for those ids."""
     p = load_params(path)
-    sigs = minhash_signatures(
-        new_df, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
-    )
+    sigs = _signatures(new_df, p)
     sigs = sigs.localCheckpoint(eager=False)
-    out = _banded(sigs, p["num_hashes"], p["bands"], p["id_col"]).drop("sig")
+    out = _banded(
+        sigs, p["num_hashes"], p["bands"], p["id_col"], p.get("hash_family", "xxhash64")
+    ).drop("sig")
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
     out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
 
@@ -189,7 +233,13 @@ def reconcile_lsh_index(spark: SparkSession, path: str) -> int:
     )
     n = orphans.count()
     if n:
-        out = _banded(orphans, p["num_hashes"], p["bands"], p["id_col"]).drop("sig")
+        out = _banded(
+            orphans,
+            p["num_hashes"],
+            p["bands"],
+            p["id_col"],
+            p.get("hash_family", "xxhash64"),
+        ).drop("sig")
         out.write.mode("append").partitionBy("band").parquet(
             os.path.join(path, "buckets")
         )
@@ -231,10 +281,10 @@ def query_lsh_index(
             on="match_id",
             how="left_anti",
         )
-    psigs = minhash_signatures(
-        probes, p["text_col"], p["id_col"], p["num_hashes"], p["shingle_k"], p["seed"]
-    )
-    pb = _banded(psigs, p["num_hashes"], p["bands"], p["id_col"]).select(
+    psigs = _signatures(probes, p)
+    pb = _banded(
+        psigs, p["num_hashes"], p["bands"], p["id_col"], p.get("hash_family", "xxhash64")
+    ).select(
         F.col(p["id_col"]).alias("probe_id"),
         F.col("sig").alias("probe_sig"),
         "band",

@@ -567,6 +567,87 @@ def d_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     ).transform(ordered, "id_a", "id_b")
 
 
+@register(
+    "d_lsh_index_md5_query",
+    # Full PERSISTED-INDEX lifecycle, cross-engine hash-checked: the
+    # oracle recomputes the md5 minhash signatures over the WHOLE
+    # corpus and replays banding + candidate join + estimate — green
+    # means build(evens) + append(odds) produced the identical banded
+    # layout an engine-independent rebuild would (append==rebuild is
+    # the invariant that makes incremental maintenance trustworthy;
+    # the xxhash64 twin d_lsh_index_query stays rows-only/t1).
+    oracle=f"""
+        WITH {_MH_SIG_CTE},
+        probes AS (
+            SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20
+        ),
+        qcand AS (
+            SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS match_id
+            FROM bands p
+            JOIN probes pr ON pr.doc_id = p.doc_id
+            JOIN bands i ON i.band = p.band AND i.bv = p.bv
+                        AND i.doc_id != p.doc_id
+        )
+        SELECT probe_id, match_id,
+               CAST(ROUND(({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))})
+                          / {_MH_K}.0, 3) AS DOUBLE) + 0.0 AS est
+        FROM qcand
+        JOIN sig sa ON sa.doc_id = probe_id
+        JOIN sig sb ON sb.doc_id = match_id
+        WHERE ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))}) / {_MH_K}.0 >= 0.5
+        ORDER BY probe_id, match_id
+    """,
+    tags=("dedup", "lsh", "index"),
+    memo=False,  # builds a temp on-disk index per call
+)
+def d_lsh_index_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent LSH index lifecycle under the engine-PORTABLE md5
+    hash family: build the banded index over the even-id half, APPEND
+    the odd-id half (O(delta) signing), query the first 20 docs with
+    est >= 0.5 — and every signature, bucket, and estimate is
+    reproduced hash-for-hash by the DuckDB oracle's from-scratch
+    replay (a differential proof that the incremental lifecycle equals
+    a rebuild)."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    t = Tables(spark, sf)
+    docs = t.documents.select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lsh_idx_md5_")
+    try:
+        build_lsh_index(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            work,
+            num_hashes=_MH_K,
+            bands=_MH_BANDS,
+            shingle_k=3,
+            hash_family="md5",
+        )
+        append_to_lsh_index(spark, work, docs.filter(F.col("doc_id") % 2 == 1))
+        probes = docs.orderBy("doc_id").limit(20)
+        out = query_lsh_index(spark, work, probes, min_est_jaccard=0.5).select(
+            "probe_id",
+            "match_id",
+            (F.round(F.col("est_jaccard"), 3).cast("double") + F.lit(0.0)).alias("est"),
+        )
+        rows = out.collect()
+        return (
+            spark.createDataFrame(rows, out.schema).transform(
+                ordered, "probe_id", "match_id"
+            )
+            if rows
+            else spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _simhash_oracle() -> str:
     """Generate the DuckDB twin of d_simhash_md5_sigs from the same
     bit conventions the Spark side uses (j-th bit lives in hex nibble
