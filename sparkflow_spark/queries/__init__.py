@@ -200,13 +200,47 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # s_hard_negative_ann (rank/window families keep q65 lag windows
     # and gain the two global_rank riders; the hard-negative pair keeps
     # BOTH the exact twin and now the production ANN path in-window).
-    "q71_cohort_retention",
+    # round-8 rotation (r7 verdict ask #1: cumulative driver-checked
+    # 126 -> 140): fourteen r7-driver-green rows rotate out, each
+    # keeping an in-window family rep + local oracle + pytest, for the
+    # thirteen never-checked families the verdict names plus the NEW
+    # md5 LSH index lifecycle. Swaps (out -> in):
+    # p_chunk_documents->p_stratified_split (pipeline keeps
+    # p_training_bins_e2e, which CONTAINS the chunk stage),
+    # q71_cohort_retention->q107_ewma_per_event +
+    # q92_event_transitions->q98_intersect_all (events analytics reps
+    # now q107/q108; set-op family gains its bag forms),
+    # g_lpa_communities->q108_cumulative_new_users +
+    # g_link_prediction->q111_hll_rolling_distinct (graph keeps
+    # g_pagerank_top + g_bfs_depths),
+    # d_tfidf_cosine_pairs->d_cross_source_dup_matrix (dedup keeps
+    # d_ngram/d_minhash_md5/d_prefix/d_embedding_ann/d_semantic/
+    # d_entity in-window),
+    # q105_spearman_corr->q99_regression_per_group (stats; q102
+    # histogram stays), q90_referential_integrity->q97_except_all
+    # (audit keeps q103_dq_audit), q96_grouping_sets->
+    # q109_interval_join_shipments (aggs keep q13 + q58 + q102; the
+    # batch keyless range join joins its q110 overlap sibling),
+    # q95_fulfillment_leadtime->st_windowed_topk (TPC-H keeps tpch_q17;
+    # streaming gains the windowed top-k shape),
+    # t_lexical_diversity->p_shard_assignment (text keeps q36 + t_bm25
+    # + t_pii), a_frequent_item_pairs->d_lsh_index_md5_query
+    # (associations keep a_heavy_hitters_mg; the persistent-LSH
+    # lifecycle gets its FIRST cross-engine hash-checked driver row),
+    # q60_merge_upsert->st_stream_interval_join (CDC MERGE keeps
+    # st_cdc_upsert_snapshot; the streaming keyless range join is the
+    # range-join family's streaming rep),
+    # s_hard_negative_top1->p_bloom_known_users (verdict-directed: the
+    # exact twin's recall binding to the in-window ANN row lives in
+    # t1; the freed slot funds the bloom-pruned ingest family's first
+    # record — now reading the PERSISTED bloom artifact).
+    "q107_ewma_per_event",
     "q02_filter_and",
-    "p_chunk_documents",
+    "p_stratified_split",
     "g_pagerank_top",
     "q06_multiway_join",
     "q103_dq_audit",
-    "g_lpa_communities",
+    "q108_cumulative_new_users",
     "q10_left_anti_join",
     # round-6e swap: q11_theta_join (driver-green r5; non-equi joins
     # keep local oracle + pytest, and the join family keeps q06 + q10
@@ -241,10 +275,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # plus global_rank + dense-integer self-join), s_brute_force_top1
     # ->s_hard_negative_top1 (same broadcast scoring kernel + label
     # filter over ALL anchors -- strictly the wider check).
-    "d_tfidf_cosine_pairs",
+    "d_cross_source_dup_matrix",
     "q15_approx_within_5pct",
     "a_heavy_hitters_mg",
-    "q105_spearman_corr",
+    "q99_regression_per_group",
     # round-7e swap: q101_order_overlap_pairs (keyed overlap; keeps
     # local oracle + pytest) rotates out for the KEYLESS binned
     # overlap join — the same interval-overlap family repped by its
@@ -254,18 +288,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q102_equiheight_histogram",
     "q65_scd2_history",
     "d_prefix_jaccard_pairs",
-    "q90_referential_integrity",
-    "q92_event_transitions",
-    "q96_grouping_sets",
+    "q97_except_all",
+    "q98_intersect_all",
+    "q109_interval_join_shipments",
     # round-6b swap: q28_math_functions (driver-green r5; scalar-math
     # family keeps in-window coverage via q31_array_dot_norm and
     # q93_spend_gini) rotated out for the never-checked corpus-level
     # substring-duplication stat.
-    "t_lexical_diversity",
+    "p_shard_assignment",
     "q30_json_extract",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",
-    "g_link_prediction",
+    "q111_hll_rolling_distinct",
     "p_source_mixture",
     "t_bm25_scores",
     # array / struct / UDF families (Q31/Q32/Q40)
@@ -276,7 +310,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # grouped-map + UDTF keep their rows) for PII redaction
     "t_pii_redact",
     "q40_grouped_map_applyinpandas",
-    "a_frequent_item_pairs",
+    "d_lsh_index_md5_query",
     # dedup family (Q34/Q35)
     # round-5d swap: q34_exact_dedup_count rotated out (exact dedup is
     # ALSO exercised in-window by p_clean_corpus's dedup stage; d_* keep
@@ -308,12 +342,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # keep), a shape no other window row exercises.
     "st_tumbling_hour_counts",
     "s_hard_negative_ann",
-    "q95_fulfillment_leadtime",
+    "st_windowed_topk",
     "d_semantic_dedup_keep",
-    "q60_merge_upsert",
+    "st_stream_interval_join",
     "st_stateful_user_counts",
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
-    "s_hard_negative_top1",
+    "p_bloom_known_users",
     "mm_binary_stats",
     # round-7b swap: m02_linear_inference (driver-green since r3; the
     # DistributedDLModel inference path keeps its in-window rep via
