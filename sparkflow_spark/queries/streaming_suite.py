@@ -224,6 +224,72 @@ def st_cdc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "st_cdc_delete_snapshot",
+    # Batch-split-invariant DELETE semantics: the oracle is the pure
+    # event-SET reduction (per user, the max-ts row wins; a winning
+    # 'error' event deletes the user) — green only because the sink
+    # RETAINS winning tombstones across micro-batches, so an
+    # out-of-order older row arriving after its key's delete cannot
+    # resurrect it whatever maxFilesPerTrigger=1 split the log into.
+    oracle="""
+        WITH latest AS (
+            SELECT user_id,
+                   CAST(max_by(event_id, ts) AS BIGINT) AS event_id,
+                   CAST(epoch_us(MAX(ts)) AS BIGINT) AS ts_us,
+                   CAST(ROUND(max_by(value, ts), 4) AS DOUBLE) + 0.0 AS value,
+                   max_by(event_type, ts) AS _lt
+            FROM events GROUP BY user_id)
+        SELECT user_id, event_id, ts_us, value
+        FROM latest WHERE _lt != 'error' ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "sink", "delete"),
+    memo=False,  # runs a full streaming job + filesystem sink per call
+)
+def st_cdc_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE sink with the DELETE path exercised: 'error' events
+    are retraction rows (op_col='delete'), everything else upserts;
+    ts-ordered arbitration + retained tombstones make the final
+    snapshot equal the batch latest-row-per-key aggregate MINUS the
+    users whose globally latest event is an error — independent of the
+    micro-batch split. (user_id, ts) is unique in the fixtures, so
+    arbitration ties cannot occur."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.catalog import warehouse_subdir
+    from sparkflow_spark.streaming.sinks import stream_merge_to_parquet
+    from sparkflow_spark.streaming.windows import stream_events
+
+    sdf = stream_events(
+        spark, sf, watermark=None, state_partitions=None, max_files_per_trigger=1
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("_op"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_del_")
+    try:
+        final_dir = stream_merge_to_parquet(
+            sdf, work, keys=["user_id"], order_col="ts", op_col="_op"
+        )
+        out = spark.read.parquet(final_dir).select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            (F.round("value", 4).cast("double") + F.lit(0.0)).alias("value"),
+        )
+        dest = warehouse_subdir(spark, "st_cdc_delete_snapshot", key=sf)
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest).transform(ordered, "user_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "st_windowed_topk",
     oracle="""
         WITH wc AS (

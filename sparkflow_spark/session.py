@@ -161,7 +161,14 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 20g default (round-8): the harness host has 128 GiB and local
+        # mode makes the driver THE executor; at 8g the long bench
+        # session was GC-bound on the array-heavy dedup shapes
+        # (measured same-session A/B at sf0.1: v1 steady 6.97 -> 6.15 s,
+        # d_ngram 1.53 -> 1.35 s, v2 1.74 -> 1.40 s). ParallelGC was
+        # also measured and LOST to G1 (0.998 vs 0.898 s isolated
+        # d_ngram steady) — heap size was the lever, not the collector.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     )

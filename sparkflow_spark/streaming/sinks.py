@@ -168,6 +168,19 @@ def stream_merge_to_parquet(
     the two delete paths compose. This is the MERGE ... WHEN MATCHED
     AND s.op = 'D' THEN DELETE idiom of Delta/Iceberg sinks.
 
+    With ``order_col``, winning tombstones are RETAINED (hidden
+    ``v=N/_tombstones/`` parquet, invisible to snapshot readers via
+    the underscore rule) and re-enter every later arbitration: a LATE
+    out-of-order row arriving after its key's delete still loses to
+    the higher-ordered tombstone instead of resurrecting the key — so
+    the final state is a pure function of the event SET, not the
+    batch split (the property the st_cdc_delete_snapshot oracle
+    checks). Tombstones here are retained indefinitely; a production
+    deployment adds retention GC once the low-watermark passes (the
+    Cassandra/Delta tombstone-retention trade). Without ``order_col``
+    there is no cross-batch ordering to defend, so deletes apply
+    batch-locally (delta-wins) and nothing is retained.
+
     Returns the path of the final version directory.
     """
     from pyspark.sql import Window
@@ -232,8 +245,11 @@ def stream_merge_to_parquet(
         is_del = (
             F.lower(F.col(op_col)) == "delete" if op_col is not None else F.lit(False)
         )
+        tombs = None  # retained tombstones (op_col + order_col path)
         if prev is None:
             merged = delta.where(~is_del).select(*cols)
+            if op_col is not None and order_col is not None:
+                tombs = delta.where(is_del).select(*cols)
         elif order_col is None:
             # no ordering column → delta wins (plain upsert); a delete
             # row wins its key and removes it
@@ -257,9 +273,18 @@ def stream_merge_to_parquet(
             # per-key max order.
             target = spark.read.parquet(prev).select(*cols)
             if op_col is not None:
-                # stored rows re-enter arbitration as upserts: a delete
-                # must OUTRANK the stored row to remove the key
+                # stored rows re-enter arbitration as upserts; stored
+                # TOMBSTONES re-enter as deletes — a late old row must
+                # outrank the tombstone to resurrect the key (it can't,
+                # by definition of "late")
                 target = target.withColumn(op_col, F.lit("upsert"))
+                prev_tomb_dir = os.path.join(prev, "_tombstones")
+                if os.path.isdir(prev_tomb_dir):
+                    target = target.unionByName(
+                        spark.read.parquet(prev_tomb_dir)
+                        .select(*cols)
+                        .withColumn(op_col, F.lit("delete"))
+                    )
             dkeys = F.broadcast(delta.select(*keys).distinct())
             kept = target.join(dkeys, keys, "left_anti")
             contested = target.join(dkeys, keys, "left_semi")
@@ -270,9 +295,20 @@ def stream_merge_to_parquet(
                 .drop("_rn")
             )
             if op_col is not None:
-                winners = winners.where(~is_del)
-            merged = kept.select(*cols).unionByName(winners.select(*cols))
+                survivors = kept.unionByName(winners)
+                merged = survivors.where(~is_del).select(*cols)
+                tombs = survivors.where(is_del).select(*cols)
+            else:
+                merged = kept.select(*cols).unionByName(winners.select(*cols))
         merged.write.mode("overwrite").parquet(ver_dir)
+        if tombs is not None:
+            # retained tombstones ride INSIDE the version dir (written
+            # after the snapshot overwrite wiped it; underscore prefix
+            # keeps them invisible to snapshot readers) so vacuum and
+            # replay-overwrite handle them with the version they bound
+            tombs.write.mode("overwrite").parquet(
+                os.path.join(ver_dir, "_tombstones")
+            )
         # publish AFTER the snapshot is fully on disk — the atomic
         # rename is the commit point; readers resolving through the
         # manifest can never observe the in-progress write above

@@ -373,3 +373,35 @@ def test_split_cut_literals_match_decimal_accumulation(spark):
     assert counts["train"] == sum(int(0.8 * m) for m in (334, 333, 333))
     hs = hash_split(df, "id", fr)
     assert hs.where(F.col("split").isNull()).count() == 0
+
+
+def test_stream_merge_tombstone_blocks_late_resurrection(spark, tmp_path):
+    """A late OLDER row arriving in a batch after its key's delete must
+    NOT resurrect the key: winning tombstones are retained and re-enter
+    arbitration (the Cassandra/Delta tombstone-retention semantics)."""
+    from sparkflow_spark.streaming.sinks import read_snapshot, stream_merge_to_parquet
+
+    out = str(tmp_path / "table")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [("k1", 1, 1, "upsert"), ("k1", 0, 100, "delete"), ("k2", 2, 1, "upsert")],
+        "k string, v int, seq int, _op string",
+    ).write.mode("overwrite").json(b)
+    sdf = spark.readStream.schema("k string, v int, seq int, _op string").json(b)
+    stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
+    # late batch: an OLD k1 row (seq=50 < tombstone's 100)
+    spark.createDataFrame(
+        [("k1", 7, 50, "upsert")], "k string, v int, seq int, _op string"
+    ).write.mode("append").json(b)
+    sdf = spark.readStream.schema("k string, v int, seq int, _op string").json(b)
+    stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
+    got = {r.k: r.v for r in read_snapshot(spark, out).collect()}
+    assert got == {"k2": 2}, got
+    # but a genuinely NEWER row outranks the tombstone and re-creates
+    spark.createDataFrame(
+        [("k1", 9, 200, "upsert")], "k string, v int, seq int, _op string"
+    ).write.mode("append").json(b)
+    sdf = spark.readStream.schema("k string, v int, seq int, _op string").json(b)
+    stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
+    got = {r.k: r.v for r in read_snapshot(spark, out).collect()}
+    assert got == {"k1": 9, "k2": 2}, got
