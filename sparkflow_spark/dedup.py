@@ -1357,14 +1357,26 @@ def prefix_filter_jaccard_pairs(
     * verification reads each doc's (deduplicated) shingle set ONCE as
       an array — intersection size is a per-row hash-set op, not a
       candidate × shingle row explosion.
+
+    Shingles are 64-bit hashes (round-8, shingle_hashes_from_tokens):
+    the prefix index, the df table, and above all the per-doc VERIFY
+    arrays hold 8-byte longs instead of ~25-byte strings — the ×64
+    probe was GC-bound on a 32 GiB heap purely from string-array churn
+    in the array_intersect verify. Same collision trade as the capped
+    kernel (~n²/2⁶⁴ per doc pair, results identical unless two distinct
+    shingles of the SAME pair collide); the canonical order becomes
+    (df, hash) instead of (df, text) — any global total order satisfies
+    the prefix theorem. The per-doc array is array_distinct by
+    construction, so the former explode+distinct shuffle is gone too.
     """
-    toks = with_tokens(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
-    sh = (
-        toks.select(
-            "_id",
-            F.explode(shingles_from_tokens("_toks", k=shingle_k)).alias("sh"),
-        )
-        .distinct()
+    docs = df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = docs.select(
+        "_id",
+        F.explode(
+            shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k)
+        ).alias("sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))

@@ -120,13 +120,15 @@ def test_lsh_query_dedupes_duplicated_sigs(spark, tmp_path):
 def test_no_driver_collect_in_registered_query_modules():
     """r6 verdict: no `.collect()` in any registered query's return
     path — the CDC snapshot wrapper now re-writes via a distributed
-    parquet write under the warehouse dir. Sole exceptions: the two
+    parquet write under the warehouse dir. Sole exceptions: the
     probe-bounded index-lookup wrappers (IVF / LSH query results are
-    |probes|-bounded, not data-scaled)."""
+    |probes|-bounded, not data-scaled) — dedup_suite carries TWO since
+    round 8 (the xxhash64 and md5 LSH index lifecycles, both probing
+    20 docs)."""
     import pathlib
 
     qdir = pathlib.Path(__file__).resolve().parent.parent / "sparkflow_spark" / "queries"
-    allowed = {"dedup_suite.py": 1, "similarity_suite.py": 1}
+    allowed = {"dedup_suite.py": 2, "similarity_suite.py": 1}
     for f in sorted(qdir.glob("*.py")):
         hits = [
             i + 1
