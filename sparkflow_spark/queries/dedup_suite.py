@@ -648,6 +648,85 @@ def d_lsh_index_md5(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "d_lsh_takedown_md5_query",
+    # The TAKEDOWN lifecycle under cross-engine check: build(md5 family
+    # over the full corpus) -> delete_from_lsh_index(doc_id % 5 == 0)
+    # -> query. The oracle replays signatures/banding/candidates from
+    # scratch over the corpus MINUS the deleted ids — green means the
+    # tombstone filter is exactly equivalent to never having indexed
+    # the removed docs (the GDPR-takedown contract), hash-for-hash.
+    oracle=f"""
+        WITH {_MH_SIG_CTE},
+        probes AS (
+            SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20
+        ),
+        qcand AS (
+            SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS match_id
+            FROM bands p
+            JOIN probes pr ON pr.doc_id = p.doc_id
+            JOIN bands i ON i.band = p.band AND i.bv = p.bv
+                        AND i.doc_id != p.doc_id
+            WHERE i.doc_id % 5 != 0
+        )
+        SELECT probe_id, match_id,
+               CAST(ROUND(({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))})
+                          / {_MH_K}.0, 3) AS DOUBLE) + 0.0 AS est
+        FROM qcand
+        JOIN sig sa ON sa.doc_id = probe_id
+        JOIN sig sb ON sb.doc_id = match_id
+        WHERE ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_K))}) / {_MH_K}.0 >= 0.5
+        ORDER BY probe_id, match_id
+    """,
+    tags=("dedup", "lsh", "index", "takedown"),
+    memo=False,  # builds a temp on-disk index per call
+)
+def d_lsh_takedown_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Takedown equivalence on the persistent LSH index: after
+    delete_from_lsh_index tombstones every doc_id divisible by 5, the
+    query path must behave EXACTLY as if those docs were never indexed
+    — checked against a from-scratch DuckDB replay over the surviving
+    corpus. (Probes may themselves be tombstoned docs — a removed
+    document can still be used as a QUERY; it just can't be returned.)
+    """
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.lsh_index import (
+        build_lsh_index,
+        delete_from_lsh_index,
+        query_lsh_index,
+    )
+
+    t = Tables(spark, sf)
+    docs = t.documents.select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lsh_takedown_")
+    try:
+        build_lsh_index(
+            docs, work, num_hashes=_MH_K, bands=_MH_BANDS, shingle_k=3,
+            hash_family="md5",
+        )
+        delete_from_lsh_index(
+            spark, work, docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+        )
+        probes = docs.orderBy("doc_id").limit(20)
+        out = query_lsh_index(spark, work, probes, min_est_jaccard=0.5).select(
+            "probe_id",
+            "match_id",
+            (F.round(F.col("est_jaccard"), 3).cast("double") + F.lit(0.0)).alias("est"),
+        )
+        rows = out.collect()
+        return (
+            spark.createDataFrame(rows, out.schema).transform(
+                ordered, "probe_id", "match_id"
+            )
+            if rows
+            else spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _simhash_oracle() -> str:
     """Generate the DuckDB twin of d_simhash_md5_sigs from the same
     bit conventions the Spark side uses (j-th bit lives in hex nibble

@@ -1745,6 +1745,105 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q112_histogram_quantile_rollup",
+    # Deterministic MERGEABLE quantile sketch: per-day equi-width
+    # histograms over a FIXED domain (bin counts merge by addition —
+    # the property percentile_approx partials lack across persisted
+    # state), rolled to trailing-7-day p50/p95/p99 by inverse-CDF over
+    # the merged counts. Every step is integer/power-of-two-exact
+    # double math, so unlike the HLL row this sketch is fully
+    # HASH-CHECKED cross-engine, not thresholded. Bin width 128 = 2^19
+    # / 4096 (o_totalprice < 500k fits the domain; the top bin clamps
+    # overflow); quantile estimate = the covering bin's upper edge, so
+    # |est - exact| <= 128 by construction (pinned by t1).
+    oracle="""
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) d, o_totalprice v FROM orders
+        ),
+        hist AS (
+            SELECT d, LEAST(CAST(FLOOR(v / 128.0) AS INT), 4095) AS b,
+                   COUNT(*) AS c
+            FROM o GROUP BY 1, 2
+        ),
+        fan AS (
+            SELECT d + CAST(x AS INTEGER) AS day, b, c
+            FROM hist, range(7) t(x)
+        ),
+        m AS (SELECT day, b, CAST(SUM(c) AS BIGINT) AS c FROM fan GROUP BY 1, 2),
+        cum AS (
+            SELECT day, b, c,
+                   SUM(c) OVER (PARTITION BY day ORDER BY b) AS cc,
+                   SUM(c) OVER (PARTITION BY day) AS n
+            FROM m
+        ),
+        q AS (
+            SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(CASE WHEN cc >= 0.50 * n THEN b END) AS b50,
+                   MIN(CASE WHEN cc >= 0.95 * n THEN b END) AS b95,
+                   MIN(CASE WHEN cc >= 0.99 * n THEN b END) AS b99
+            FROM cum GROUP BY day
+        )
+        SELECT day, n,
+               CAST((b50 + 1) * 128.0 AS DOUBLE) + 0.0 AS p50,
+               CAST((b95 + 1) * 128.0 AS DOUBLE) + 0.0 AS p95,
+               CAST((b99 + 1) * 128.0 AS DOUBLE) + 0.0 AS p99
+        FROM q ORDER BY day
+    """,
+    tags=("relational", "sketch", "incremental"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-window quantiles from PERSISTED-MERGEABLE per-day
+    histograms — the quantile sibling of q111's HLL rollup. At 100 TB
+    the daily histogram table (days x <=4096 small rows) is the
+    incremental state: a new day costs one partial agg + append, and
+    ANY trailing window's p50/p95/p99 comes from summing bin counts —
+    the order stream is never re-scanned. Merging is LOSSLESS by
+    construction (addition), and the inverse-CDF estimate is exact to
+    one bin width, so the whole pipeline — bin ids, merged counts,
+    quantile edges — hash-matches a cross-engine replay."""
+    t = Tables(spark, sf)
+    w_bin = 128.0  # 2^19 / 4096 — exact in binary, so both engines bin identically
+    o = t.orders.select(
+        F.to_date("o_orderdate").alias("d"), F.col("o_totalprice").alias("v")
+    )
+    hist = o.groupBy(
+        "d",
+        F.least(F.floor(F.col("v") / F.lit(w_bin)).cast("int"), F.lit(4095)).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    fan = hist.select(
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("day"), "b", "c"
+    )
+    m = fan.groupBy("day", "b").agg(F.sum("c").alias("c"))
+    cum = m.select(
+        "day",
+        "b",
+        F.sum("c").over(Window.partitionBy("day").orderBy("b")).alias("cc"),
+        F.sum("c").over(Window.partitionBy("day")).alias("n"),
+    )
+
+    def qb(frac):
+        return F.min(F.when(F.col("cc") >= F.lit(frac) * F.col("n"), F.col("b")))
+
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max("n").alias("n"),
+            qb(0.50).alias("b50"),
+            qb(0.95).alias("b95"),
+            qb(0.99).alias("b99"),
+        )
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            (((F.col("b50") + 1) * F.lit(w_bin)).cast("double") + F.lit(0.0)).alias("p50"),
+            (((F.col("b95") + 1) * F.lit(w_bin)).cast("double") + F.lit(0.0)).alias("p95"),
+            (((F.col("b99") + 1) * F.lit(w_bin)).cast("double") + F.lit(0.0)).alias("p99"),
+        )
+        .transform(ordered, "day")
+    )
+
+
+@register(
     "q111_hll_rolling_distinct",
     oracle="""
         WITH ev AS (SELECT CAST(ts AS DATE) d, user_id FROM events),

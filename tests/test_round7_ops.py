@@ -122,13 +122,13 @@ def test_no_driver_collect_in_registered_query_modules():
     path — the CDC snapshot wrapper now re-writes via a distributed
     parquet write under the warehouse dir. Sole exceptions: the
     probe-bounded index-lookup wrappers (IVF / LSH query results are
-    |probes|-bounded, not data-scaled) — dedup_suite carries TWO since
-    round 8 (the xxhash64 and md5 LSH index lifecycles, both probing
-    20 docs)."""
+    |probes|-bounded, not data-scaled) — dedup_suite carries THREE
+    since round 8 (the xxhash64 / md5 / takedown-md5 LSH index
+    lifecycles, each probing 20 docs)."""
     import pathlib
 
     qdir = pathlib.Path(__file__).resolve().parent.parent / "sparkflow_spark" / "queries"
-    allowed = {"dedup_suite.py": 2, "similarity_suite.py": 1}
+    allowed = {"dedup_suite.py": 3, "similarity_suite.py": 1}
     for f in sorted(qdir.glob("*.py")):
         hits = [
             i + 1

@@ -405,3 +405,33 @@ def test_stream_merge_tombstone_blocks_late_resurrection(spark, tmp_path):
     stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
     got = {r.k: r.v for r in read_snapshot(spark, out).collect()}
     assert got == {"k1": 9, "k2": 2}, got
+
+
+def test_q112_quantile_sketch_error_bound(spark, sf_dir):
+    """The histogram-sketch quantile is the covering bin's UPPER edge:
+    0 < est - exact_rank_quantile <= bin_width (128) for every day and
+    every q — the deterministic accuracy contract of the mergeable
+    sketch."""
+    import math
+
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    out = {r.day: r for r in reg["q112_histogram_quantile_rollup"].fn(spark, sf_dir).collect()}
+    t = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("d"), F.col("o_totalprice").alias("v")
+    )
+    fan = t.select(
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("day"), "v"
+    ).collect()
+    by_day = {}
+    for r in fan:
+        by_day.setdefault(r.day, []).append(r.v)
+    for day, vals in by_day.items():
+        vals.sort()
+        n = len(vals)
+        row = out[day]
+        assert row.n == n
+        for q, est in ((0.50, row.p50), (0.95, row.p95), (0.99, row.p99)):
+            exact = vals[max(0, math.ceil(q * n) - 1)]
+            assert 0 < est - exact <= 128.0, (day, q, est, exact)
