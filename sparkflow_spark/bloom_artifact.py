@@ -148,3 +148,35 @@ def ensure_bloom(
     bloom = build_bloom_filter(corpus_keys, on, n_bits=n_bits, k=k)
     save_bloom(path, bloom, on=on, k=k, corpus_version=corpus_version)
     return load_bloom(path)
+
+
+def append_to_bloom(
+    spark: SparkSession,
+    new_keys: DataFrame,
+    path: str,
+) -> int:
+    """Incremental bloom maintenance: OR the NEW keys' bits into the
+    latest committed bitmap and commit the union as the next version —
+    O(delta) scan instead of the full corpus rescan ``ensure_bloom``'s
+    rebuild pays. Exact for corpus APPENDS (bloom union == bloom of the
+    union; bits only turn on), which is the only mutation a bloom can
+    absorb — deletions need a rebuild (bits cannot turn off). Returns
+    the new version."""
+    import numpy as np
+
+    from sparkflow_spark.operators import build_bloom_filter
+
+    bloom, meta = load_bloom(path)
+    delta = build_bloom_filter(
+        new_keys, meta["on"], n_bits=meta["n_bits"], k=meta["k"]
+    )
+    merged = (
+        np.frombuffer(bloom, dtype=np.uint8) | np.frombuffer(delta, dtype=np.uint8)
+    ).tobytes()
+    return save_bloom(
+        path,
+        merged,
+        on=meta["on"],
+        k=meta["k"],
+        corpus_version=f"{meta.get('corpus_version')}+delta",
+    )

@@ -659,3 +659,50 @@ def release_writer_lease(path: str, token: str) -> None:
 
 class WriterConflict(RuntimeError):
     """A second writer attempted to acquire a live lease."""
+
+
+def vacuum_tombstones(spark, path: str, low_watermark) -> int:
+    """Retention GC for the CDC delete tombstones a stream_merge table
+    retains (see stream_merge_to_parquet's op_col contract): rewrite
+    the LATEST committed snapshot's ``_tombstones/`` without rows whose
+    ``order_col`` value is below ``low_watermark``, swap it in via two
+    renames, and return the number dropped.
+
+    The trade is the standard one (Cassandra gc_grace / Delta
+    tombstone retention): a tombstone may be dropped only once no
+    delta OLDER than it can still arrive — ``low_watermark`` is the
+    caller's promise about maximum event lateness. A late row older
+    than a VACUUMED tombstone resurrects its key (pinned by test);
+    choose the watermark accordingly. Only the committed head is
+    rewritten — older versions are already immutable history and their
+    tombstones age out with vacuum_versions.
+    """
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = _json.load(f)
+    order_col = meta.get("order_col")
+    if not order_col:
+        raise ValueError(
+            "tombstone retention applies only to order_col tables "
+            "(plain-upsert deletes retain nothing)"
+        )
+    committed = _read_manifest(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    tomb_dir = os.path.join(path, f"v={committed}", "_tombstones")
+    if not os.path.isdir(tomb_dir):
+        return 0
+    t = spark.read.parquet(tomb_dir)
+    keep = t.where(F.col(order_col) >= F.lit(low_watermark))
+    dropped = t.count() - keep.count()
+    if dropped == 0:
+        return 0
+    tmp, old = tomb_dir + "__vacuum", tomb_dir + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    keep.write.mode("overwrite").parquet(tmp)
+    os.rename(tomb_dir, old)
+    os.rename(tmp, tomb_dir)
+    shutil.rmtree(old)
+    return dropped

@@ -435,3 +435,57 @@ def test_q112_quantile_sketch_error_bound(spark, sf_dir):
         for q, est in ((0.50, row.p50), (0.95, row.p95), (0.99, row.p99)):
             exact = vals[max(0, math.ceil(q * n) - 1)]
             assert 0 < est - exact <= 128.0, (day, q, est, exact)
+
+
+def test_bloom_append_is_union(spark, tmp_path):
+    """append_to_bloom == rebuild over the unioned corpus, bit for bit
+    (bloom bitmaps OR losslessly for appends)."""
+    from sparkflow_spark.bloom_artifact import append_to_bloom, ensure_bloom, load_bloom
+    from sparkflow_spark.operators import build_bloom_filter
+
+    path = str(tmp_path / "b")
+    old = [(f"o{i}",) for i in range(200)]
+    new = [(f"n{i}",) for i in range(100)]
+    ensure_bloom(spark, spark.createDataFrame(old, "user_id string"), path,
+                 "user_id", n_bits=1 << 13, k=4)
+    v = append_to_bloom(spark, spark.createDataFrame(new, "user_id string"), path)
+    assert v == 1
+    merged, _ = load_bloom(path)
+    full = build_bloom_filter(
+        spark.createDataFrame(old + new, "user_id string"), "user_id",
+        n_bits=1 << 13, k=4)
+    assert merged == full
+
+
+def test_vacuum_tombstones_watermark_contract(spark, tmp_path):
+    """Tombstones at or above the watermark survive (late data still
+    blocked); below-watermark tombstones are dropped — and a late row
+    older than a VACUUMED tombstone resurrects its key, the documented
+    retention trade."""
+    from sparkflow_spark.streaming.sinks import (
+        read_snapshot,
+        stream_merge_to_parquet,
+        vacuum_tombstones,
+    )
+
+    out = str(tmp_path / "t")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [("k1", 1, 100, "delete"), ("k2", 2, 900, "delete"), ("k3", 3, 500, "upsert")],
+        "k string, v int, seq int, _op string",
+    ).write.mode("overwrite").json(b)
+    sdf = spark.readStream.schema("k string, v int, seq int, _op string").json(b)
+    stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
+    # watermark 800: k1's tombstone (seq=100) drops, k2's (seq=900) survives
+    assert vacuum_tombstones(spark, out, 800) == 1
+    assert vacuum_tombstones(spark, out, 800) == 0  # idempotent
+    spark.createDataFrame(
+        [("k1", 7, 50, "upsert"), ("k2", 8, 850, "upsert")],
+        "k string, v int, seq int, _op string",
+    ).write.mode("append").json(b)
+    sdf = spark.readStream.schema("k string, v int, seq int, _op string").json(b)
+    stream_merge_to_parquet(sdf, out, keys=["k"], order_col="seq", op_col="_op")
+    got = {r.k: r.v for r in read_snapshot(spark, out).collect()}
+    # k1 resurrected (its tombstone was vacuumed; the late row is older
+    # than it was) — the documented trade; k2 still blocked (seq 850 < 900)
+    assert got == {"k1": 7, "k3": 3}, got
