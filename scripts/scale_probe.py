@@ -171,6 +171,13 @@ PROBES = [
     # round-7g addition: the sketch table is days-sized; rolling union
     # cost scales with |days|, not events — expect near-flat.
     "q111_hll_rolling_distinct",
+    # round-8 additions: the histogram-quantile rollup shares q111's
+    # days-sized-state shape (one orders pass → days×bins table;
+    # expect near-flat); the md5 LSH index lifecycle scales with the
+    # corpus signing pass (build+append are O(corpus) md5 work, query
+    # is probe-bounded) — expect linear-at-worst, falling per-row.
+    "q112_histogram_quantile_rollup",
+    "d_lsh_index_md5_query",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
