@@ -1844,6 +1844,101 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q113_histogram_drift_tv",
+    # Day-over-day distribution DRIFT from the same persisted per-day
+    # histograms as q112 — the monitor a training-data pipeline runs
+    # before a source poisons a mixture. Total-variation distance
+    # instead of PSI: TV = sum|c1_i*N2 - c2_i*N1| / (2*N1*N2) stays in
+    # EXACT integer arithmetic until one final division (PSI's logs
+    # are engine-rounded transcendentals — a hash-check landmine), so
+    # the whole pipeline is hash-checked, not thresholded.
+    oracle="""
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) d, o_totalprice v FROM orders
+        ),
+        hist AS (
+            SELECT d, LEAST(CAST(FLOOR(v / 128.0) AS INT), 4095) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM o GROUP BY 1, 2
+        ),
+        tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY d),
+        pairs AS (
+            SELECT a.d AS day, a.b,
+                   a.c AS ca, COALESCE(h2.c, 0) AS cb
+            FROM hist a
+            LEFT JOIN hist h2 ON h2.d = a.d + 1 AND h2.b = a.b
+            UNION ALL
+            SELECT h2.d - 1 AS day, h2.b, 0 AS ca, h2.c AS cb
+            FROM hist h2
+            LEFT JOIN hist a ON a.d = h2.d - 1 AND a.b = h2.b
+            WHERE a.d IS NULL
+        ),
+        agg AS (
+            SELECT p.day,
+                   CAST(SUM(ABS(p.ca * t2.n - p.cb * t1.n)) AS BIGINT) AS numer,
+                   t1.n AS n1, t2.n AS n2
+            FROM pairs p
+            JOIN tot t1 ON t1.d = p.day
+            JOIN tot t2 ON t2.d = p.day + 1
+            GROUP BY p.day, t1.n, t2.n
+        )
+        SELECT day, n1, n2,
+               CAST(ROUND(numer / (2.0 * n1 * n2), 6) AS DOUBLE) + 0.0 AS tv
+        FROM agg ORDER BY day
+    """,
+    tags=("relational", "sketch", "quality"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day total-variation drift between consecutive days'
+    order-price distributions, computed ON the persisted histogram
+    sketch (q112's state) — at 100 TB the monitor never touches the
+    order stream, only the days x <=4096 counts table. TV in [0, 1] is
+    exact: |c1*N2 - c2*N1| sums are 64-bit-integer-safe at these
+    cardinalities and both engines divide once at the end. Days with
+    no successor day emit nothing; bins present on either side
+    contribute (missing side counts 0)."""
+    t = Tables(spark, sf)
+    w_bin = 128.0
+    o = t.orders.select(
+        F.to_date("o_orderdate").alias("d"), F.col("o_totalprice").alias("v")
+    )
+    hist = o.groupBy(
+        "d",
+        F.least(F.floor(F.col("v") / F.lit(w_bin)).cast("int"), F.lit(4095)).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("d").agg(F.sum("c").alias("n"))
+    a = hist.select(F.col("d").alias("day"), "b", F.col("c").alias("ca"))
+    nxt = hist.select(
+        F.date_sub("d", 1).alias("day"), "b", F.col("c").alias("cb")
+    )
+    pairs = a.join(nxt, ["day", "b"], "full_outer").select(
+        "day",
+        "b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    t1 = tot.select(F.col("d").alias("day"), F.col("n").alias("n1"))
+    t2 = tot.select(F.date_sub("d", 1).alias("day"), F.col("n").alias("n2"))
+    agg = (
+        pairs.join(t1, "day")
+        .join(t2, "day")
+        .groupBy("day", "n1", "n2")
+        .agg(F.sum(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))).alias("numer"))
+    )
+    return agg.select(
+        "day",
+        "n1",
+        "n2",
+        (
+            F.round(F.col("numer") / (F.lit(2.0) * F.col("n1") * F.col("n2")), 6).cast(
+                "double"
+            )
+            + F.lit(0.0)
+        ).alias("tv"),
+    ).transform(ordered, "day")
+
+
+@register(
     "q111_hll_rolling_distinct",
     oracle="""
         WITH ev AS (SELECT CAST(ts AS DATE) d, user_id FROM events),
