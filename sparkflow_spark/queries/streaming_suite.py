@@ -290,6 +290,63 @@ def st_cdc_delete(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "st_sketch_maintenance",
+    # The q112/q113 story closed end-to-end: the per-day histogram
+    # sketch table MAINTAINED BY THE STREAM (additive merge per
+    # micro-batch, maxFilesPerTrigger=1 so several real merges happen)
+    # must equal the one-shot batch aggregate — whatever the batch
+    # split, because v=N is a pure function of v=N-1 and batch N and
+    # addition is associative/commutative.
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               LEAST(CAST(FLOOR(value / 8.0) AS INT), 511) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2 ORDER BY day, bin
+    """,
+    tags=("streaming", "sketch", "sink"),
+    memo=False,  # runs a full streaming job + filesystem sink per call
+)
+def st_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming maintenance of the additive histogram sketch
+    (streaming/sinks.stream_additive_merge_to_parquet): events stream
+    in file-sized micro-batches, each batch's (day, bin) partial
+    counts ADD into the committed snapshot, and the final table is
+    hash-checked against the batch GROUP BY. This is how the q112
+    quantile and q113 drift state stays current at 100 TB: per batch,
+    one map-side partial agg + a key-space-sized outer join — the
+    event stream is aggregated once, never re-scanned."""
+    import shutil
+    import tempfile
+
+    from sparkflow_spark.catalog import warehouse_subdir
+    from sparkflow_spark.streaming.sinks import stream_additive_merge_to_parquet
+    from sparkflow_spark.streaming.windows import stream_events
+
+    sdf = stream_events(
+        spark, sf, watermark=None, state_partitions=None, max_files_per_trigger=1
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.least(F.floor(F.col("value") / F.lit(8.0)).cast("int"), F.lit(511)).alias(
+            "bin"
+        ),
+        F.lit(1).alias("c"),
+    )
+    work = tempfile.mkdtemp(prefix="sketch_sink_")
+    try:
+        final_dir = stream_additive_merge_to_parquet(
+            sdf, work, keys=["day", "bin"], count_cols=["c"]
+        )
+        out = spark.read.parquet(final_dir).select(
+            "day", "bin", F.col("c").cast("bigint").alias("c")
+        )
+        dest = warehouse_subdir(spark, "st_sketch_maintenance", key=sf)
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest).transform(ordered, "day", "bin")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "st_windowed_topk",
     oracle="""
         WITH wc AS (

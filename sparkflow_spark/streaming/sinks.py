@@ -706,3 +706,85 @@ def vacuum_tombstones(spark, path: str, low_watermark) -> int:
     os.rename(tmp, tomb_dir)
     shutil.rmtree(old)
     return dropped
+
+
+def stream_additive_merge_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    keys: list[str],
+    count_cols: list[str],
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Streaming maintenance for ADDITIVE sketch state (the per-day
+    histogram / daily-counts tables the q112/q113 rollups read): each
+    micro-batch's per-key partial sums ADD into the previous snapshot
+    — the merge is ``new = old + delta`` per key, not last-write-wins,
+    which is why stream_merge_to_parquet's arbitration cannot express
+    it. Additivity is what makes the state mergeable at all (histogram
+    bins, counts, sums — anything a partial agg emits).
+
+    Same versioned layout + atomic ``_LATEST`` manifest as
+    stream_merge_to_parquet (readers never see a torn snapshot), and
+    the same replay determinism: v=N is a pure function of v=N-1 and
+    batch N, so a replayed batch overwrites v=N with identical
+    contents instead of double-adding — THE failure mode an additive
+    sink must rule out. Scale shape: the delta aggregates map-side to
+    |touched keys| rows; the snapshot outer-joins it on the keys (the
+    sketch table is key-space-sized — days×bins — not event-sized).
+
+    Returns the final committed version dir.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(path, "_checkpoint")
+    os.makedirs(path, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        _json.dump({"keys": list(keys), "count_cols": list(count_cols)}, f)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in count_cols]
+        )
+        m = _read_manifest(path)
+        prev = None
+        if m is not None and m < batch_id:
+            cand = os.path.join(path, f"v={m}")
+            if os.path.isdir(cand):
+                prev = cand
+        if prev is None:
+            for i in range(batch_id - 1, -1, -1):
+                cand = os.path.join(path, f"v={i}")
+                if os.path.isdir(cand):
+                    prev = cand
+                    break
+        if prev is None:
+            merged = delta
+        else:
+            old = spark.read.parquet(prev)
+            o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in count_cols])
+            d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in count_cols])
+            merged = o.join(d, keys, "full_outer").select(
+                *keys,
+                *[
+                    (
+                        F.coalesce(F.col(f"_o_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in count_cols
+                ],
+            )
+        ver_dir = os.path.join(path, f"v={batch_id}")
+        merged.write.mode("overwrite").parquet(ver_dir)
+        _commit_manifest(path, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return latest_version(path)

@@ -489,3 +489,37 @@ def test_vacuum_tombstones_watermark_contract(spark, tmp_path):
     # k1 resurrected (its tombstone was vacuumed; the late row is older
     # than it was) — the documented trade; k2 still blocked (seq 850 < 900)
     assert got == {"k1": 7, "k3": 3}, got
+
+
+def test_stream_additive_merge_equals_batch_agg(spark, tmp_path):
+    """The streaming-maintained sketch table == one batch aggregate of
+    everything, whatever the micro-batch split — additive merge done
+    right (and a second incremental run keeps the invariant)."""
+    from sparkflow_spark.streaming.sinks import (
+        read_snapshot,
+        stream_additive_merge_to_parquet,
+    )
+
+    out = str(tmp_path / "sketch")
+    b = str(tmp_path / "b")
+    rows1 = [("d1", 0, 3), ("d1", 1, 2), ("d2", 0, 5)]
+    rows2 = [("d1", 0, 4), ("d2", 7, 1), ("d3", 0, 9)]
+    spark.createDataFrame(rows1, "day string, bin int, c long").write.mode(
+        "overwrite"
+    ).json(b)
+    sdf = spark.readStream.schema("day string, bin int, c long").option(
+        "maxFilesPerTrigger", 1
+    ).json(b)
+    stream_additive_merge_to_parquet(sdf, out, keys=["day", "bin"], count_cols=["c"])
+    spark.createDataFrame(rows2, "day string, bin int, c long").write.mode(
+        "append"
+    ).json(b)
+    sdf = spark.readStream.schema("day string, bin int, c long").option(
+        "maxFilesPerTrigger", 1
+    ).json(b)
+    stream_additive_merge_to_parquet(sdf, out, keys=["day", "bin"], count_cols=["c"])
+    got = {(r.day, r.bin): r.c for r in read_snapshot(spark, out).collect()}
+    want = {}
+    for d, bn, c in rows1 + rows2:
+        want[(d, bn)] = want.get((d, bn), 0) + c
+    assert got == want, (got, want)
