@@ -7,7 +7,10 @@
 3. the vector index absorbs new embeddings against FROZEN centroids;
 4. QUERIES: near-dup candidates for a probe batch + top-k vector
    neighbors, both from the persisted state;
-5. drift monitoring: IVF cell occupancy.
+5. drift monitoring: IVF cell occupancy;
+6. TAKEDOWN: tombstone doc/vector ids (O(delta) append — queries
+   exclude them immediately), then compact/vacuum to remove the rows
+   physically and clear the tombstones.
 
 The operating model: indexing work is O(new data) per increment, no
 maintenance ever touches previously-indexed rows, and queries prune by
@@ -25,14 +28,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 from sparkflow_spark.catalog import Tables
-from sparkflow_spark.lsh_index import build_lsh_index, query_lsh_index
+from sparkflow_spark.lsh_index import (
+    build_lsh_index,
+    compact_lsh_index,
+    delete_from_lsh_index,
+    query_lsh_index,
+)
 from sparkflow_spark.session import build_session
 from sparkflow_spark.streaming.sinks import stream_append_to_lsh_index
 from sparkflow_spark.vector_index import (
     append_to_ivf_index,
     build_ivf_index,
     cell_occupancy,
+    delete_from_ivf_index,
     query_ivf_index,
+    vacuum_ivf_index,
 )
 
 
@@ -79,6 +89,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         # 5) drift monitor
         occ = cell_occupancy(spark, ivf_path).orderBy("cell").collect()
         print("IVF cell occupancy:", {r["cell"]: r["n"] for r in occ})
+
+        # 6) takedown: remove two docs and two vectors. The tombstone
+        # append is O(delta); queries exclude the ids immediately, and
+        # compaction/vacuum makes the removal physical (equivalent to
+        # never having indexed them — hash-checked by the registry's
+        # d_lsh_takedown_md5_query).
+        victims = [r["match_id"] for r in dups.limit(2).collect()]
+        if victims:
+            delete_from_lsh_index(
+                spark, lsh_path, spark.createDataFrame([(v,) for v in victims], "doc_id long")
+            )
+            after = query_lsh_index(spark, lsh_path, probes, min_est_jaccard=0.5)
+            print(f"after takedown of {victims}: {after.count()} candidates")
+            stats = compact_lsh_index(spark, lsh_path)
+            print("compaction folded tombstones:", stats.get("tombstoned_ids", 0))
+        vec_victims = [r["id"] for r in nn.limit(2).collect()]
+        delete_from_ivf_index(
+            spark, ivf_path, spark.createDataFrame([(v,) for v in vec_victims], "vec_id long")
+        )
+        print("vacuumed vectors:", vacuum_ivf_index(spark, ivf_path))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
