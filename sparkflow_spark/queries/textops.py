@@ -261,6 +261,65 @@ def p_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "p_temperature_mixture",
+    # Temperature-flattened mixture (the tau=0.5 source-rebalancing
+    # step of multilingual / LLM pretraining: quota ~ n^tau boosts
+    # small sources relative to big ones). Cross-engine determinism by
+    # construction: sqrt is IEEE-correctly-rounded (identical in every
+    # engine), the *3.0 multiply is a single exact-rounded double op, floor is exact, and
+    # there is NO cross-source normalizing sum (a float Σ over sources
+    # would be association-ordered — the one step that could flake a
+    # hash compare); selection within a source is the md5 variate with
+    # doc_id tie-break (a total order both engines reproduce).
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+                   ) AS rnk,
+                   CAST(FLOOR(3.0 * SQRT(COUNT(*) OVER (PARTITION BY source)))
+                        AS BIGINT) AS quota
+            FROM documents
+        )
+        SELECT doc_id, source FROM q WHERE rnk <= quota
+        ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "sampling"),
+)
+def p_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened source sampling: keep floor(3*sqrt(n_s))
+    documents per source (multiplier 3 so the quota BINDS at every
+    fixture scale — a vacuous cap checks nothing) — quotas grow with
+    the SQUARE ROOT of source
+    size, so a 100x bigger crawl gets only 10x the slots (the tau=0.5
+    flattening that stops one mega-source from dominating a pretraining
+    mixture). Which docs: the md5(doc_id)-ranked head per source —
+    deterministic, engine-independent, stable under re-runs.
+
+    Scale shape: one window partitioned BY SOURCE (count + row_number
+    share the same partitioning — one exchange, embarrassingly parallel
+    across sources); no cross-source coordination at all, which is also
+    what makes it exactly replayable cross-engine."""
+    t = Tables(spark, sf)
+    wsrc = Window.partitionBy("source")
+    worder = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), F.col("doc_id")
+    )
+    return (
+        t.documents.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(worder))
+        .withColumn(
+            "quota",
+            F.floor(F.lit(3.0) * F.sqrt(F.count(F.lit(1)).over(wsrc))).cast("bigint"),
+        )
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select("doc_id", "source")
+        .transform(ordered, "doc_id")
+    )
+
+
+@register(
     "p_pack_sequences",
     oracle="""
         WITH tc AS (
