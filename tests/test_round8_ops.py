@@ -523,3 +523,49 @@ def test_stream_additive_merge_equals_batch_agg(spark, tmp_path):
     for d, bn, c in rows1 + rows2:
         want[(d, bn)] = want.get((d, bn), 0) + c
     assert got == want, (got, want)
+
+
+def test_plan_audit_library(spark, sf_dir):
+    """sparkflow_spark.plans: the deploy-time plan guards as a library —
+    clean plans pass, a deliberate cartesian fails with the property
+    named, and rule knobs (pushdown, partial agg, broadcast) bind."""
+    import pytest as _pytest
+
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.plans import PlanAssertionError, assert_scalable, plan_report
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    t = Tables(spark, sf_dir)
+
+    # a representative healthy query passes with tightened rules
+    rep = assert_scalable(
+        reg["q13_hash_agg_tpch_q1"].fn(spark, sf_dir),
+        require_partial_agg=True,
+    )
+    assert rep.n_hash_aggregates >= 2 and not rep.has_cartesian
+
+    # pushdown rule binds on the filter query
+    assert_scalable(
+        reg["q02_filter_and"].fn(spark, sf_dir),
+        require_pushed_filter="GreaterThan(l_quantity",
+    )
+    with _pytest.raises(PlanAssertionError, match="PushedFilters"):
+        assert_scalable(
+            reg["q02_filter_and"].fn(spark, sf_dir),
+            require_pushed_filter="NoSuchFilter(",
+        )
+
+    # a deliberate cross join fails the default guard, named
+    cross = t.region.crossJoin(t.nation)
+    with _pytest.raises(PlanAssertionError, match="Cartesian|NestedLoop"):
+        assert_scalable(cross)
+    # and plan_report still describes it without raising
+    rep = plan_report(cross)
+    assert rep.has_cartesian or rep.has_nested_loop
+
+    # broadcast requirement binds
+    assert_scalable(
+        reg["q05_broadcast_inner_join"].fn(spark, sf_dir),
+        require_broadcast_join=True,
+    )
