@@ -53,6 +53,33 @@ def latest_bloom_version(path: str) -> int | None:
     return _read_latest(path)
 
 
+def file_stats_fingerprint(*paths: str) -> str:
+    """Cheap corpus-generation token from file METADATA only (no data
+    scan): file count + total bytes + latest mtime over the given
+    files/dirs. A regenerated corpus under the same logical name gets a
+    different token, so :func:`ensure_bloom` detects the persisted
+    bitmap as stale and rebuilds instead of silently probing an old
+    bitmap — bloom false negatives (rows wrongly dropped) are the one
+    failure the bloom contract forbids."""
+    n = 0
+    total = 0
+    mtime = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    n += 1
+                    total += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        else:
+            st = os.stat(p)
+            n += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime_ns)
+    return f"{n}:{total}:{mtime}"
+
+
 def save_bloom(
     path: str,
     bloom: bytes,
@@ -60,6 +87,7 @@ def save_bloom(
     on: str,
     k: int,
     corpus_version: str | int | None = None,
+    corpus_fingerprint: str | None = None,
 ) -> int:
     """Persist a bitmap as the next committed version; returns it.
 
@@ -82,6 +110,7 @@ def save_bloom(
         "n_bits": len(bloom) * 8,
         "k": int(k),
         "corpus_version": corpus_version,
+        "corpus_fingerprint": corpus_fingerprint,
     }
     with open(os.path.join(vdir, _META), "w") as f:
         json.dump(meta, f)
@@ -127,12 +156,19 @@ def ensure_bloom(
     n_bits: int = 1 << 23,
     k: int = 5,
     corpus_version: str | int | None = None,
+    corpus_fingerprint: str | None = None,
 ) -> tuple[bytes, dict]:
     """Load the latest committed bitmap, or build-and-save v=0 on
     absence (rebuild-on-absence: the production read path). A loaded
     artifact whose ``on``/``n_bits``/``k`` disagree with the request
     raises — silently probing with mismatched parameters would produce
-    false negatives, which the bloom contract forbids."""
+    false negatives, which the bloom contract forbids.
+
+    ``corpus_fingerprint`` (see :func:`file_stats_fingerprint`) is the
+    staleness check: when given and it differs from the stored one, the
+    corpus was REGENERATED (not appended) under the same path, the old
+    bitmap's no-false-negative promise is void, and the bitmap is
+    rebuilt and committed as the next version — never probed."""
     if _read_latest(path) is not None:
         bloom, meta = load_bloom(path)
         if meta["on"] != on or meta["n_bits"] != int(n_bits) or meta["k"] != int(k):
@@ -142,11 +178,23 @@ def ensure_bloom(
                 f"requested (on={on!r}, n_bits={int(n_bits)}, k={int(k)}) — "
                 "probe parameters must match the build or membership is wrong"
             )
-        return bloom, meta
+        if (
+            corpus_fingerprint is None
+            or meta.get("corpus_fingerprint") == corpus_fingerprint
+        ):
+            return bloom, meta
+        # fall through: stale bitmap — rebuild below as the next version
     from sparkflow_spark.operators import build_bloom_filter
 
     bloom = build_bloom_filter(corpus_keys, on, n_bits=n_bits, k=k)
-    save_bloom(path, bloom, on=on, k=k, corpus_version=corpus_version)
+    save_bloom(
+        path,
+        bloom,
+        on=on,
+        k=k,
+        corpus_version=corpus_version,
+        corpus_fingerprint=corpus_fingerprint,
+    )
     return load_bloom(path)
 
 

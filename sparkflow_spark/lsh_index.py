@@ -182,14 +182,57 @@ def delete_from_lsh_index(spark: SparkSession, path: str, ids: DataFrame) -> Non
     )
 
 
+def _tombstone_data_files(path: str) -> list[str]:
+    """The tombstone table's visible data files right now (hidden
+    ``_``/``.``-prefixed entries and in-flight ``_temporary/`` subdirs
+    excluded). Compaction/vacuum snapshot THIS list so their final
+    cleanup deletes exactly the files whose rows were folded into the
+    rewrite — a delete appended after the snapshot keeps its files and
+    stays live instead of being silently discarded (resurrecting a
+    taken-down doc, the worst failure for a takedown path)."""
+    tpath = os.path.join(path, _TOMBSTONES)
+    if not os.path.isdir(tpath):
+        return []
+    return sorted(
+        os.path.join(tpath, f)
+        for f in os.listdir(tpath)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(tpath, f))
+    )
+
+
+def _clear_tombstone_files(path: str, snapshot_files: list[str]) -> None:
+    """Delete exactly ``snapshot_files`` (plus their checksum siblings),
+    then best-effort remove the directory ONLY if no newer data files
+    landed meanwhile — ``os.rmdir`` refuses a non-empty dir, so a
+    concurrent append can never be swept away."""
+    tpath = os.path.join(path, _TOMBSTONES)
+    for f in snapshot_files:
+        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+        for target in (f, crc):
+            try:
+                os.remove(target)
+            except FileNotFoundError:
+                pass
+    if not _tombstone_data_files(path):
+        for extra in ("_SUCCESS", "._SUCCESS.crc"):
+            try:
+                os.remove(os.path.join(tpath, extra))
+            except FileNotFoundError:
+                pass
+        try:
+            os.rmdir(tpath)
+        except OSError:
+            pass  # a concurrent append landed — its tombstones stay live
+
+
 def _live_tombstones(spark: SparkSession, path: str, id_col: str) -> DataFrame | None:
     """The distinct tombstoned ids, or None when none exist. Takedown
     tables are tiny (human-scale removal requests), so callers
     broadcast the anti-join."""
-    tpath = os.path.join(path, _TOMBSTONES)
-    if not os.path.isdir(tpath):
+    files = _tombstone_data_files(path)
+    if not files:
         return None
-    return spark.read.parquet(tpath).select(id_col).distinct()
+    return spark.read.parquet(*files).select(id_col).distinct()
 
 
 def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> None:
@@ -348,9 +391,15 @@ def compact_lsh_index(
     # in between leaves tombstones in place, and the query-time filter
     # keeps excluding the ids (idempotent re-compaction removes them
     # physically next run).
-    tomb = _live_tombstones(spark, path, p["id_col"])
-    if tomb is not None:
-        tomb = F.broadcast(tomb.localCheckpoint())
+    tomb_files = _tombstone_data_files(path)
+    tomb = None
+    if tomb_files:
+        tomb = F.broadcast(
+            spark.read.parquet(*tomb_files)
+            .select(p["id_col"])
+            .distinct()
+            .localCheckpoint()
+        )
         out["tombstoned_ids"] = tomb.count()
     for sub, banded in (("sigs", False), ("buckets", True)):
         src = os.path.join(path, sub)
@@ -378,9 +427,9 @@ def compact_lsh_index(
         shutil.rmtree(old)
         out[f"{sub}_files_after"] = len(spark.read.parquet(src).inputFiles())
     if tomb is not None:
-        # both swaps committed: the rewritten index no longer holds the
-        # rows, so the tombstones are spent. (tomb was localCheckpointed
-        # above — the anti-joins and this cleanup cannot race the
-        # directory removal.)
-        shutil.rmtree(os.path.join(path, _TOMBSTONES), ignore_errors=True)
+        # both swaps committed: the SNAPSHOTTED tombstone files are
+        # spent — delete only those; a delete_from_lsh_index append that
+        # landed after the snapshot read keeps its files and stays live
+        # for the query-time filter (and the next compaction).
+        _clear_tombstone_files(path, tomb_files)
     return out

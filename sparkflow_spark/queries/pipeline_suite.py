@@ -2428,8 +2428,14 @@ def p_bloom_known(spark: SparkSession, sf: str) -> DataFrame:
     one corpus scan amortizes over every ingest batch), not a per-call
     rebuild; the staleness contract (an old bitmap never produces a
     false negative for keys it covered) is pinned in
-    tests/test_round8_ops.py."""
-    from sparkflow_spark.bloom_artifact import ensure_bloom
+    tests/test_round8_ops.py. The stored artifact is validated against
+    a file-stats fingerprint of the events table, so a REGENERATED
+    fixture under the same sf key rebuilds the bitmap instead of
+    probing a stale one (bloom false negatives = rows wrongly
+    dropped)."""
+    import os as _os
+
+    from sparkflow_spark.bloom_artifact import ensure_bloom, file_stats_fingerprint
     from sparkflow_spark.catalog import warehouse_subdir
     from sparkflow_spark.operators import bloom_ingest_membership
 
@@ -2445,6 +2451,7 @@ def p_bloom_known(spark: SparkSession, sf: str) -> DataFrame:
         n_bits=1 << 20,
         k=5,
         corpus_version=f"{sf}@<2024-01-25",
+        corpus_fingerprint=file_stats_fingerprint(_os.path.join(sf, "events.parquet")),
     )
     known = bloom_ingest_membership(
         spark, corpus_keys, incoming, "user_id", n_bits=1 << 20, k=5, bloom=bloom

@@ -742,6 +742,156 @@ def s_hard_negative_ann_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HN_PROBE = 2  # cells probed per anchor (of _KM_K=4) — a real recall
+# trade at fixture scale, so the oracle checks the PRUNED search, not a
+# disguised exhaustive one.
+
+
+@register(
+    "s_hard_negative_md5_query",
+    # Full IVF-shaped lifecycle replay (the X132 pattern, applied to the
+    # ANN family): DuckDB re-derives the deterministic codebook (the
+    # unrolled k-means CTEs — c3 = the frozen centroids), re-ranks each
+    # anchor's cell distances to pick the same n_probe cells, and
+    # re-scores only those cells' members — so the hash pins the entire
+    # mining pipeline (quantize → probe → label filter → re-rank), not
+    # just the final cosines.
+    oracle="""
+        WITH {km},
+        assign AS (SELECT vec_id, cluster FROM a{final_a}),
+        cdist AS (
+            SELECT e.vec_id AS anchor_id, c.j,
+                   list_sum(list_transform(range(1, {dims} + 1), i ->
+                       (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d
+            FROM embeddings e CROSS JOIN c{final_c} c
+            WHERE e.embedding IS NOT NULL),
+        probed AS (
+            SELECT anchor_id, j AS cluster FROM (
+                SELECT anchor_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                          ORDER BY d, j) AS rn
+                FROM cdist) x WHERE rn <= {n_probe}),
+        scored AS (
+            SELECT p.anchor_id, ea.label AS anchor_label,
+                   a.vec_id, eb.label AS neg_label,
+                   {cos} AS cosine
+            FROM probed p
+            JOIN assign a ON a.cluster = p.cluster
+                         AND a.vec_id != p.anchor_id
+            JOIN embeddings ea ON ea.vec_id = p.anchor_id
+            JOIN embeddings eb ON eb.vec_id = a.vec_id
+            WHERE eb.label != ea.label)
+        SELECT anchor_id, anchor_label,
+               vec_id AS hard_neg_id, neg_label,
+               CAST(ROUND(cosine, 6) AS DOUBLE) + 0.0 AS cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY anchor_id
+                  ORDER BY cosine DESC, md5(CAST(vec_id AS VARCHAR))) AS rn
+              FROM scored) t
+        WHERE rn = 1 ORDER BY anchor_id
+    """.format(
+        km=_km_ctes(_KM_K, _KM_ITERS, _KM_DIMS),
+        final_a=_KM_ITERS + 1,
+        final_c=_KM_ITERS,
+        dims=_KM_DIMS,
+        n_probe=_HN_PROBE,
+        cos=_SEM_COS,
+    ),
+    tags=("similarity", "ann", "ivf", "ml"),
+)
+def s_hard_negative_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic t2 twin of s_hard_negative_ann (r8 verdict ask
+    #3): the same IVF-bucketed hard-negative mining shape — quantize the
+    corpus into cells, probe each anchor's n_probe nearest cells, label
+    anti-filter, cosine re-rank — but with EVERY engine-defined artifact
+    replaced by a cross-engine-replayable one, so DuckDB can replay the
+    full lifecycle and the driver hash-checks it:
+
+    - codebook: the deterministic k-means (X85 contract — seeds = k
+      smallest ids, ROUND(mean, 6) centroids, ties to smallest index)
+      instead of build_ivf_index's sampled init;
+    - probe order: (squared distance, cell index) — discrete because
+      the centroids are rounded;
+    - re-rank ties: md5(vec_id) (the X132 md5-family convention).
+
+    Scale shape is the production one: cell assignment is one scan
+    (k·d fold-distances, no shuffle), candidates come from a keyed
+    equi-join on `cell` (never a corpus nested-loop), and per-anchor
+    work is n_probe × cell_size. s_hard_negative_ann remains the
+    operational path (persistent index, derived cell count); this entry
+    pins its semantics hash-for-hash at the fixture's k."""
+    from sparkflow_spark.functions.vector import dot
+
+    t = Tables(spark, sf)
+    emb = t.embeddings.where(F.col("embedding").isNotNull())
+    assign, centroids = similarity.kmeans_fit(
+        emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS
+    )
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    # per-anchor probed cells: rank squared distance to the frozen
+    # centroids, ties to the smaller cell index (array_sort on the
+    # (d, j) struct gives exactly that order)
+    dstructs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            F.array(*[F.lit(float(x)) for x in cj]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cj in enumerate(centroids)
+            ]
+        )
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    anchors = vecs.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("_v").alias("_av"),
+        F.explode(F.slice(dstructs, 1, _HN_PROBE)).alias("_pc"),
+    ).select("anchor_id", "anchor_label", "_av", F.col("_pc.j").alias("cluster"))
+    cand = (
+        anchors.join(assign, "cluster")  # keyed equi-join on the cell
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .join(vecs.select("vec_id", "label", "_v"), "vec_id")
+        .where(F.col("label") != F.col("anchor_label"))
+        .withColumn(
+            "cosine", dot("_av", "_v") / (norm("_av") * norm("_v"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.md5(F.col("vec_id").cast("string"))
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("hard_neg_id"),
+            F.col("label").alias("neg_label"),
+            (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
+        )
+        .transform(ordered, "anchor_id")
+    )
+
+
 @register(
     "s_mmr_rerank",
     oracle=None,  # greedy sequential selection (per-probe argmax loop) is

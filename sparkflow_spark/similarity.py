@@ -511,6 +511,23 @@ def pq_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """:func:`kmeans_clusters` plus the FINAL (frozen) centroids —
+    for callers that also need the codebook (IVF-style cell probing:
+    s_hard_negative_md5_query ranks each anchor's distance to these
+    centroids to choose which cells to search). Same determinism
+    contract: the returned centroids are the exact ROUND(mean, 6)
+    values the final assignment used, replayable as c{iters} in the
+    unrolled DuckDB oracle."""
+    return _kmeans_impl(df, id_col, vec_col, k, iters)
+
+
 def kmeans_clusters(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -540,6 +557,16 @@ def kmeans_clusters(
     kernel in vector_index._assign_cells; the iteration structure is
     unchanged.
     """
+    return _kmeans_impl(df, id_col, vec_col, k, iters)[0]
+
+
+def _kmeans_impl(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+) -> tuple[DataFrame, list[list[float]]]:
     vecs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -587,7 +614,7 @@ def kmeans_clusters(
             else centroids[j]
             for j in range(k)
         ]
-    return assign(vecs).select(F.col("_id").alias(id_col), "cluster")
+    return assign(vecs).select(F.col("_id").alias(id_col), "cluster"), centroids
 
 
 def semantic_dedup_pairs(

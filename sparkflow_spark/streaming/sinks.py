@@ -613,27 +613,45 @@ def acquire_writer_lease(path: str, ttl_seconds: float = 600.0) -> str:
             f"another writer holds the lease on {path} until "
             f"{held['expires']:.0f} (epoch); retry later or raise ttl"
         )
-    # Stale lease (crashed writer): atomic takeover. Two contenders can
-    # BOTH observe the expired lease and both os.replace their own
-    # payload — rename is atomic but last-writer-wins, so without a
-    # confirmation step both would return believing they hold it (the
-    # exact interleaving the lease exists to prevent). Confirm by
-    # re-reading AFTER the replace: exactly one token survives (the last
-    # replace), every other contender sees a foreign token and raises.
+    # Stale lease (crashed writer): mutual-exclusive takeover. Two
+    # contenders can BOTH observe the expired lease; last-writer-wins
+    # os.replace plus a read-back does NOT exclude them (interleaving
+    # A-replace, A-read-back, B-replace, B-read-back leaves both
+    # believing they won). Exclusion comes from a per-GENERATION claim
+    # file created with O_CREAT|O_EXCL, named by the expired lease's
+    # identity (token+expiry): exactly one contender of this generation
+    # can create it; every other gets FileExistsError and raises. The
+    # winner publishes its lease, then removes the claim — later
+    # acquirers hit the (now live) lease check, never this path.
+    import hashlib as _hashlib
+
+    gen = _hashlib.sha256(
+        f"{held.get('token')}|{held.get('expires')}".encode()
+    ).hexdigest()[:16]
+    claim_path = lease_path + f".takeover.{gen}"
+    try:
+        cfd = os.open(claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # a contender already claimed this generation. If the claimant
+        # crashed before publishing (claim older than the ttl), clear
+        # the wreck and STILL raise — the next acquire then races
+        # through a fresh O_EXCL create, keeping this path exclusive.
+        try:
+            if _time.time() - os.stat(claim_path).st_mtime > ttl_seconds:
+                os.remove(claim_path)
+        except FileNotFoundError:
+            pass
+        raise WriterConflict(
+            f"lost the expired-lease takeover race on {path} — another "
+            "writer claimed this lease generation; retry later"
+        )
+    with os.fdopen(cfd, "w") as f:
+        f.write(payload)
     tmp = lease_path + f".{token}.tmp"
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, lease_path)
-    try:
-        with open(lease_path) as f:
-            winner = _json.load(f)
-    except (ValueError, FileNotFoundError):
-        winner = {}
-    if winner.get("token") != token:
-        raise WriterConflict(
-            f"lost the expired-lease takeover race on {path} — another "
-            "writer's replace landed after ours; retry later"
-        )
+    os.remove(claim_path)
     return token
 
 

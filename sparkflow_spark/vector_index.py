@@ -245,10 +245,12 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids: DataFrame) -> Non
 
 
 def _live_ivf_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    tpath = os.path.join(path, _TOMBSTONES)
-    if not os.path.isdir(tpath):
+    from sparkflow_spark.lsh_index import _tombstone_data_files
+
+    files = _tombstone_data_files(path)
+    if not files:
         return None
-    return spark.read.parquet(tpath).select("id").distinct()
+    return spark.read.parquet(*files).select("id").distinct()
 
 
 def vacuum_ivf_index(spark: SparkSession, path: str) -> int:
@@ -261,10 +263,17 @@ def vacuum_ivf_index(spark: SparkSession, path: str) -> int:
     Returns the number of ids vacuumed."""
     import shutil
 
-    tomb = _live_ivf_tombstones(spark, path)
-    if tomb is None:
+    from sparkflow_spark.lsh_index import _clear_tombstone_files, _tombstone_data_files
+
+    # snapshot the tombstone FILE list up front: the final clear deletes
+    # exactly these files, so a delete_from_ivf_index append landing
+    # mid-vacuum stays live instead of being silently discarded
+    tomb_files = _tombstone_data_files(path)
+    if not tomb_files:
         return 0
-    tomb = F.broadcast(tomb.localCheckpoint())
+    tomb = F.broadcast(
+        spark.read.parquet(*tomb_files).select("id").distinct().localCheckpoint()
+    )
     n = tomb.count()
     src = os.path.join(path, "cells")
     tmp, old = src + "__vacuum", src + "__old"
@@ -275,5 +284,5 @@ def vacuum_ivf_index(spark: SparkSession, path: str) -> int:
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old)
-    shutil.rmtree(os.path.join(path, _TOMBSTONES), ignore_errors=True)
+    _clear_tombstone_files(path, tomb_files)
     return n

@@ -1,0 +1,116 @@
+"""Registry-WIDE physical-plan audit (r8 verdict ask #1).
+
+Every entry in the registry — not just the ~30 shapes test_plans.py
+guards by name — has its physical plan checked against the scale
+rules:
+
+- no CartesianProduct;
+- no BroadcastNestedLoopJoin with an unbounded build side (scalar
+  1-row-aggregate and fixed-limit-panel builds are provably bounded —
+  classified mechanically in plans._unbounded_nested_loops);
+- no planner-introduced (ENSURE_REQUIREMENTS) single-partition
+  Sort/Window — the whole-input-through-one-task shape; explicit
+  ``ordered()`` finals are REPARTITION_BY_NUM and governed by the
+  large-output-tag rule in test_plans.py;
+- partial (map-side) aggregation present wherever a shuffled
+  aggregation exists.
+
+Exceptions live in the EXEMPTIONS ledger below, each naming WHY the
+flagged shape is bounded. The ledger is hygiene-checked both ways: an
+un-exempted violation fails, and an exemption that no longer fires
+fails (so the ledger cannot rot as plans change).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkflow_spark.plans import plan_report
+from sparkflow_spark.queries import load_all
+
+# entry -> {violation_code: why this instance is bounded}
+_GLOBAL_RANK_OFFSETS = (
+    "operators.global_rank offset table: the single-partition window "
+    "runs over ONE ROW PER PARTITION (<= spark.sql.shuffle.partitions "
+    "rows) to turn per-partition counts into rank offsets — the raw "
+    "data itself never passes through one task (that is the entire "
+    "point of the two-phase global rank)"
+)
+EXEMPTIONS: dict[str, dict[str, str]] = {
+    "q12_cross_join": {
+        "cartesian": "the contract IS a cross join: region x region, "
+        "both sides dimension-tiny (5 rows each at every SF)",
+        "bnlj": "same deliberate cross join — planned as BNLJ when one "
+        "side broadcasts",
+    },
+    "d_embedding_near_dup": {
+        "bnlj": "labeled exactness twin (quadratic by contract); "
+        "d_embedding_near_dup_ann is the registered LSH-bucketed scale "
+        "path",
+    },
+    "s_hard_negative_top1": {
+        "bnlj": "labeled exactness twin: every anchor against the "
+        "corpus; s_hard_negative_ann (IVF-bucketed, derived cell "
+        "count) is the registered scale path",
+    },
+    "q108_cumulative_new_users": {
+        "sp_sort": "sort over a days-sized post-aggregation table "
+        "(<= #distinct days rows; documented at relational_ext.py q108)",
+    },
+    "q100_heavy_hitters": {
+        "sp_sort": "window over per-event_type counts — input bounded "
+        "by the event-type enum's cardinality, not the row count",
+    },
+    "q81_customer_deciles": {"sp_sort": _GLOBAL_RANK_OFFSETS},
+    "q102_equiheight_histogram": {"sp_sort": _GLOBAL_RANK_OFFSETS},
+    "p_negative_pairs": {"sp_sort": _GLOBAL_RANK_OFFSETS},
+    "d_sorted_neighborhood_pairs": {"sp_sort": _GLOBAL_RANK_OFFSETS},
+}
+
+_HOT_CONSUMERS = ("Sort", "Window", "WindowGroupLimit")
+
+
+def _violations(rep) -> list[str]:
+    codes = []
+    if rep.has_cartesian:
+        codes.append("cartesian")
+    if rep.n_unbounded_nested_loops:
+        codes.append("bnlj")
+    if any(c in _HOT_CONSUMERS for c in rep.single_partition_consumers):
+        codes.append("sp_sort")
+    if rep.n_hash_aggregates and rep.n_exchanges and not rep.has_partial_agg:
+        codes.append("no_partial_agg")
+    return codes
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    reg = load_all()
+    assert len(reg) >= 240, "registry shrank — audit scope check"
+    failures: list[str] = []
+    errors: list[str] = []
+    fired: set[str] = set()
+    for name in sorted(reg):
+        try:
+            df = reg[name].fn(spark, sf_dir)
+            rep = plan_report(df)
+        except Exception as e:  # an entry that cannot build is a failure
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        ex = EXEMPTIONS.get(name, {})
+        for code in _violations(rep):
+            if code in ex:
+                fired.add(name)
+            else:
+                failures.append(f"{name}: {code}")
+    stale = [n for n in EXEMPTIONS if n in reg and n not in fired]
+    missing = [n for n in EXEMPTIONS if n not in reg]
+    assert not errors, "entries failed to build plans:\n  " + "\n  ".join(errors)
+    assert not failures, (
+        "un-exempted scale violations (add a fix, or a ledger entry "
+        "naming why the shape is bounded):\n  " + "\n  ".join(failures)
+    )
+    assert not stale, (
+        "stale exemptions — the flagged shape no longer occurs; remove "
+        "from the ledger:\n  " + "\n  ".join(stale)
+    )
+    assert not missing, "exemptions for unknown entries: " + ", ".join(missing)

@@ -1,0 +1,148 @@
+"""Round-9 additions: mutual-exclusive lease takeover (per-generation
+claim file), tombstone-safe compaction snapshots, bloom artifact corpus
+fingerprint, and the plan_report node-census fix."""
+
+import json
+import os
+import time
+
+import pytest
+
+# ------------------------------------------------ lease takeover claim
+
+
+def test_expired_lease_takeover_is_mutually_exclusive(tmp_path):
+    """The two-contender interleaving the read-back confirmation could
+    NOT close (A-replace, A-read, B-replace, B-read → both win) is now
+    excluded structurally: only ONE contender can O_CREAT|O_EXCL the
+    per-generation claim file; the other raises BEFORE touching the
+    lease."""
+    from sparkflow_spark.streaming.sinks import (
+        WriterConflict,
+        acquire_writer_lease,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    lease = os.path.join(path, "_WRITER_LEASE")
+    expired = {"token": "dead", "expires": time.time() - 10}
+    with open(lease, "w") as f:
+        json.dump(expired, f)
+
+    # contender A has claimed this generation but not yet published
+    # (simulated mid-takeover state)
+    import hashlib
+
+    gen = hashlib.sha256(
+        f"{expired['token']}|{expired['expires']}".encode()
+    ).hexdigest()[:16]
+    claim = lease + f".takeover.{gen}"
+    with open(claim, "w") as f:
+        f.write("{}")
+
+    # contender B must conflict at the claim, and the expired lease file
+    # must be untouched (A still owns the takeover)
+    with pytest.raises(WriterConflict, match="claimed this lease generation"):
+        acquire_writer_lease(path, ttl_seconds=60)
+    with open(lease) as f:
+        assert json.load(f) == expired
+
+    # A finishes (or crashed long ago): a claim older than the ttl is
+    # cleared by the NEXT contender, which still raises — and the one
+    # after that wins cleanly through a fresh O_EXCL create.
+    old = time.time() - 120
+    os.utime(claim, (old, old))
+    with pytest.raises(WriterConflict):
+        acquire_writer_lease(path, ttl_seconds=60)
+    assert not os.path.exists(claim)
+    tok = acquire_writer_lease(path, ttl_seconds=60)
+    assert tok
+    # winner cleaned up its claim and published a live lease
+    assert not os.path.exists(claim)
+    with open(lease) as f:
+        assert json.load(f)["token"] == tok
+
+
+# ------------------------------------- tombstone snapshot-safe clearing
+
+
+def test_tombstone_clear_keeps_appends_after_snapshot(spark, tmp_path):
+    """A delete appended AFTER compaction snapshotted the tombstone
+    table must SURVIVE the post-compaction clear — silently discarding
+    it would resurrect a taken-down doc. Simulates the interleaving
+    directly against the snapshot/clear primitives."""
+    from sparkflow_spark.lsh_index import (
+        _clear_tombstone_files,
+        _live_tombstones,
+        _tombstone_data_files,
+        build_lsh_index,
+        delete_from_lsh_index,
+    )
+
+    rows = [
+        (i, f"the quick brown fox {i % 4} jumps over the lazy dog {i % 4} again")
+        for i in range(16)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path, num_hashes=16, bands=4)
+
+    delete_from_lsh_index(spark, path, spark.createDataFrame([(1,)], "doc_id long"))
+    snapshot = _tombstone_data_files(path)
+    assert snapshot
+    # a takedown lands between the compactor's snapshot and its cleanup
+    delete_from_lsh_index(spark, path, spark.createDataFrame([(2,)], "doc_id long"))
+
+    _clear_tombstone_files(path, snapshot)
+    live = _live_tombstones(spark, path, "doc_id")
+    assert live is not None, "the post-snapshot delete was discarded"
+    assert {r.doc_id for r in live.collect()} == {2}
+
+    # clearing the remainder with ITS snapshot empties the table fully
+    _clear_tombstone_files(path, _tombstone_data_files(path))
+    assert _live_tombstones(spark, path, "doc_id") is None
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+
+
+# ------------------------------------------- bloom corpus fingerprint
+
+
+def test_ensure_bloom_rebuilds_on_corpus_fingerprint_change(spark, tmp_path):
+    """A regenerated corpus under the same artifact path must rebuild
+    the bitmap (stale bitmaps → bloom false negatives → rows wrongly
+    dropped), while a matching fingerprint keeps the load-only path."""
+    from sparkflow_spark.bloom_artifact import (
+        ensure_bloom,
+        file_stats_fingerprint,
+        latest_bloom_version,
+    )
+    from sparkflow_spark.operators import build_bloom_filter
+
+    path = str(tmp_path / "bloom")
+    corpus_v1 = spark.createDataFrame([("a",), ("b",)], "user_id string")
+    _, meta = ensure_bloom(
+        spark, corpus_v1, path, "user_id", n_bits=1 << 10, k=3, corpus_fingerprint="fp1"
+    )
+    assert latest_bloom_version(path) == 0 and meta["corpus_fingerprint"] == "fp1"
+
+    # same fingerprint → pure load, no new version
+    ensure_bloom(
+        spark, corpus_v1, path, "user_id", n_bits=1 << 10, k=3, corpus_fingerprint="fp1"
+    )
+    assert latest_bloom_version(path) == 0
+
+    # regenerated corpus (new fingerprint) → rebuild committed as v=1,
+    # and the new bitmap covers the NEW keys exactly
+    corpus_v2 = spark.createDataFrame([("c",), ("d",)], "user_id string")
+    bloom2, meta2 = ensure_bloom(
+        spark, corpus_v2, path, "user_id", n_bits=1 << 10, k=3, corpus_fingerprint="fp2"
+    )
+    assert latest_bloom_version(path) == 1 and meta2["corpus_fingerprint"] == "fp2"
+    assert bloom2 == build_bloom_filter(corpus_v2, "user_id", n_bits=1 << 10, k=3)
+
+    # file_stats_fingerprint changes when a file's bytes change
+    f = tmp_path / "corpus.bin"
+    f.write_bytes(b"aaaa")
+    fp_a = file_stats_fingerprint(str(f))
+    f.write_bytes(b"aaaabb")
+    assert file_stats_fingerprint(str(f)) != fp_a
