@@ -234,13 +234,63 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # exact twin's recall binding to the in-window ANN row lives in
     # t1; the freed slot funds the bloom-pruned ingest family's first
     # record — now reading the PERSISTED bloom artifact).
-    "q107_ewma_per_event",
+    # round-9 rotation (r8 verdict asks #3 + #4: make the window 50/50
+    # hash-green and keep de-blinding it; cumulative driver-checked
+    # 140 -> 157): seventeen r8-driver-green rows rotate out, each
+    # keeping an in-window family rep + local oracle + pytest, for
+    # SEVENTEEN never-driver-checked oracle-backed entries. Swaps:
+    # s_hard_negative_ann->s_hard_negative_md5_query (THE verdict ask:
+    # the deterministic IVF-lifecycle twin replaces the rows-only ANN
+    # row, so every window row is hash-checked; the operational ANN
+    # path keeps its t1 recall-vs-exact-twin binding),
+    # q107_ewma_per_event->q74_quantile_normalize (window family keeps
+    # q65 lag windows; the grouped two-phase-rank shape gets its first
+    # record), p_stratified_split->q91_weighted_sample_md5 (md5-variate
+    # determinism family swap; the split keeps local oracle + pytest),
+    # q108_cumulative_new_users->q84_dwell_time_stats +
+    # q103_dq_audit->q64_table_diff (events/audit families swap to
+    # never-checked siblings), q99_regression_per_group->
+    # q81_customer_deciles (stats family; q102 histogram stays; the
+    # deciles row is the global_rank Bresenham rider's first record),
+    # q97_except_all->q55_cube_grouping (set ops keep q98; CUBE +
+    # GROUPING() markers get their first record),
+    # d_cross_source_dup_matrix->d_simhash_md5_sigs (dedup keeps six
+    # in-window rows; the portable SimHash family was never checked),
+    # d_lsh_index_md5_query->d_lsh_takedown_md5_query (the takedown
+    # lifecycle STRICTLY CONTAINS build/append/query and adds
+    # delete->exclude->compact equivalence — the GDPR path's first
+    # driver record), st_cdc_upsert_snapshot->st_cdc_delete_snapshot
+    # (same containment argument: the delete path extends upsert with
+    # retained tombstones), st_tumbling_hour_counts->
+    # st_sketch_maintenance (streaming keeps four in-window rows; the
+    # replay-safe additive-sketch sink was never checked),
+    # p_source_mixture->p_temperature_mixture (the tau=0.5 quota math
+    # is the strictly harder member of the mixture family),
+    # q30_json_extract->t_char_entropy (scalar exprs keep q31 + q58;
+    # the entropy quality signal is a never-checked text family),
+    # t_bm25_scores->t_tfidf_top_terms (relevance-scoring siblings),
+    # mm_binary_stats->mm_base64_roundtrip (multimodal codec sibling),
+    # g_bfs_depths->q112_histogram_quantile_rollup (graph keeps
+    # g_pagerank_top; the mergeable-sketch rollup was never checked),
+    # q109_interval_join_shipments->q113_histogram_drift_tv (range
+    # joins keep q110 + st_stream_interval_join; the TV drift monitor
+    # completes the sketch-family trio).
+    # round-9b (verdict ask #5's three NEW t2 twins get driver rows):
+    # q31_array_dot_norm->s_pq_md5_query (the PQ replay embeds dozens
+    # of dot/norm folds — strictly the harder member of the array-HOF
+    # family; q50/q59 keep local coverage),
+    # q36_lang_stats->t_quality_langid_check (the twin runs the full
+    # per-doc quality+langid heuristics, strictly harder than the lang
+    # rollup), st_windowed_topk->s_mmr_md5_rerank (streaming keeps
+    # four in-window rows; the unrolled-MMR replay is a shape nothing
+    # else covers).
+    "q74_quantile_normalize",
     "q02_filter_and",
-    "p_stratified_split",
+    "q91_weighted_sample_md5",
     "g_pagerank_top",
     "q06_multiway_join",
-    "q103_dq_audit",
-    "q108_cumulative_new_users",
+    "q64_table_diff",
+    "q84_dwell_time_stats",
     "q10_left_anti_join",
     # round-6e swap: q11_theta_join (driver-green r5; non-equi joins
     # keep local oracle + pytest, and the join family keeps q06 + q10
@@ -275,10 +325,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # plus global_rank + dense-integer self-join), s_brute_force_top1
     # ->s_hard_negative_top1 (same broadcast scoring kernel + label
     # filter over ALL anchors -- strictly the wider check).
-    "d_cross_source_dup_matrix",
+    "d_simhash_md5_sigs",
     "q15_approx_within_5pct",
     "a_heavy_hitters_mg",
-    "q99_regression_per_group",
+    "q81_customer_deciles",
     # round-7e swap: q101_order_overlap_pairs (keyed overlap; keeps
     # local oracle + pytest) rotates out for the KEYLESS binned
     # overlap join — the same interval-overlap family repped by its
@@ -288,43 +338,43 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q102_equiheight_histogram",
     "q65_scd2_history",
     "d_prefix_jaccard_pairs",
-    "q97_except_all",
+    "q55_cube_grouping",
     "q98_intersect_all",
-    "q109_interval_join_shipments",
+    "q113_histogram_drift_tv",
     # round-6b swap: q28_math_functions (driver-green r5; scalar-math
     # family keeps in-window coverage via q31_array_dot_norm and
     # q93_spend_gini) rotated out for the never-checked corpus-level
     # substring-duplication stat.
     "p_shard_assignment",
-    "q30_json_extract",
+    "t_char_entropy",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",
     "q111_hll_rolling_distinct",
-    "p_source_mixture",
-    "t_bm25_scores",
+    "p_temperature_mixture",
+    "t_tfidf_top_terms",
     # array / struct / UDF families (Q31/Q32/Q40)
-    "q31_array_dot_norm",
+    "s_pq_md5_query",
     "d_entity_resolution_keep",
     # round-5 swap #2: q40_pandas_udf_scalar rotated out (the scalar
     # pandas_udf path stays driver-covered via m02_linear_inference;
     # grouped-map + UDTF keep their rows) for PII redaction
     "t_pii_redact",
     "q40_grouped_map_applyinpandas",
-    "d_lsh_index_md5_query",
+    "d_lsh_takedown_md5_query",
     # dedup family (Q34/Q35)
     # round-5d swap: q34_exact_dedup_count rotated out (exact dedup is
     # ALSO exercised in-window by p_clean_corpus's dedup stage; d_* keep
     # three dedup rows) for the persistent-IVF-index lifecycle check
     "s_ivf_index_query",
     "d_ngram_jaccard_pairs",
-    "g_bfs_depths",
+    "q112_histogram_quantile_rollup",
     "d_embedding_near_dup_ann",
     # text analysis (Q36) + the end-to-end cleaning pipeline
     # round-5d swap: t_token_count rotated out (text family keeps
     # q36_lang_stats + p_clean_corpus + t_pii_redact in-window) for the
     # end-to-end streaming CDC MERGE equivalence check
-    "q36_lang_stats",
-    "st_cdc_upsert_snapshot",
+    "t_quality_langid_check",
+    "st_cdc_delete_snapshot",
     # round-6c swap: p_clean_corpus (driver-green r5) → the e2e
     # pipeline that CONTAINS it as stage one (clean → dedup → chunk →
     # pack); the composition check strictly subsumes the family rep.
@@ -340,15 +390,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # locally oracle-checked + pytest'd) for the SemDeDup end-to-end
     # fixpoint (k-means → within-cluster pairs → connected components →
     # keep), a shape no other window row exercises.
-    "st_tumbling_hour_counts",
-    "s_hard_negative_ann",
-    "st_windowed_topk",
+    "st_sketch_maintenance",
+    "s_hard_negative_md5_query",
+    "s_mmr_md5_rerank",
     "d_semantic_dedup_keep",
     "st_stream_interval_join",
     "st_stateful_user_counts",
     # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
     "p_bloom_known_users",
-    "mm_binary_stats",
+    "mm_base64_roundtrip",
     # round-7b swap: m02_linear_inference (driver-green since r3; the
     # DistributedDLModel inference path keeps its in-window rep via
     # m03's persistence roundtrip + local oracle + pytest) rotates out

@@ -892,6 +892,355 @@ def s_hard_negative_md5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_SUB, _PQ_CODES, _PQ_REFINE = 8, 8, 8, 4
+
+
+def _pq_md5_oracle() -> str:
+    """DuckDB replay of the full PQ/ADC pipeline on the deterministic
+    codebook (codes = the 8 smallest non-null vec_ids' sub-slices):
+    encode (per-subspace argmin, ties to the smaller code), probe LUTs,
+    ADC scan (in-subspace-order list_sum — the same left-to-right
+    double adds as Spark's zip_with/aggregate), top-(k·refine)
+    candidates by (adc DESC, vec_id), exact-cosine refine, top-1."""
+    m, sub, nc, refine = _PQ_M, _PQ_SUB, _PQ_CODES, _PQ_REFINE
+    return f"""
+        WITH cb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
+            FROM embeddings WHERE embedding IS NOT NULL
+            ORDER BY vec_id LIMIT {nc}),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec
+            FROM embeddings WHERE embedding IS NOT NULL
+            ORDER BY vec_id LIMIT {_N_PROBES}),
+        codes AS (
+            SELECT vec_id, mi, code FROM (
+                SELECT e.vec_id, g.mi, c.code,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, g.mi ORDER BY
+                           list_sum(list_transform(range(1, {sub} + 1), i ->
+                               (CAST(e.embedding[g.mi * {sub} + i] AS DOUBLE)
+                                - CAST(c.cvec[g.mi * {sub} + i] AS DOUBLE))
+                             * (CAST(e.embedding[g.mi * {sub} + i] AS DOUBLE)
+                                - CAST(c.cvec[g.mi * {sub} + i] AS DOUBLE)))),
+                           c.code) AS rn
+                FROM embeddings e, range(0, {m}) g(mi), cb c
+                WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+        codes_arr AS (
+            SELECT vec_id, list(code ORDER BY mi) AS codes
+            FROM codes GROUP BY vec_id),
+        lut AS (
+            SELECT p.probe_id, g.mi,
+                   list(list_sum(list_transform(range(1, {sub} + 1), i ->
+                         CAST(p.pvec[g.mi * {sub} + i] AS DOUBLE)
+                       * CAST(c.cvec[g.mi * {sub} + i] AS DOUBLE)))
+                     ORDER BY c.code) AS lrow
+            FROM probes p, range(0, {m}) g(mi), cb c
+            GROUP BY p.probe_id, g.mi),
+        lut_arr AS (
+            SELECT probe_id, list(lrow ORDER BY mi) AS lut
+            FROM lut GROUP BY probe_id),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+            FROM embeddings WHERE embedding IS NOT NULL),
+        adc AS (
+            SELECT l.probe_id, ca.vec_id,
+                   list_sum(list_transform(range(1, {m} + 1), i ->
+                       l.lut[i][ca.codes[i] + 1])) / n.cn AS adc_rank
+            FROM lut_arr l CROSS JOIN codes_arr ca
+            JOIN norms n USING (vec_id)
+            WHERE n.cn != 0 AND ca.vec_id != l.probe_id),
+        cand AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY adc_rank DESC, vec_id) AS rn
+                FROM adc) WHERE rn <= {refine}),
+        exact AS (
+            SELECT c.probe_id, c.vec_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+                         CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(p.pvec,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * n.cn) AS cosine
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN norms n ON n.vec_id = c.vec_id
+            JOIN probes p ON p.probe_id = c.probe_id)
+        SELECT probe_id, vec_id AS pq_nn_id,
+               CAST(ROUND(cosine, 6) AS DOUBLE) + 0.0 AS cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cosine DESC, vec_id) AS rnk
+              FROM exact) t
+        WHERE rnk = 1 ORDER BY probe_id
+    """
+
+
+@register(
+    "s_pq_md5_query",
+    oracle=_pq_md5_oracle(),
+    tags=("similarity", "pq", "ann"),
+)
+def s_pq_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of s_pq_ann_top1 (r8 verdict ask #5): the same
+    PQ pipeline shape — encode the corpus to m sub-codes, ADC-scan each
+    probe through its lookup table, exact-cosine refine of the
+    k·refine_factor survivors — with the trained codebook replaced by
+    :func:`similarity.deterministic_pq_codebooks` (codes = the n_codes
+    smallest ids' sub-slices) and EVERY stage a pure Catalyst
+    expression whose double-add order matches the DuckDB replay
+    operation-for-operation, so the driver hash-checks the whole
+    quantize→ADC→refine lifecycle. s_pq_ann_top1 stays the production
+    path (trained codebooks, Arrow encode); its recall binds to brute
+    force in t1.
+
+    Plan shape (the one a 100-TB PQ scan needs): encode is one
+    per-row fold over the corpus scan (no shuffle); probes + LUTs ride
+    a broadcast; the ADC window ranks SLIM (id, score) rows; only
+    refine-survivors re-read raw vectors."""
+    from sparkflow_spark.functions.vector import dot
+
+    t = Tables(spark, sf)
+    books = similarity.deterministic_pq_codebooks(
+        t.embeddings, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    m, sub = _PQ_M, _PQ_SUB
+
+    def _sub_dist(mi: int, j: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("_v", mi * sub + 1, sub),
+                F.array(*[F.lit(x) for x in books[mi][j]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _sub_dot(mi: int, j: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("_v", mi * sub + 1, sub),
+                F.array(*[F.lit(x) for x in books[mi][j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    encode = F.array(
+        *[
+            F.element_at(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(_sub_dist(mi, j).alias("d"), F.lit(j).alias("j"))
+                            for j in range(len(books[mi]))
+                        ]
+                    )
+                ),
+                1,
+            )["j"]
+            for mi in range(m)
+        ]
+    )
+    lut = F.array(
+        *[
+            F.array(*[_sub_dot(mi, j) for j in range(len(books[mi]))])
+            for mi in range(m)
+        ]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("_v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    vecs = t.embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    corpus = vecs.select(
+        "vec_id", "_v", norm.alias("_cn"), encode.alias("_codes")
+    ).where(F.col("_cn") != 0)
+    p = (
+        vecs.orderBy("vec_id")
+        .limit(_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_v").alias("_pv"),
+            norm.alias("_pn"),
+            lut.alias("_lut"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with("_codes", "_lut", lambda cde, row: F.element_at(row, cde + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.select("vec_id", "_cn", "_codes")
+        .join(F.broadcast(p.select("probe_id", "_lut")), how="cross")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", (adc / F.col("_cn")).alias("_adc_rank"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_adc_rank").desc(), F.col("vec_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _PQ_REFINE)
+        .select("probe_id", "vec_id")
+    )
+    den = F.col("_pn") * F.col("_cn")
+    exact = (
+        cand.join(corpus.select("vec_id", "_v", "_cn"), "vec_id")
+        .join(F.broadcast(p.select("probe_id", "_pv", "_pn")), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.when(den != 0, dot("_pv", "_v") / den).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("pq_nn_id"),
+            (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
+        )
+        .transform(ordered, "probe_id")
+    )
+
+
+_MMR_POOL, _MMR_K, _MMR_LAM = 20, 5, 0.7
+
+
+def _mmr_md5_oracle() -> str:
+    """DuckDB replay of the K unrolled MMR rounds: top-pool brute-force
+    candidates per probe, then round r = argmax of
+    lam·rel − (1−lam)·max-sim-to-selected over the remainder (ties to
+    the smaller id). (1−lam) is emitted as the exact IEEE value Python
+    computes (repr) so both engines use bit-identical coefficients;
+    every dot/norm is an in-order list_sum, matching dot()'s
+    left-to-right double adds."""
+    lam, one_minus = _MMR_LAM, repr(1.0 - _MMR_LAM)
+    d = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    nrm = "sqrt(list_sum(list_transform({x}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    rel = (
+        d.format(a="p.pvec", b="e.embedding")
+        + " / ("
+        + nrm.format(x="p.pvec")
+        + " * "
+        + nrm.format(x="e.embedding")
+        + ")"
+    )
+    sim = (
+        d.format(a="ea.embedding", b="eb.embedding")
+        + " / ("
+        + nrm.format(x="ea.embedding")
+        + " * "
+        + nrm.format(x="eb.embedding")
+        + ")"
+    )
+    parts = [
+        f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+            ORDER BY vec_id LIMIT {_N_PROBES}),
+        scored AS (
+            SELECT p.probe_id, e.vec_id, {rel} AS rel
+            FROM probes p CROSS JOIN embeddings e
+            WHERE e.vec_id != p.probe_id),
+        cand AS (
+            SELECT probe_id, vec_id, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY rel DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= {_MMR_POOL}),
+        sims AS (
+            SELECT a.probe_id, a.vec_id AS ia, b.vec_id AS ib, {sim} AS sim
+            FROM cand a JOIN cand b ON a.probe_id = b.probe_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        sel1 AS (
+            SELECT probe_id, vec_id, 1 AS mmr_rank, score FROM (
+                SELECT probe_id, vec_id,
+                       CAST({lam} AS DOUBLE) * rel
+                       - CAST({one_minus} AS DOUBLE) * CAST(0.0 AS DOUBLE) AS score,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY (CAST({lam} AS DOUBLE) * rel
+                                     - CAST({one_minus} AS DOUBLE) * CAST(0.0 AS DOUBLE))
+                                    DESC, vec_id) AS rn
+                FROM cand) WHERE rn = 1),
+        selall1 AS (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+        rem{r} AS (
+            SELECT c.* FROM cand c LEFT JOIN selall{r - 1} s
+            ON s.probe_id = c.probe_id AND s.vec_id = c.vec_id
+            WHERE s.vec_id IS NULL),
+        div{r} AS (
+            SELECT r.probe_id, r.vec_id, r.rel, MAX(s.sim) AS dv
+            FROM rem{r} r
+            JOIN sims s ON s.probe_id = r.probe_id AND s.ia = r.vec_id
+            JOIN selall{r - 1} p ON p.probe_id = s.probe_id AND p.vec_id = s.ib
+            GROUP BY r.probe_id, r.vec_id, r.rel),
+        sel{r} AS (
+            SELECT probe_id, vec_id, {r} AS mmr_rank, score FROM (
+                SELECT probe_id, vec_id,
+                       CAST({lam} AS DOUBLE) * rel
+                       - CAST({one_minus} AS DOUBLE) * dv AS score,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY (CAST({lam} AS DOUBLE) * rel
+                                     - CAST({one_minus} AS DOUBLE) * dv)
+                                    DESC, vec_id) AS rn
+                FROM div{r}) WHERE rn = 1),
+        selall{r} AS (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r})"""
+        )
+    parts.append(
+        f"""
+        SELECT probe_id, mmr_rank, vec_id AS mmr_id,
+               CAST(ROUND(score, 6) AS DOUBLE) + 0.0 AS mmr_score
+        FROM selall{_MMR_K} ORDER BY probe_id, mmr_rank"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "s_mmr_md5_rerank",
+    oracle=_mmr_md5_oracle(),
+    tags=("similarity", "rerank", "vector"),
+)
+def s_mmr_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of s_mmr_rerank (r8 verdict ask #5): the same
+    greedy MMR diversification (top-20 brute-force pool per probe,
+    k=5, λ=0.7, ties to the smaller id) run through
+    :func:`similarity.mmr_rerank_unrolled` — k Catalyst rounds instead
+    of the applyInPandas greedy loop — so DuckDB can replay every round
+    and the driver hash-checks selection AND scores. The Arrow kernel
+    stays the big-k production path; its greedy parity is pinned in t1
+    (test_round7_ops test_mmr_rerank_string_ids + round-6 diversity
+    properties), and a direct unrolled==kernel equivalence test binds
+    the two forms."""
+    t = Tables(spark, sf)
+    scored = _cosine_scored(t)
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _MMR_POOL)
+        .select("probe_id", "vec_id", "cosine")
+        .join(t.embeddings.select("vec_id", "embedding"), "vec_id")
+    )
+    out = similarity.mmr_rerank_unrolled(cand, k=_MMR_K, lam=_MMR_LAM)
+    return out.select(
+        "probe_id",
+        "mmr_rank",
+        F.col("vec_id").alias("mmr_id"),
+        (F.round(F.col("mmr_score"), 6).cast("double") + F.lit(0.0)).alias("mmr_score"),
+    ).transform(ordered, "probe_id", "mmr_rank")
+
+
 @register(
     "s_mmr_rerank",
     oracle=None,  # greedy sequential selection (per-probe argmax loop) is

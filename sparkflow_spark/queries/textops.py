@@ -212,6 +212,85 @@ def t_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _quality_langid_oracle() -> str:
+    """DuckDB replay of quality_score + detect_lang, generated from the
+    SAME constant tables the Spark expressions read (functions/text.py
+    ENGLISH_STOPWORDS / LANG_MARKERS) so the two sides cannot drift.
+    Arithmetic mirrors quality_score() operation-for-operation (same
+    literals, same parenthesization, double throughout), so the rounded
+    score hashes identically; the argmax mirrors detect_lang's tie rule
+    via a (hits, is_default, lang) struct sort."""
+    from sparkflow_spark.functions.text import ENGLISH_STOPWORDS, LANG_MARKERS
+
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    lang_hits = ", ".join(
+        "{'h': len(list_filter(ltoks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"], x))), 'd': {1 if lang == 'en' else 0}, 'l': '{lang}'}}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS n,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS ltoks
+            FROM documents),
+        terms AS (
+            SELECT doc_id, ltoks,
+                   least(CAST(n AS DOUBLE) / 500.0, CAST(1.0 AS DOUBLE)) AS len_term,
+                   CAST(1.0 AS DOUBLE) - least(
+                       (CASE WHEN n > 0 THEN CAST(pc AS DOUBLE) / n
+                             ELSE CAST(0.0 AS DOUBLE) END) * 5,
+                       CAST(1.0 AS DOUBLE)) AS punct_term,
+                   least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                        x -> list_contains([{stop}], x))) AS DOUBLE) / len(toks)
+                               ELSE CAST(0.0 AS DOUBLE) END) * 4,
+                         CAST(1.0 AS DOUBLE)) AS stop_term,
+                   CASE WHEN (CASE WHEN len(toks) > 0
+                                   THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                                   ELSE CAST(0.0 AS DOUBLE) END) BETWEEN 3 AND 10
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS mtl_term
+            FROM base),
+        scored AS (
+            SELECT doc_id,
+                   (len_term * CAST(0.25 AS DOUBLE) + punct_term * CAST(0.25 AS DOUBLE))
+                   + (stop_term * CAST(0.25 AS DOUBLE) + mtl_term * CAST(0.25 AS DOUBLE)) AS q,
+                   list_sort([{lang_hits}]) AS langs
+            FROM terms)
+        SELECT doc_id,
+               CAST(ROUND(q, 6) AS DOUBLE) + 0.0 AS quality,
+               CASE WHEN langs[5].h > 0 THEN langs[5].l ELSE 'en' END AS lang_pred
+        FROM scored ORDER BY doc_id
+    """
+
+
+@register(
+    "t_quality_langid_check",
+    oracle=_quality_langid_oracle(),
+    tags=("text", "quality", "heuristic"),
+)
+def t_quality_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of t_quality_langid (r8 verdict ask #5): the SAME
+    quality_score() and detect_lang() Catalyst expressions, hash-checked
+    against a DuckDB replay generated from the same constant tables —
+    so the composite heuristic (length sweet-spot, punctuation density,
+    stopword/mean-token-length terms, marker-argmax language id) is
+    cross-engine pinned, not engine-defined. Only the simhash column
+    stays t1 (xxhash64 is engine-defined; d_simhash_md5_sigs is its
+    portable twin). One scan, pure codegen expressions, no shuffle."""
+    t = Tables(spark, sf)
+    return t.documents.select(
+        "doc_id",
+        (F.round(quality_score("text"), 6).cast("double") + F.lit(0.0)).alias(
+            "quality"
+        ),
+        detect_lang("text").alias("lang_pred"),
+    ).transform(ordered, "doc_id")
+
+
 @register(
     "p_source_mixture",
     oracle="""

@@ -511,6 +511,135 @@ def pq_topk(
     )
 
 
+def mmr_rerank_unrolled(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`mmr_rerank` as K UNROLLED DataFrame rounds — zero Python
+    in the data path (the greedy argmax per round is a per-probe window
+    group-limit; candidate-candidate similarities are one keyed
+    self-join). Same greedy semantics and tie rule (equal MMR score →
+    smaller id). Exists for two reasons: (a) it is hash-checkable
+    cross-engine (s_mmr_md5_rerank replays the identical rounds in
+    DuckDB — applyInPandas' numpy pairwise sums are ulp-unstable vs
+    SQL's sequential adds), and (b) at large probe counts it keeps the
+    whole rerank inside Catalyst: each round is one anti-join + one
+    max-aggregation over the (pool²-bounded) sim table, all keyed by
+    probe — no Arrow boundary. For huge k prefer mmr_rerank (k joins
+    vs one Arrow pass); for the k≤10 serving norm this form wins.
+
+    Input/output contract matches mmr_rerank: candidates =
+    (probe, id, relevance, vector), output (probe, mmr_rank, id,
+    mmr_score) with exact float64 scores.
+    """
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    c = candidates.select(
+        F.col(probe_col).alias("_p"),
+        F.col(id_col).alias("_i"),
+        F.col(score_col).cast("double").alias("_rel"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    a = c.select("_p", F.col("_i").alias("_ia"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = c.select("_p", F.col("_i").alias("_ib"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    den = F.col("_na") * F.col("_nb")
+    sims = a.join(b, "_p").select(
+        "_p",
+        "_ia",
+        "_ib",
+        F.when(den != 0, dot("_va", "_vb") / den).otherwise(F.lit(0.0)).alias("_sim"),
+    )
+    one_minus = 1.0 - lam  # the IEEE value the greedy kernel uses
+
+    def _pick(scored: DataFrame, rank: int) -> DataFrame:
+        w = Window.partitionBy("_p").orderBy(F.col("_mmr").desc(), F.col("_i"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_p", "_i", F.lit(rank).alias("_rank"), F.col("_mmr").alias("_score"))
+        )
+
+    slim = c.select("_p", "_i", "_rel")
+    sel = _pick(
+        slim.withColumn(
+            "_mmr", F.lit(lam) * F.col("_rel") - F.lit(one_minus) * F.lit(0.0)
+        ),
+        1,
+    )
+    picked = sel
+    for r in range(2, k + 1):
+        rem = slim.join(
+            picked.select("_p", "_i"), ["_p", "_i"], "left_anti"
+        )
+        div = (
+            rem.join(
+                sims.withColumnRenamed("_ia", "_i"), ["_p", "_i"]
+            )
+            .join(
+                picked.select("_p", F.col("_i").alias("_ib")), ["_p", "_ib"]
+            )
+            .groupBy("_p", "_i", "_rel")
+            .agg(F.max("_sim").alias("_div"))
+        )
+        nxt = _pick(
+            div.withColumn(
+                "_mmr",
+                F.lit(lam) * F.col("_rel") - F.lit(one_minus) * F.col("_div"),
+            ),
+            r,
+        )
+        picked = picked.unionByName(nxt)
+    return picked.select(
+        F.col("_p").alias(probe_col),
+        F.col("_rank").alias("mmr_rank"),
+        F.col("_i").alias(id_col),
+        F.col("_score").alias("mmr_score"),
+    )
+
+
+def deterministic_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 8,
+) -> list[list[list[float]]]:
+    """Cross-engine-replayable PQ codebooks: code ``j`` of subspace
+    ``mi`` is the ``mi``-th dim/m-wide slice of the vector with the
+    (j+1)-th smallest id (non-null vectors only) — the PQ analogue of
+    kmeans_clusters' "seeds = k smallest ids" contract. No training, no
+    sampling, no RNG: any engine reading the same table derives the
+    same codebook, so the full ADC pipeline built on it is
+    hash-checkable (s_pq_md5_query). Returns books[mi][j] =
+    sub-vector (m × n_codes × dim/m floats — k·d-sized driver state,
+    the same bounded operating model as the IVF/k-means codebooks; the
+    trained-codebook production path is :func:`pq_topk`).
+    """
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("deterministic_pq_codebooks: no non-null vectors")
+    dim = len(rows[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(r[0][mi * sub + i]) for i in range(sub)] for r in rows]
+        for mi in range(m)
+    ]
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -104,6 +104,39 @@ class _UserStatsProcessor:
         pass
 
 
+def _protobuf_requirement() -> str:
+    """The exact pip requirement the TWS gate must name: parsed from the
+    ValidateProtobufRuntimeVersion(...) pin inside the INSTALLED
+    pyspark's generated StateMessage_pb2.py, so a pyspark upgrade that
+    regenerates against a newer protobuf updates the remedy
+    automatically (tests assert the refusal carries this exact string).
+    Falls back to the Spark-4.1 gencode pin if the module moves."""
+    import os
+    import re
+
+    try:
+        import pyspark
+
+        src_path = os.path.join(
+            os.path.dirname(pyspark.__file__),
+            "sql",
+            "streaming",
+            "proto",
+            "StateMessage_pb2.py",
+        )
+        with open(src_path) as fh:
+            m = re.search(
+                r"ValidateProtobufRuntimeVersion\(\s*[^,]+,\s*(\d+),\s*(\d+),\s*(\d+)",
+                fh.read(),
+            )
+        if m:
+            major, minor, patch = m.groups()
+            return f"protobuf>={major}.{minor}.{patch},<{int(major) + 1}"
+    except OSError:  # pragma: no cover - pyspark layout changed
+        pass
+    return "protobuf>=6.33.0,<7"  # pragma: no cover
+
+
 def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running (count, sum) via ``transformWithStateInPandas``
     — the Spark 4 state-v2 API (typed state handles, timers, TTL),
@@ -113,11 +146,15 @@ def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         import google.protobuf  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "transformWithStateInPandas needs the google-protobuf wheel "
-            "(its state-server protocol is protobuf-framed), which this "
-            "environment does not ship. The applyInPandasWithState twin "
-            "(running_user_counts / st_stateful_user_counts) covers the "
-            "custom-stateful-streaming contract here."
+            "transformWithStateInPandas needs the protobuf wheel (its "
+            "state-server protocol is protobuf-framed: pyspark's generated "
+            "pyspark/sql/streaming/proto/StateMessage_pb2.py validates a "
+            "PUBLIC runtime >= its gencode version). Exact remedy: "
+            f"`pip install '{_protobuf_requirement()}'` (pure-python wheel, "
+            "no native deps; this sandbox has no package index, so the gate "
+            "stays). The applyInPandasWithState twin (running_user_counts / "
+            "st_stateful_user_counts) covers the custom-stateful-streaming "
+            "contract here."
         ) from exc
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

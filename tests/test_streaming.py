@@ -210,8 +210,17 @@ def test_tws_gated_loudly_without_protobuf(spark, sf_dir):
         has_proto = False
 
     if not has_proto:
-        with pytest.raises(NotImplementedError, match="protobuf"):
+        from sparkflow_spark.streaming.stateful import _protobuf_requirement
+
+        req = _protobuf_requirement()
+        # the remedy must be derived from pyspark's OWN generated pb2
+        # pin (r8 verdict ask #7: name the exact wheel + version) …
+        assert req.startswith("protobuf>=") and "," in req
+        # … and the refusal must carry it verbatim as a pip requirement
+        with pytest.raises(NotImplementedError) as exc_info:
             running_user_stats_tws(spark, sf_dir)
+        msg = str(exc_info.value)
+        assert f"pip install '{req}'" in msg and "protobuf" in msg
     else:  # pragma: no cover - environment-dependent branch
         out = running_user_stats_tws(spark, sf_dir)
         batch = (
