@@ -140,6 +140,7 @@ def main() -> int:
 
     con = duckdb_connection(sf_dir)
     duck: dict[str, float] = {}
+    duck_passes: dict[str, list[float]] = {}
     duck_skipped: list[str] = []
     for name in HEADLINE + HEADLINE_V2:
         q = registry[name].oracle
@@ -147,9 +148,19 @@ def main() -> int:
             duck_skipped.append(name)
             continue
         con.execute(q).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.execute(q).fetchall()
-        duck[name] = round(time.perf_counter() - t0, 3)
+        # MEDIAN of three timed passes (r9): the single-pass denominator
+        # was the bench's noisiest reading — scripts/gc_probe.py measured
+        # the same d_ngram SQL at 0.387–2.219 s (5.7×) across five
+        # back-to-back sessions on one box, purely host load. The Spark
+        # side already medians three steady passes; the ratio is only
+        # meaningful if both sides reject load spikes the same way.
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            ts.append(round(time.perf_counter() - t0, 3))
+        duck_passes[name] = ts
+        duck[name] = sorted(ts)[1]
     duck_v1 = round(sum(duck.get(n, 0.0) for n in HEADLINE), 3)
     duck_v2 = round(sum(duck.get(n, 0.0) for n in HEADLINE_V2), 3)
 
@@ -173,6 +184,7 @@ def main() -> int:
                 "v2_queries_steady": v2_steady,
                 "duckdb_same_session": {
                     "queries": duck,
+                    "queries_passes": duck_passes,
                     "skipped_no_oracle": duck_skipped,
                     "v1_total": duck_v1,
                     "v2_total": duck_v2,

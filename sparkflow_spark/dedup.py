@@ -397,6 +397,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
     index_partitions: int | None = None,
+    expansion: str = "arrow",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -405,6 +406,17 @@ def ngram_jaccard_pairs(
     drops boilerplate shingles that appear in more than N docs — the
     classic skew guard: without it one stop-shingle creates an O(n²)
     bucket at scale.
+
+    ``expansion`` selects the capped path's per-shingle pair-expansion
+    kernel: ``"arrow"`` (default) runs it as one mapInPandas over the
+    grouped index — output-identical to the ``"hof"`` Catalyst form
+    (pinned by test) with the same steady-state wall clock, but the
+    interpreted-HOF form needs 4+ executions for the JVM to C2-compile
+    its nested-lambda evaluation path (measured sf0.1 convergence
+    7.7 → 1.8 → 1.2 → 1.1 s vs arrow's 3.0 → 1.15 → 1.0 s) — in a
+    mixed-query session the HOF form's readings land mid-warmup, which
+    was the whole r8 "in-session edge" (BASELINE.md round-9). The HOF
+    form stays as the zero-Python definitional twin.
     """
     # Resolve index_partitions BEFORE building the cache key: the
     # None-resolution reads runtime state (defaultParallelism, plan-time
@@ -421,6 +433,7 @@ def ngram_jaccard_pairs(
         threshold,
         max_shingle_freq,
         index_partitions,
+        expansion,
     )
     hit = _NGRAM_RESULT_CACHE.get(cache_key)
     if hit is not None and hit[0] is df:
@@ -458,29 +471,66 @@ def ngram_jaccard_pairs(
         # GC-pressure tail shrinks). Exactness: parity pinned by the
         # DuckDB oracle (which applies the threshold on the full result)
         # and the capped-vs-uncapped equivalence test.
-        pair = F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.filter(
-                        F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
-                        lambda y: F.least(x["n"], y["n"])
-                        >= F.lit(threshold) * F.greatest(x["n"], y["n"]),
-                    ),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        x["n"].alias("na"),
-                        y["n"].alias("nb"),
-                    ),
-                ),
+        if expansion == "arrow":
+            # Arrow kernel: one mapInPandas pass over the (shingle,
+            # docs) groups; per group the ≤C(cap,2) combinations with
+            # the size-ratio prune run as a plain python loop over an
+            # Arrow batch (docs arrays are cap-bounded, so per-row work
+            # is a constant; the emitted stream is ids+sizes only).
+            # Output-identical to the HOF form — same pairs, same
+            # prune — but with no interpreted-lambda evaluation path
+            # for the JVM to warm (see docstring).
+            import pandas as pd
+
+            idt = df.schema[id_col].dataType.simpleString()
+
+            def _expand(batches):
+                for pdf in batches:
+                    ia, ib, na, nb = [], [], [], []
+                    for docs in pdf["docs"]:
+                        m = len(docs)
+                        for i in range(m - 1):
+                            x = docs[i]
+                            xn = x["n"]
+                            for j in range(i + 1, m):
+                                y = docs[j]
+                                yn = y["n"]
+                                if (xn if xn <= yn else yn) >= threshold * (
+                                    xn if xn >= yn else yn
+                                ):
+                                    ia.append(x["id"])
+                                    ib.append(y["id"])
+                                    na.append(xn)
+                                    nb.append(yn)
+                    yield pd.DataFrame(
+                        {"id_a": ia, "id_b": ib, "na": na, "nb": nb}
+                    )
+
+            expanded = g.mapInPandas(
+                _expand, f"id_a {idt}, id_b {idt}, na int, nb int"
             )
-        )
-        inter = (
-            g.select(F.explode(pair).alias("p"))
-            .select("p.*")
-            .groupBy("id_a", "id_b", "na", "nb")
-            .agg(F.count(F.lit(1)).alias("inter"))
+        else:
+            pair = F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                            lambda y: F.least(x["n"], y["n"])
+                            >= F.lit(threshold) * F.greatest(x["n"], y["n"]),
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["n"].alias("na"),
+                            y["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+            expanded = g.select(F.explode(pair).alias("p")).select("p.*")
+        inter = expanded.groupBy("id_a", "id_b", "na", "nb").agg(
+            F.count(F.lit(1)).alias("inter")
         )
     else:
         # UNCAPPED path (oracle/debug scale only — a boilerplate shingle

@@ -1112,6 +1112,130 @@ def s_pq_md5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RRF_K, _RRF_POOL, _RRF_TOP = 60, 20, 10
+
+
+def _rrf_oracle() -> str:
+    """DuckDB replay of reciprocal-rank fusion: the BM25 leg reuses
+    t_bm25_scores' REGISTERED oracle verbatim as a subquery (one
+    definition, zero drift), the vector leg ranks cosine-vs-doc-0
+    (rounded to 6 before ranking so cross-engine ulp can't flip a
+    rank), and the fusion sum keeps lex-then-vec order with explicit
+    DOUBLE casts (DuckDB's bare 1.0/60.0 literals are DECIMAL)."""
+    from sparkflow_spark.queries import REGISTRY, pipeline_suite  # noqa: F401
+
+    bm = REGISTRY["t_bm25_scores"].oracle
+    cos = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        "CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+        WITH bm AS (SELECT * FROM ({bm}) tq),
+        lex AS (
+            SELECT doc_id, rn AS lex_rank FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+                FROM bm) WHERE rn <= {_RRF_POOL}),
+        q AS (SELECT arg_min(embedding, vec_id) AS qv FROM embeddings),
+        vs AS (
+            SELECT e.vec_id AS doc_id, ROUND({cos}, 6) AS c
+            FROM embeddings e, q),
+        vec AS (
+            SELECT doc_id, rn AS vec_rank FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rn
+                FROM vs) WHERE rn <= {_RRF_POOL}),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   l.lex_rank, v.vec_rank,
+                   COALESCE(CAST(1.0 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + l.lex_rank),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + v.vec_rank),
+                              CAST(0.0 AS DOUBLE)) AS rrf
+            FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        SELECT doc_id, lex_rank, vec_rank,
+               CAST(ROUND(rrf, 6) AS DOUBLE) + 0.0 AS rrf_score
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+              FROM fused) WHERE rn <= {_RRF_TOP}
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "s_rrf_hybrid_topk",
+    oracle=_rrf_oracle(),
+    tags=("similarity", "retrieval", "hybrid"),
+)
+def s_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09 — the standard BM25⊕dense fusion in modern RAG stacks):
+    the lexical leg is the registered BM25 scorer's top-20 (same
+    3-term query), the dense leg is cosine-vs-the-min-id-doc's top-20
+    (a scalar-aggregate query vector), and each
+    doc scores Σ 1/(60 + rank) over the legs it appears in; top-10
+    returned with both leg ranks (NULL where a leg missed).
+
+    Scale shape: each leg's global top-k is sort-limit (TakeOrdered —
+    no global window over the corpus; the rank-within-k window runs on
+    a LIMIT-bounded 20-row input); the fusion is a full-outer join of
+    two k-row lists. At 100 TB the legs are the expensive retrievers
+    (BM25 scan / ANN index) and fusion cost stays O(k)."""
+    from sparkflow_spark.functions.vector import dot, l2_norm
+    from sparkflow_spark.queries import pipeline_suite  # noqa: F401 — registers t_bm25
+
+    t = Tables(spark, sf)
+    bm = REGISTRY["t_bm25_scores"].fn(spark, sf)
+    w20 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = (
+        bm.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+        .withColumn("lex_rank", F.row_number().over(w20).cast("bigint"))
+        .select("doc_id", "lex_rank")
+    )
+    # query vector = the smallest id's embedding, as a SCALAR AGGREGATE
+    # (min_by) rather than a filter: a scalar-agg build is provably one
+    # row, so the broadcast cross join is bounded by construction (the
+    # plan audit's exemption-free class) — a `WHERE vec_id = 0` build
+    # would be the same data but an unprovable nested-loop shape.
+    qv = t.embeddings.agg(F.min_by("embedding", "vec_id").alias("_qv"))
+    den = l2_norm("_qv") * l2_norm("embedding")
+    vs = t.embeddings.join(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.when(den != 0, dot("_qv", "embedding") / den), 6
+        ).alias("_c"),
+    )
+    wv = Window.orderBy(F.col("_c").desc(), F.col("doc_id"))
+    vec = (
+        vs.orderBy(F.col("_c").desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+        .withColumn("vec_rank", F.row_number().over(wv).cast("bigint"))
+        .select("doc_id", "vec_rank")
+    )
+    kd = F.lit(float(_RRF_K))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (kd + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (kd + F.col("vec_rank")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    wr = Window.orderBy(F.col("_rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= _RRF_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (F.round(F.col("_rrf"), 6).cast("double") + F.lit(0.0)).alias("rrf_score"),
+        )
+        .transform(ordered, "doc_id")
+    )
+
+
 _MMR_POOL, _MMR_K, _MMR_LAM = 20, 5, 0.7
 
 

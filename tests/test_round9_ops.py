@@ -211,6 +211,54 @@ def test_deterministic_pq_codebooks_contract(spark):
     ]
 
 
+def test_ngram_arrow_expansion_equals_hof(spark, sf_dir):
+    """The Arrow pair-expansion kernel (the default since r9 — the HOF
+    form's 4-pass C2 warmup was the r8 'in-session edge') must produce
+    the IDENTICAL pair set, jaccard for jaccard, as the Catalyst HOF
+    definitional form, at a threshold loose enough to exercise the
+    size-ratio prune on both sides."""
+    from sparkflow_spark.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(threshold=0.5, max_shingle_freq=20)
+    arrow = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, expansion="arrow", **kw).collect()
+    }
+    hof = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, expansion="hof", **kw).collect()
+    }
+    assert arrow == hof and len(arrow) > 0
+
+
+def test_rrf_fusion_scores_recompute_from_leg_ranks(spark, sf_dir):
+    """Every returned rrf_score must equal Σ 1/(60 + rank) over the
+    legs the doc appears in (recomputed in python from the returned
+    leg ranks), and the result must be the top-10 of that formula."""
+    from sparkflow_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["s_rrf_hybrid_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60.0 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60.0 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9, r
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+    # a doc present in BOTH legs (if any) beats a doc holding the same
+    # single-leg rank: rank-1-both >= 1/61 + 1/80 > any single 1/61
+    both = [r for r in rows if r["lex_rank"] and r["vec_rank"]]
+    single = [r for r in rows if (r["lex_rank"] is None) != (r["vec_rank"] is None)]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) > min(
+            r["rrf_score"] for r in single
+        )
+
+
 def test_pq_md5_query_bounded_by_brute_force(spark, sf_dir):
     """The PQ twin's refined top-1 cosine can never EXCEED the exact
     brute-force top-1 (refine re-scores with true cosines over an
