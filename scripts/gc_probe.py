@@ -45,6 +45,13 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.memory.offHeap.size": "8g",
     },
     "gchint": {},  # System.gc() between queries (harness-level lever)
+    "codegen1000": {
+        # default 100 generated-class entries: a 16-query session's
+        # stages overflow it, so every pass Janino-recompiles the
+        # evicted shapes (matches the observed "back-to-back converges,
+        # interleaved doesn't" signature)
+        "spark.sql.codegen.cache.maxEntries": "1000",
+    },
 }
 
 

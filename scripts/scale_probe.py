@@ -255,7 +255,21 @@ def _scaled(df, m: int, shift):
     return out
 
 
-def generate(spark, m: int, dest: str) -> None:
+# One full fixture date-span (orders 1995-01→2001-08 ≈ 2404 days) plus
+# margin: under --shift-dates, copy i's dates move i spans forward so
+# the time axis GROWS with the data (the real "more data = longer
+# history" model). Without it, replication multiplies DENSITY in a
+# fixed range — which makes keyless range/overlap joins' true answers
+# (and any binned algorithm's per-bin work) quadratic in m by
+# construction: at ×256 each 7-day bin holds 256× intervals AND 256×
+# points, a 65536× per-bin candidate product no algorithm avoids
+# while the output itself is quadratic. Density growth is a real
+# operational regime (handle via narrower bins + the burst-salt knob,
+# measured round-7e) but the wrong model for a growth probe.
+_DATE_SHIFT_DAYS = 2420
+
+
+def generate(spark, m: int, dest: str, shift_dates: bool = False) -> None:
     if os.path.isdir(dest):
         shutil.rmtree(dest)
     os.makedirs(dest)
@@ -276,11 +290,18 @@ def generate(spark, m: int, dest: str) -> None:
 
     w(_scaled(raw["customer"], m, lambda d, i: d.withColumn(
         "c_custkey", F.col("c_custkey") + F.lit(i * CK))), "customer")
-    w(_scaled(raw["orders"], m, lambda d, i: d.withColumn(
+    def _shift(d, i, col):
+        if not shift_dates or i == 0:
+            return d
+        return d.withColumn(
+            col, F.col(col) + F.expr(f"INTERVAL {i * _DATE_SHIFT_DAYS} DAY")
+        )
+
+    w(_scaled(raw["orders"], m, lambda d, i: _shift(d.withColumn(
         "o_orderkey", F.col("o_orderkey") + F.lit(i * OK)).withColumn(
-        "o_custkey", F.col("o_custkey") + F.lit(i * CK))), "orders")
-    w(_scaled(raw["lineitem"], m, lambda d, i: d.withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.lit(i * OK))), "lineitem")
+        "o_custkey", F.col("o_custkey") + F.lit(i * CK)), i, "o_orderdate")), "orders")
+    w(_scaled(raw["lineitem"], m, lambda d, i: _shift(d.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(i * OK)), i, "l_shipdate")), "lineitem")
     # Tag every token with the copy index: shingle sets become DISJOINT
     # across copies, so true near-dup pairs scale linearly with m (a
     # plain duplication would make every doc match its m-1 clones and
@@ -412,6 +433,13 @@ def main() -> int:
         help="run the Zipfian hot-key comparison (uniform vs skewed at "
         "the largest scale) instead of the uniform sweep",
     )
+    ap.add_argument(
+        "--shift-dates",
+        action="store_true",
+        help="shift each copy's order/ship dates one fixture-span "
+        "forward (constant temporal density — the growth model for "
+        "range/overlap-join probes; see _DATE_SHIFT_DAYS comment)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -480,12 +508,13 @@ def main() -> int:
 
     dirs = {}
     for m in scales:
-        dest = os.path.join(WORK, f"x{m}")
+        suffix = "shift" if args.shift_dates else ""
+        dest = os.path.join(WORK, f"x{m}{suffix}")
         if args.reuse and os.path.isdir(os.path.join(dest, "lineitem.parquet")):
             print(f"# reusing x{m} at {dest}", file=sys.stderr)
         else:
             print(f"# generating x{m} -> {dest}", file=sys.stderr)
-            generate(spark, m, dest)
+            generate(spark, m, dest, shift_dates=args.shift_dates)
         dirs[m] = dest
 
     # Warm shared machinery (codegen families, python workers, streaming

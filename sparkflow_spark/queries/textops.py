@@ -291,6 +291,72 @@ def t_quality_check(spark: SparkSession, sf: str) -> DataFrame:
     ).transform(ordered, "doc_id")
 
 
+_LCP_CAP = 64
+
+
+@register(
+    "t_source_boilerplate_prefix",
+    oracle=f"""
+        WITH g AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   MIN(text) AS a, MAX(text) AS b
+            FROM documents GROUP BY source),
+        lcp AS (
+            SELECT source, n_docs, a,
+                   least(CAST(list_sum(list_transform(range(1, {_LCP_CAP} + 1),
+                             i -> CASE WHEN substr(a, 1, CAST(i AS INT))
+                                          = substr(b, 1, CAST(i AS INT))
+                                  THEN 1 ELSE 0 END)) AS BIGINT),
+                         CAST(length(a) AS BIGINT),
+                         CAST(length(b) AS BIGINT)) AS lcp_len
+            FROM g)
+        SELECT source, n_docs, lcp_len,
+               substr(a, 1, CAST(lcp_len AS INT)) AS prefix
+        FROM lcp ORDER BY source
+    """,
+    tags=("text", "quality", "agg"),
+)
+def t_source_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate-prefix detection (the C4/Gopher "strip the
+    shared site header" signal): the longest common prefix of ALL of a
+    source's documents, computed WITHOUT comparing all pairs via the
+    sorted-set identity LCP(all) = LCP(min, max) — one groupBy carrying
+    MIN(text)/MAX(text), then a capped ({_LCP_CAP}-char) prefix match.
+    The prefix-match sum is exact because prefix equality is monotone
+    in i (count of matching prefix lengths == LCP length), clamped by
+    both string lengths so identical strings don't read as cap-length.
+    All integer/string ops — hash-checked cross-engine.
+
+    Scale shape: one partial-aggregated groupBy over the corpus (MIN/
+    MAX/COUNT all map-side combinable); the 64 substring compares run
+    on |sources| rows, not |docs|."""
+    t = Tables(spark, sf)
+    g = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("a"),
+        F.max("text").alias("b"),
+    )
+    match_sum = None
+    for i in range(1, _LCP_CAP + 1):
+        term = F.when(
+            F.substring(F.col("a"), 1, i) == F.substring(F.col("b"), 1, i), 1
+        ).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    lcp_len = F.least(
+        match_sum.cast("bigint"),
+        F.length("a").cast("bigint"),
+        F.length("b").cast("bigint"),
+    )
+    return (
+        g.select("source", "n_docs", "a", lcp_len.alias("lcp_len"))
+        # dynamic-length substring: the column form (F.substring needs a
+        # python int length) goes through the SQL expression instead
+        .withColumn("prefix", F.expr("substring(a, 1, cast(lcp_len as int))"))
+        .select("source", "n_docs", "lcp_len", "prefix")
+        .transform(ordered, "source")
+    )
+
+
 @register(
     "p_source_mixture",
     oracle="""

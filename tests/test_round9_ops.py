@@ -211,6 +211,39 @@ def test_deterministic_pq_codebooks_contract(spark):
     ]
 
 
+def test_boilerplate_prefix_semantics(spark, tmp_path):
+    """LCP(all docs of a source) via the min/max identity: a diverging
+    tail stops the prefix, identical strings clamp to their own length
+    (not the 64-char cap), and a single long doc hits the cap."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from sparkflow_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER: alpha body", "en", "s1", 18),
+            (2, "HEADER: beta body", "en", "s1", 17),
+            (3, "same", "en", "s2", 4),
+            (4, "same", "en", "s2", 4),
+            (5, "x" * 100, "en", "s3", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    docs.write.parquet(f"{d}/documents.parquet")
+    reg = load_all()
+    out = {
+        r["source"]: (r["n_docs"], r["lcp_len"], r["prefix"])
+        for r in reg["t_source_boilerplate_prefix"].fn(spark, d).collect()
+    }
+    assert out["s1"] == (2, 8, "HEADER: ")
+    assert out["s2"] == (2, 4, "same")
+    assert out["s3"] == (1, 64, "x" * 64)
+
+
 def test_ngram_arrow_expansion_equals_hof(spark, sf_dir):
     """The Arrow pair-expansion kernel (the default since r9 — the HOF
     form's 4-pass C2 warmup was the r8 'in-session edge') must produce
