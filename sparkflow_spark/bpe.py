@@ -122,6 +122,129 @@ def learn_bpe_merges(
     return merges
 
 
+def _sql_merge_round(prev: str, best: str, carry: str = "freq") -> str:
+    """One DuckDB vocab-rewrite round: apply the round's best (a, b)
+    merge to every symbol array with the exact greedy-leftmost
+    non-overlapping semantics of :func:`_merge_pair_expr`. For a ≠ b
+    adjacent matches can never overlap, so ALL matches merge; for
+    a == b a maximal run of a's merges at every other position from
+    the run start (parity via the last non-a position before i).
+    Validated case-for-case against the python fold (incl. 'aaaa',
+    'aaa', run-after-run) before wiring."""
+    return f"""(
+  SELECT list_filter(
+    list_transform(range(1, len(syms) + 1), i ->
+      CASE WHEN list_contains(tkn, i) THEN a || b
+           WHEN list_contains(tkn, i - 1) THEN NULL
+           ELSE syms[i] END), x -> x IS NOT NULL) AS syms, {carry}
+  FROM (
+    SELECT syms, {carry}, a, b,
+      CASE WHEN a != b THEN mt
+           ELSE list_filter(mt, i ->
+             ((i - COALESCE(list_max(list_filter(range(1, i),
+                 j -> syms[j] != a)), 0) - 1) % 2) = 0)
+      END AS tkn
+    FROM (
+      SELECT v.syms, v.{carry}, q.a, q.b,
+             list_filter(range(1, len(v.syms)),
+                 i -> v.syms[i] = q.a AND v.syms[i+1] = q.b) AS mt
+      FROM {prev} v, {best} q)))"""
+
+
+def learn_oracle_sql(n_merges: int = 8, min_pair_count: int = 2) -> str:
+    """DuckDB replay of :func:`learn_bpe_merges` — the full iterative
+    trainer unrolled (the X85 k-means / X132 LSH-lifecycle pattern):
+    per round, a weighted adjacent-pair count, the (cnt DESC, a, b)
+    argmax, and the greedy vocab rewrite. Early stop replays
+    structurally: a round whose best count falls below
+    ``min_pair_count`` yields an EMPTY b{{r}} row, the cross-joined
+    vocab goes empty, and every later round contributes no output row
+    — exactly the trainer's break. Output: (merge_rank, left, right,
+    pair_count), hash-comparable with t_bpe_learn_merges."""
+    parts = [
+        """
+        WITH w AS (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x != '')) AS word
+                FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+        v0 AS (SELECT regexp_extract_all(word, '(?s).') AS syms, freq FROM w)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        p{r} AS (
+            SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
+                SELECT unnest(list_transform(range(1, len(syms)),
+                    i -> {{'a': syms[i], 'b': syms[i+1]}})) AS p, freq
+                FROM v{r - 1}) GROUP BY p.a, p.b),
+        b{r} AS (SELECT a, b, cnt FROM p{r}
+                 WHERE cnt >= {min_pair_count}
+                 ORDER BY cnt DESC, a, b LIMIT 1),
+        v{r} AS {_sql_merge_round(f"v{r - 1}", f"b{r}")}"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INT) AS merge_rank, a AS \"left\", "
+        f"b AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n        SELECT * FROM ({union}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+def encode_oracle_sql(n_merges: int = 8, min_pair_count: int = 2) -> str:
+    """DuckDB replay of the learn-then-encode pipeline (t_bpe_encode):
+    reuses :func:`learn_oracle_sql`'s CTE chain to re-derive the merge
+    table, then applies the same ``n_merges`` greedy rewrites to each
+    DISTINCT word (cheaper than per-occurrence, identical result) and
+    sums token/symbol counts per document. Caveat shared with the
+    learn replay: an early-stopped round empties the cross-joined
+    state, so this oracle is exact when all ``n_merges`` rounds fire —
+    true at every fixture scale (pair counts are in the thousands);
+    the structural-early-stop learn oracle catches the other case."""
+    learn = learn_oracle_sql(n_merges, min_pair_count)
+    # strip the learn oracle's final SELECT — keep its WITH chain
+    base = learn[: learn.rindex("\n        SELECT * FROM (")]
+    parts = [
+        base,
+        """,
+        dw AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x != '')) AS word
+            FROM documents),
+        e0 AS (
+            SELECT word, regexp_extract_all(word, '(?s).') AS syms
+            FROM (SELECT DISTINCT word FROM dw WHERE length(word) > 0))""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        e{r} AS {_sql_merge_round(f"e{r - 1}", f"b{r}", carry="word")}"""
+        )
+    parts.append(
+        f"""
+        , wsum AS (
+            SELECT dw.doc_id,
+                   CAST(SUM(len(e.syms)) AS BIGINT) AS n_bpe_tokens,
+                   CAST(SUM(length(dw.word)) AS BIGINT) AS n_symbols
+            FROM dw JOIN e{n_merges} e USING (word)
+            GROUP BY dw.doc_id)
+        SELECT d.doc_id,
+               COALESCE(s.n_bpe_tokens, 0) AS n_bpe_tokens,
+               COALESCE(s.n_symbols, 0) AS n_symbols,
+               CASE WHEN s.n_bpe_tokens > 0
+                    THEN CAST(ROUND(CAST(s.n_symbols AS DOUBLE)
+                                    / s.n_bpe_tokens, 4) AS DOUBLE) + 0.0
+               END AS chars_per_token
+        FROM documents d LEFT JOIN wsum s USING (doc_id)
+        ORDER BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
 def apply_bpe_merges(
     df: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

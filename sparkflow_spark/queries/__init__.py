@@ -284,6 +284,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rollup), st_windowed_topk->s_mmr_md5_rerank (streaming keeps
     # four in-window rows; the unrolled-MMR replay is a shape nothing
     # else covers).
+    # round-9c (two later-round registrations get driver rows):
+    # q102_equiheight_histogram->s_rrf_hybrid_topk (the global_rank
+    # rider family keeps q81_customer_deciles in-window; hybrid
+    # retrieval fusion is a new family) and p_shard_assignment->
+    # t_source_boilerplate_prefix (md5-determinism family keeps
+    # q91_weighted_sample_md5; the LCP boilerplate signal is a new
+    # text-quality shape).
     "q74_quantile_normalize",
     "q02_filter_and",
     "q91_weighted_sample_md5",
@@ -335,7 +342,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # strictly harder member, and the range-join operator family's
     # (X124-X125) first driver record.
     "q110_overlap_join_congestion",
-    "q102_equiheight_histogram",
+    "s_rrf_hybrid_topk",
     "q65_scd2_history",
     "d_prefix_jaccard_pairs",
     "q55_cube_grouping",
@@ -345,7 +352,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # family keeps in-window coverage via q31_array_dot_norm and
     # q93_spend_gini) rotated out for the never-checked corpus-level
     # substring-duplication stat.
-    "p_shard_assignment",
+    "t_source_boilerplate_prefix",
     "t_char_entropy",
     "q58_unpivot",
     "tpch_q17_small_qty_revenue",

@@ -7,6 +7,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from sparkflow_spark.bpe import (
+    encode_oracle_sql as bpe_encode_oracle_sql,
+    learn_oracle_sql as bpe_learn_oracle_sql,
+)
 from sparkflow_spark.catalog import Tables
 from sparkflow_spark.functions.text import (
     bpe_ish_token_count,
@@ -928,9 +932,12 @@ def t_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "t_bpe_learn_merges",
-    oracle=None,  # iterative corpus-wide argmax loop (driver-coordinated
-    # like the graph fixpoints); merge-sequence parity vs a pure-python
-    # reference BPE is pinned in tests/test_round6_ops.py
+    # r9 t1→t2 upgrade: the ENTIRE iterative trainer replayed in DuckDB
+    # (unrolled rounds — the X85/X132 pattern): weighted pair counts,
+    # (cnt DESC, a, b) argmax, greedy-leftmost vocab rewrite (validated
+    # against the python fold incl. the a==b overlap-run parity), and
+    # structural early-stop. The python-reference parity t1 remains.
+    oracle=bpe_learn_oracle_sql(n_merges=8, min_pair_count=2),
     tags=("text", "iterative"),
     memo=False,  # eager training jobs — repeat invocations honestly re-run
 )
@@ -1296,9 +1303,11 @@ def p_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "t_bpe_encode",
-    oracle=None,  # the merge table comes from the iterative trainer
-    # (driver-coordinated argmax loop); encode parity vs a pure-python
-    # BPE reference is pinned in tests/test_round6_ops.py
+    # r9 t1→t2 upgrade: DuckDB re-derives the merge table (the learn
+    # replay's CTE chain) AND re-encodes every document with the same
+    # greedy rewrites — the full learn-then-encode pipeline is
+    # hash-checked. The python-reference encode parity t1 remains.
+    oracle=bpe_encode_oracle_sql(n_merges=8, min_pair_count=2),
     tags=("text", "tokenizer", "large-output"),
     memo=False,  # training inside is eager work
 )
