@@ -1236,6 +1236,152 @@ def s_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RH_PLANES, _RH_DIMS = 8, 64
+
+
+def _rh_planes() -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane family derived from md5 —
+    entry (p, d) is +1 iff the first hex digit of md5("p_d") < '8'
+    (an unbiased coin on a cross-engine-identical hash), so any engine
+    reconstructs the same planes and the whole signature→bucket→rerank
+    pipeline is hash-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] < "8" else -1.0
+            for d in range(_RH_DIMS)
+        ]
+        for p in range(_RH_PLANES)
+    ]
+
+
+def _rh_oracle() -> str:
+    bit = (
+        "CASE WHEN list_sum(list_transform(range(1, {dims} + 1), i -> "
+        "CAST({v}[i] AS DOUBLE) * (CASE WHEN substr(md5({p} || '_' || (i - 1)), 1, 1) < '8' "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))) >= 0 "
+        "THEN '1' ELSE '0' END"
+    )
+    sig = " || ".join(
+        bit.format(dims=_RH_DIMS, v="embedding", p=p) for p in range(_RH_PLANES)
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, ({sig}) AS bucket
+            FROM embeddings WHERE embedding IS NOT NULL),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec, bucket
+            FROM sigs ORDER BY vec_id LIMIT {_N_PROBES}),
+        cand AS (
+            SELECT p.probe_id, s.vec_id,
+                   list_sum(list_transform(range(1, {_RH_DIMS} + 1), i ->
+                       CAST(p.pvec[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(p.pvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(s.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+            FROM probes p JOIN sigs s ON s.bucket = p.bucket
+            WHERE s.vec_id != p.probe_id)
+        SELECT probe_id, vec_id AS nn_id,
+               CAST(ROUND(cosine, 6) AS DOUBLE) + 0.0 AS cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, md5(CAST(vec_id AS VARCHAR))) AS rn
+              FROM cand) WHERE rn = 1 ORDER BY probe_id
+    """
+
+
+@register(
+    "s_rh_lsh_md5_query",
+    oracle=_rh_oracle(),
+    tags=("similarity", "lsh", "ann"),
+)
+def s_rh_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic t2 twin of s_lsh_ann_top1 (completing the ANN
+    families' replay coverage: IVF→s_hard_negative_md5_query,
+    PQ→s_pq_md5_query, RH-LSH→this): the same random-hyperplane
+    signature→bucket-join→exact-rerank pipeline, with the seeded numpy
+    hyperplanes replaced by the md5-derived ±1 family (_rh_planes) so
+    DuckDB re-derives the planes, every signature bit, the bucket
+    join, and the re-rank — hash-for-hash. A probe whose bucket holds
+    no other vector returns no row (deterministic either way).
+
+    Scale shape is the production LSH one: one signature scan (P·D
+    multiply-adds per row, no shuffle), candidates from the keyed
+    equi-join on the bucket (never all-pairs), exact cosines only for
+    same-bucket pairs. s_lsh_ann_top1 stays the recall-tuned
+    operational path (multi-table, t1 recall ≥0.8)."""
+    from sparkflow_spark.functions.vector import dot
+
+    t = Tables(spark, sf)
+    planes = _rh_planes()
+    vecs = t.embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(x) for x in pl]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for pl in planes
+    ]
+    sigs = vecs.select("vec_id", "_v", F.concat(*bits).alias("bucket"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    p = (
+        sigs.orderBy("vec_id")
+        .limit(_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_v").alias("_pv"),
+            F.col("bucket"),
+        )
+    )
+    pn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_pv"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand = (
+        sigs.join(F.broadcast(p), "bucket")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (dot("_pv", "_v") / (pn * norm)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.md5(F.col("vec_id").cast("string"))
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("nn_id"),
+            (F.round(F.col("cosine"), 6).cast("double") + F.lit(0.0)).alias("cosine"),
+        )
+        .transform(ordered, "probe_id")
+    )
+
+
 _MMR_POOL, _MMR_K, _MMR_LAM = 20, 5, 0.7
 
 

@@ -265,6 +265,29 @@ def test_ngram_arrow_expansion_equals_hof(spark, sf_dir):
     assert arrow == hof and len(arrow) > 0
 
 
+def test_ngram_arrow_expansion_string_ids(spark):
+    """The Arrow expansion derives its output id type from the input
+    (schema string built from df.schema[id_col]) — string doc ids must
+    flow through and match the HOF form."""
+    from sparkflow_spark.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog today"),
+        ("b", "the quick brown fox jumps over the lazy dog tonight"),
+        ("c", "completely different text with no shared shingles at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(threshold=0.5, max_shingle_freq=20)
+    arrow = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, **kw).collect()
+    }
+    hof = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, expansion="hof", **kw).collect()
+    }
+    assert arrow == hof == {("a", "b")}
+
+
 def test_rrf_fusion_scores_recompute_from_leg_ranks(spark, sf_dir):
     """Every returned rrf_score must equal Σ 1/(60 + rank) over the
     legs the doc appears in (recomputed in python from the returned
