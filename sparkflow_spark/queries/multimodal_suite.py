@@ -1,7 +1,10 @@
 """Multimodal query surface: binary payload stats are oracle-checked
 (sha256/octet_length are bit-identical cross-engine); the mapInPandas
-featurizer/frame-sampler are engine-defined → rows-only + numpy-oracle
-pytest coverage."""
+featurizer/frame-sampler keep their rows-only originals (arbitrary-byte
+contract, numpy-oracle pytest) PLUS r9 t2 twins that hash-check the
+same Arrow kernels end to end (mm_feature_check via the hex-digit byte
+histogram replay; mm_frame_check via char-slice sha on byte-safe
+docs)."""
 
 from __future__ import annotations
 
@@ -47,6 +50,73 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("media.content").alias("content")
     )
     return multimodal.extract_features(wrapped).transform(ordered, "doc_id")
+
+
+_N_FEAT = 8
+
+
+def _feature_oracle() -> str:
+    """DuckDB replay of the Arrow featurizer's byte histogram WITHOUT
+    byte-array access: hex(encode(text)) renders the exact UTF-8
+    payload two hex digits per byte, and the kernel's bucket
+    (byte >> 5) is the first hex digit's value >> 1 — so counting
+    even-position hex digits per bucket reproduces the histogram for
+    ANY text (multi-byte UTF-8 included), and count/total reproduces
+    numpy's float64 division bit-for-bit."""
+    digit = (
+        "CASE WHEN d <= 57 THEN d - 48 ELSE d - 55 END"  # '0'-'9' / 'A'-'F'
+    )
+    cols = ", ".join(
+        f"""CASE WHEN n > 0 THEN CAST(ROUND(
+              CAST(len(list_filter(buckets, v -> v = {b})) AS DOUBLE) / n,
+              6) AS DOUBLE) + 0.0
+            ELSE CAST(0.0 AS DOUBLE) END AS f{b}"""
+        for b in range(_N_FEAT)
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+        bk AS (
+            SELECT doc_id, n,
+                   list_transform(
+                       list_transform(range(0, n),
+                           i -> ascii(substr(hx, CAST(2 * i + 1 AS INT), 1))),
+                       d -> ({digit}) // 2) AS buckets
+            FROM h)
+        SELECT doc_id, {cols} FROM bk ORDER BY doc_id
+    """
+
+
+@register(
+    "mm_feature_check",
+    oracle=_feature_oracle(),
+    tags=("multimodal", "udf"),
+)
+def mm_feature_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of mm_feature_extract: the SAME mapInPandas Arrow
+    kernel (multimodal.extract_features — numpy byte histogram over the
+    modality struct's UTF-8 payload), with its 8-dim feature vector
+    unpacked to rounded columns and hash-checked against a from-text
+    DuckDB replay. This pins the Arrow plumbing end to end — payload
+    encode, batch shape, numpy bucketing, normalization — not just the
+    python function (which the numpy-oracle t1 already covers)."""
+    t = Tables(spark, sf)
+    wrapped = multimodal.attach_binary_payload(t.documents).select(
+        "doc_id", F.col("media.content").alias("content")
+    )
+    feats = multimodal.extract_features(wrapped)
+    return feats.select(
+        "doc_id",
+        *[
+            (
+                F.round(F.element_at("features", b + 1), 6).cast("double")
+                + F.lit(0.0)
+            ).alias(f"f{b}")
+            for b in range(_N_FEAT)
+        ],
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -95,6 +165,46 @@ def mm_binary_dup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
         .transform(ordered, "prefix_md5")
+    )
+
+
+@register(
+    "mm_frame_check",
+    # Self-guarding twin: DuckDB's sha256 takes VARCHAR only, so the
+    # byte-slice replay is exact only where byte offsets == char
+    # offsets; BOTH sides therefore restrict to docs whose UTF-8
+    # payload is pure single-byte (today: every fixture doc — the
+    # guard excludes zero rows), and the numpy-oracle t1 keeps covering
+    # arbitrary bytes.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE octet_length(encode(text)) = length(text))
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               sha256(substr(text,
+                   CAST(i * greatest(n // 4, 1) + 1 AS INT),
+                   CAST(greatest(n // 4, 1) AS INT))) AS frame_sha
+        FROM d, range(0, 4) t(i)
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_frame_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of mm_frame_sample: the SAME mapInPandas frame
+    sampler (uniform byte-chunk fingerprints — multimodal.sample_frames)
+    hash-checked against a char-slice DuckDB replay on the byte-safe
+    (single-byte-UTF-8) documents. Pins the Arrow fan-out shape AND the
+    chunk arithmetic (step = max(len//4, 1), tail dropped, short blobs
+    yield empty-chunk hashes) cross-engine."""
+    t = Tables(spark, sf)
+    ascii_docs = t.documents.where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    )
+    wrapped = multimodal.attach_binary_payload(ascii_docs).select(
+        "doc_id", F.col("media.content").alias("content")
+    )
+    return multimodal.sample_frames(wrapped, n_frames=4).transform(
+        ordered, "doc_id", "frame_idx"
     )
 
 
