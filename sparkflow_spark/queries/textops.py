@@ -295,6 +295,95 @@ def t_quality_check(spark: SparkSession, sf: str) -> DataFrame:
     ).transform(ordered, "doc_id")
 
 
+@register(
+    "p_corpus_report",
+    oracle="""
+        WITH d AS (
+            SELECT source, lang, doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x != '')) AS BIGINT) AS n_tok,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents),
+        base AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+                   CAST(ROUND((COUNT(*) - COUNT(DISTINCT fp)) * CAST(1.0 AS DOUBLE)
+                        / COUNT(*), 6) AS DOUBLE) + 0.0 AS dup_rate
+            FROM d GROUP BY source),
+        langs AS (
+            SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY COUNT(*) DESC, lang) AS rn
+                FROM d GROUP BY source, lang) WHERE rn = 1)
+        SELECT b.source, b.n_docs, b.n_tokens, b.n_distinct_fp, b.dup_rate,
+               l.top_lang
+        FROM base b JOIN langs l USING (source) ORDER BY b.source
+    """,
+    tags=("text", "pipeline", "agg"),
+)
+def p_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus report card — the one-query dataset summary a
+    mixture designer reads before setting source weights: document and
+    token counts, exact-dup rate (whitespace-normalized md5
+    fingerprints — the p_clean_corpus dedup key), and the dominant
+    language (ties to the smaller code). All counts integer-exact; the
+    single float is one division, so the report hash-checks
+    cross-engine.
+
+    Scale shape: one scan → two source-keyed aggregates (both
+    partial-aggregated map-side; COUNT(DISTINCT fp) expands to the
+    standard two-phase distinct) + a |sources|-row join. No windows
+    over the corpus, no Python."""
+    from sparkflow_spark.functions.text import fingerprint
+
+    t = Tables(spark, sf)
+    d = t.documents.select(
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        fingerprint("text").alias("fp"),
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fp"),
+    ).withColumn(
+        "dup_rate",
+        (
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_fp")) * F.lit(1.0)
+                / F.col("n_docs"),
+                6,
+            ).cast("double")
+            + F.lit(0.0)
+        ),
+    )
+    langs = (
+        t.documents.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("_c").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(langs, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_distinct_fp", "dup_rate", "top_lang"
+        )
+        .transform(ordered, "source")
+    )
+
+
 _LCP_CAP = 64
 
 
