@@ -247,6 +247,39 @@ def _hof(rng: random.Random, t: Tables):
     return df, sql
 
 
+def _exists(rng: random.Random, t: Tables):
+    """Correlated [NOT] EXISTS over orders→lineitem — the decorrelation
+    corner (Spark rewrites to semi/anti joins; DuckDB plans a mark
+    join): inner predicate random, NULL-key behavior and the
+    empty-inner edge both exercised."""
+    inner_c, inner_s = _pred(rng)
+    outer = rng.choice(
+        [
+            ("o_orderpriority = '1-URGENT'", F.col("o_orderpriority") == "1-URGENT"),
+            ("o_totalprice > 150000", F.col("o_totalprice") > 150000),
+            ("o_orderstatus = 'F'", F.col("o_orderstatus") == "F"),
+        ]
+    )
+    negate = rng.random() < 0.5
+    inner = t.lineitem.filter(inner_c).select("l_orderkey")
+    df = (
+        t.orders.filter(outer[1])
+        .join(
+            inner,
+            t.orders.o_orderkey == inner.l_orderkey,
+            "left_anti" if negate else "left_semi",
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    kw = "NOT EXISTS" if negate else "EXISTS"
+    sql = (
+        f"SELECT o_orderkey, o_orderpriority FROM orders WHERE {outer[0]} "
+        f"AND {kw} (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        f"AND {inner_s})"
+    )
+    return df, sql
+
+
 def _setop(rng: random.Random, t: Tables):
     """UNION [ALL] / INTERSECT / EXCEPT of two filtered projections —
     pins the bag-vs-set semantics corner both engines must share."""
@@ -361,6 +394,8 @@ def _one(rng: random.Random, t: Tables):
         return _window_frame(rng, t)
     if shape < 0.36:
         return _hof(rng, t)
+    if shape < 0.42:
+        return _exists(rng, t)
     if shape < 0.46:
         return _setop(rng, t)
     if shape < 0.55:
