@@ -18,27 +18,39 @@ def asof_join(
     by: list[str],
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the value columns of the
-    most recent right row with right.on <= left.on within the same
-    ``by`` group (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
-    semantics; ties resolve to the right row).
+    matching right row within the same ``by`` group — the most recent
+    right.on <= left.on (``direction="backward"``, the default; pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics), the next
+    right.on >= left.on (``"forward"``), or whichever of the two is
+    closer in time (``"nearest"``, ties to the backward match —
+    pandas' tie rule). Equality matches in every direction.
 
-    Implementation: tag + union both sides, one window pass per group
-    ordered by (on, side) with ``last(..., ignorenulls=True)`` carrying
-    right values forward, then filter back to left rows.
+    Implementation: tag + union both sides, one window pass per
+    direction ordered by (on, side) — side 0 (right) sorts before the
+    left row at equal ``on`` so ``last(..., ignorenulls=True)`` carries
+    an equal-timestamp right match in both traversals — then filter
+    back to left rows. ``nearest`` also carries the matched right
+    timestamp both ways and picks per row by |Δt| (exact: the ``on``
+    column cast to double, µs precision).
 
-    Scale shape: ONE shuffle on the ``by`` key and a sorted single pass
-    — the same cost as any window aggregate, with no range-join blowup
-    and no per-group driver logic. Skewed groups fall under AQE like
-    any other window partition.
+    Scale shape: ONE shuffle on the ``by`` key and one sorted pass per
+    needed direction (``nearest`` = two sorts over the same exchange) —
+    the same cost as a window aggregate, with no range-join blowup and
+    no per-group driver logic. Skewed groups fall under AQE like any
+    other window partition.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
     tagged_r = right.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(on).alias("_r__t"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
     tagged_l = left.select(
@@ -46,20 +58,38 @@ def asof_join(
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_r__t"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    w = (
+    wb = (
         Window.partitionBy(*by)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").desc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        picked = [F.last(f"_r_{c}", ignorenulls=True).over(wb) for c in value_cols]
+    elif direction == "forward":
+        picked = [F.last(f"_r_{c}", ignorenulls=True).over(wf) for c in value_cols]
+    else:  # nearest
+        lt = F.col("_t").cast("double")
+        bt = F.last("_r__t", ignorenulls=True).over(wb).cast("double")
+        ft = F.last("_r__t", ignorenulls=True).over(wf).cast("double")
+        choose_back = ft.isNull() | (bt.isNotNull() & ((lt - bt) <= (ft - lt)))
+        picked = [
+            F.when(
+                choose_back, F.last(f"_r_{c}", ignorenulls=True).over(wb)
+            ).otherwise(F.last(f"_r_{c}", ignorenulls=True).over(wf))
+            for c in value_cols
+        ]
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        *[expr.alias(f"{c}{suffix}") for c, expr in zip(value_cols, picked)],
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],

@@ -340,6 +340,92 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q114_asof_forward",
+    oracle="""
+        SELECT e.event_id,
+               CAST(date_trunc('second',
+                    (SELECT MIN(p.ts) FROM events p
+                     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                       AND p.ts >= e.ts)) AS TIMESTAMP) AS next_purchase_ts
+        FROM events e WHERE e.event_type = 'signup'
+        ORDER BY e.event_id
+    """,
+    tags=("relational", "asof"),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join (r9 operator extension — time-to-next-event
+    analytics: each signup gets the user's NEXT purchase timestamp, or
+    NULL if none follows). Same single-shuffle union-window kernel as
+    q52, traversed in descending time."""
+    t = Tables(spark, sf)
+    signups = t.events.filter(F.col("event_type") == "signup")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("next_purchase_ts")
+    )
+    joined = operators.asof_join(
+        signups,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_cols=["next_purchase_ts"],
+        suffix="",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", F.date_trunc("second", "next_purchase_ts").alias("next_purchase_ts")
+    ).transform(ordered, "event_id")
+
+
+@register(
+    "q115_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        m AS (
+            SELECT e.event_id, e.ts,
+                   (SELECT MAX(s.ts) FROM events s
+                    WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                      AND s.ts <= e.ts) AS back_ts,
+                   (SELECT MIN(s.ts) FROM events s
+                    WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                      AND s.ts >= e.ts) AS fwd_ts
+            FROM p e)
+        SELECT event_id,
+               CAST(date_trunc('second',
+                 CASE WHEN fwd_ts IS NULL THEN back_ts
+                      WHEN back_ts IS NULL THEN fwd_ts
+                      WHEN epoch_us(ts) - epoch_us(back_ts)
+                           <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                      ELSE fwd_ts END) AS TIMESTAMP) AS nearest_signup_ts
+        FROM m ORDER BY event_id
+    """,
+    tags=("relational", "asof"),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST as-of join (each purchase gets the closest signup in
+    time, either direction, ties to the earlier/backward match — the
+    pandas merge_asof tie rule). Two sorted passes over ONE user_id
+    exchange; |Δt| compared at exact µs precision on both engines."""
+    t = Tables(spark, sf)
+    purchases = t.events.filter(F.col("event_type") == "purchase")
+    signups = t.events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("nearest_signup_ts")
+    )
+    joined = operators.asof_join(
+        purchases,
+        signups,
+        on="ts",
+        by=["user_id"],
+        value_cols=["nearest_signup_ts"],
+        suffix="",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.date_trunc("second", "nearest_signup_ts").alias("nearest_signup_ts"),
+    ).transform(ordered, "event_id")
+
+
+@register(
     "q53_offset_fetch",
     oracle="""
         SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) + 0.0 AS tp

@@ -253,6 +253,53 @@ def test_boilerplate_prefix_semantics(spark, tmp_path):
     assert out["s3"] == (1, 64, "x" * 64)
 
 
+def test_asof_join_directions_match_pandas(spark):
+    """asof_join backward/forward/nearest must agree with pandas
+    merge_asof on a grouped frame with out-of-range edges (no prior /
+    no following match) and an exact-equality hit. Tie-free gaps so
+    pandas' nearest tie rule can't mask a divergence."""
+    import pandas as pd
+
+    from sparkflow_spark.operators import asof_join
+
+    left_p = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "t": [5.0, 11.0, 30.0, 1.0, 8.0],
+            "lid": [1, 2, 3, 4, 5],
+        }
+    )
+    right_p = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b"],
+            "t": [4.0, 11.0, 20.0, 9.0],
+            "v": [40.0, 110.0, 200.0, 90.0],
+        }
+    )
+    left = spark.createDataFrame(left_p)
+    right = spark.createDataFrame(right_p)
+    for direction in ("backward", "forward", "nearest"):
+        expect = pd.merge_asof(
+            left_p.sort_values("t"),
+            right_p.sort_values("t"),
+            on="t",
+            by="g",
+            direction=direction,
+        ).set_index("lid")["v"]
+        got = {
+            r["lid"]: r["v_asof"]
+            for r in asof_join(
+                left, right, on="t", by=["g"], value_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        for lid, v in expect.items():
+            g = got[lid]
+            assert (pd.isna(v) and g is None) or g == v, (
+                f"{direction} lid={lid}: pandas {v} vs engine {g}"
+            )
+
+
 def test_ngram_arrow_expansion_equals_hof(spark, sf_dir):
     """The Arrow pair-expansion kernel (the default since r9 — the HOF
     form's 4-pass C2 warmup was the r8 'in-session edge') must produce
