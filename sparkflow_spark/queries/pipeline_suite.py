@@ -77,6 +77,46 @@ def c_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "p_decontaminate_keep",
+    oracle=f"""
+        WITH {_CONTAM_CTES.replace("train_universe", "eval_universe")
+              .replace("WHERE doc_id % 10 <> 0", "WHERE doc_id % 10 = 0")
+              .replace("ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)",
+                       "tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)")},
+        scored AS (
+            SELECT tr.doc_id,
+                   CAST(ROUND(COUNT(eu.shingle) * 1.0 / COUNT(*), 3) AS DOUBLE) + 0.0
+                     AS contamination
+            FROM tr LEFT JOIN eval_universe eu ON tr.shingle = eu.shingle
+            GROUP BY tr.doc_id)
+        SELECT doc_id, contamination FROM scored
+        WHERE contamination < 0.2 ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup", "join"),
+)
+def p_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-side DECONTAMINATION (the GPT-3/Pile hygiene step
+    c_contamination only measures): drop every training document whose
+    distinct-shingle overlap with the EVAL split reaches 20%, returning
+    the keep-list with scores. Same kernel as the detector with the
+    roles swapped — the eval split collapses to its distinct shingle
+    universe (the tiny side, broadcastable), the 90% train side pays
+    one shingle-keyed left join, per-doc rollup on train ids. At 100 TB
+    this direction is the one that matters: the universe is eval-sized,
+    so the big corpus is scanned once and never self-joined."""
+    t = Tables(spark, sf)
+    docs = t.documents
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    scored = dedup.ngram_contamination(ev, train, shingle_k=3)
+    return (
+        scored.filter(F.col("contamination") < 0.2)
+        .select("doc_id", (F.col("contamination") + F.lit(0.0)).alias("contamination"))
+        .transform(ordered, "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction. The fixture corpus carries no PII-shaped spans, so the
 # query enriches each doc with a deterministic footer BUILT FROM FIXTURE
