@@ -199,11 +199,12 @@ def encode_oracle_sql(n_merges: int = 8, min_pair_count: int = 2) -> str:
     reuses :func:`learn_oracle_sql`'s CTE chain to re-derive the merge
     table, then applies the same ``n_merges`` greedy rewrites to each
     DISTINCT word (cheaper than per-occurrence, identical result) and
-    sums token/symbol counts per document. Caveat shared with the
-    learn replay: an early-stopped round empties the cross-joined
-    state, so this oracle is exact when all ``n_merges`` rounds fire —
-    true at every fixture scale (pair counts are in the thousands);
-    the structural-early-stop learn oracle catches the other case."""
+    sums token/symbol counts per document. Early stop replays exactly:
+    when a round's b{{r}} is empty (best pair count below
+    ``min_pair_count``) the cross-joined rewrite yields no rows, and a
+    NOT EXISTS(b{{r}})-guarded pass-through keeps e{{r}} = e{{r-1}} —
+    so the replay encodes with precisely the merges the trainer kept,
+    at any scale, instead of emptying every later round."""
     learn = learn_oracle_sql(n_merges, min_pair_count)
     # strip the learn oracle's final SELECT — keep its WITH chain
     base = learn[: learn.rindex("\n        SELECT * FROM (")]
@@ -220,9 +221,17 @@ def encode_oracle_sql(n_merges: int = 8, min_pair_count: int = 2) -> str:
             FROM (SELECT DISTINCT word FROM dw WHERE length(word) > 0))""",
     ]
     for r in range(1, n_merges + 1):
+        # fall back to e{r-1} when b{r} is empty (trainer early-stopped):
+        # the cross-joined rewrite contributes zero rows then, and the
+        # NOT EXISTS pass-through carries the previous state forward so
+        # the replay tracks the ACTUAL merge count, not the requested one
         parts.append(
             f""",
-        e{r} AS {_sql_merge_round(f"e{r - 1}", f"b{r}", carry="word")}"""
+        e{r} AS (
+          SELECT * FROM {_sql_merge_round(f"e{r - 1}", f"b{r}", carry="word")} _m{r}
+          UNION ALL
+          SELECT syms, word FROM e{r - 1}
+          WHERE NOT EXISTS (SELECT 1 FROM b{r}))"""
         )
     parts.append(
         f"""

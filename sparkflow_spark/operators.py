@@ -32,9 +32,16 @@ def asof_join(
     direction ordered by (on, side) — side 0 (right) sorts before the
     left row at equal ``on`` so ``last(..., ignorenulls=True)`` carries
     an equal-timestamp right match in both traversals — then filter
-    back to left rows. ``nearest`` also carries the matched right
-    timestamp both ways and picks per row by |Δt| (exact: the ``on``
-    column cast to double, µs precision).
+    back to left rows. Each right row is carried as ONE struct
+    ``(_t, value_cols…)`` per direction, so the timestamp used for the
+    nearest |Δt| decision and the attached values always come from the
+    same matched right row (a per-column carry would skip past a NULL
+    value to an older row — pandas attaches the matched row's NULL).
+    ``nearest`` compares |Δt| on an exact integer ordinal —
+    ``unix_micros`` for timestamps, ``unix_date`` for dates, ``long``
+    for integrals — never a double-cast timestamp: at epoch magnitude
+    doubles space ~0.24 µs apart and can flip a near-tie that integer
+    µs arithmetic (the oracle's, and pandas') resolves exactly.
 
     Scale shape: ONE shuffle on the ``by`` key and one sorted pass per
     needed direction (``nearest`` = two sorts over the same exchange) —
@@ -49,16 +56,17 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(on).alias("_r__t"),
+        F.struct(
+            F.col(on).alias("_t"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("_pack"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
+    pack_type = tagged_r.schema["_pack"].dataType
     tagged_l = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r__t"),
+        F.lit(None).cast(pack_type).alias("_pack"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -72,29 +80,44 @@ def asof_join(
         .orderBy(F.col("_t").desc(), "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    pack_b = F.last("_pack", ignorenulls=True).over(wb)
+    pack_f = F.last("_pack", ignorenulls=True).over(wf)
     if direction == "backward":
-        picked = [F.last(f"_r_{c}", ignorenulls=True).over(wb) for c in value_cols]
+        sel = pack_b
     elif direction == "forward":
-        picked = [F.last(f"_r_{c}", ignorenulls=True).over(wf) for c in value_cols]
+        sel = pack_f
     else:  # nearest
-        lt = F.col("_t").cast("double")
-        bt = F.last("_r__t", ignorenulls=True).over(wb).cast("double")
-        ft = F.last("_r__t", ignorenulls=True).over(wf).cast("double")
+        ordinal = _asof_ordinal(right.schema[on].dataType)
+        lt = ordinal(F.col("_t"))
+        bt = ordinal(pack_b["_t"])
+        ft = ordinal(pack_f["_t"])
         choose_back = ft.isNull() | (bt.isNotNull() & ((lt - bt) <= (ft - lt)))
-        picked = [
-            F.when(
-                choose_back, F.last(f"_r_{c}", ignorenulls=True).over(wb)
-            ).otherwise(F.last(f"_r_{c}", ignorenulls=True).over(wf))
-            for c in value_cols
-        ]
+        sel = F.when(choose_back, pack_b).otherwise(pack_f)
     carried = unioned.select(
         "*",
-        *[expr.alias(f"{c}{suffix}") for c, expr in zip(value_cols, picked)],
+        *[sel[c].alias(f"{c}{suffix}") for c in value_cols],
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def _asof_ordinal(dtype):
+    """Exact comparison ordinal for the as-of ``on`` column: integers
+    wherever the type allows (timestamps → µs, dates → days, integrals
+    → long), double only for genuinely fractional types."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros
+    if isinstance(dtype, T.TimestampNTZType):
+        return lambda c: F.unix_micros(c.cast("timestamp"))
+    if isinstance(dtype, T.DateType):
+        return F.unix_date
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lambda c: c.cast("long")
+    return lambda c: c.cast("double")
 
 
 def pivot_agg(

@@ -266,7 +266,8 @@ def _quality_langid_oracle() -> str:
             FROM terms)
         SELECT doc_id,
                CAST(ROUND(q, 6) AS DOUBLE) + 0.0 AS quality,
-               CASE WHEN langs[5].h > 0 THEN langs[5].l ELSE 'en' END AS lang_pred
+               CASE WHEN langs[{len(LANG_MARKERS)}].h > 0
+                    THEN langs[{len(LANG_MARKERS)}].l ELSE 'en' END AS lang_pred
         FROM scored ORDER BY doc_id
     """
 

@@ -387,3 +387,26 @@ def test_pq_md5_query_bounded_by_brute_force(spark, sf_dir):
     assert len(pq) == len(brute) == 10
     # sanity: the twin's exact-refined cosine is a true cosine in [-1, 1]
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in pq)
+    # THE bound: refine re-scores an ADC-pruned candidate set with true
+    # cosines, so per probe the PQ top-1 cosine can never exceed the
+    # exact brute-force top-1 cosine (recomputed here with numpy from
+    # the fixture, same double math). Tolerance = the query's 6-dp
+    # rounding half-step.
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tbl = tbl[tbl["embedding"].notna()]
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    idx_of = {v: i for i, v in enumerate(ids)}
+    for r in pq:
+        pi = idx_of[r["probe_id"]]
+        cos = (mat @ mat[pi]) / np.where(norms * norms[pi] == 0, np.inf, norms * norms[pi])
+        cos[pi] = -np.inf  # self-match excluded on both paths
+        brute_top1 = float(cos.max())
+        assert r["cosine"] <= brute_top1 + 5.1e-7, (
+            f"probe {r['probe_id']}: pq cosine {r['cosine']} exceeds "
+            f"brute-force top-1 {brute_top1}"
+        )
