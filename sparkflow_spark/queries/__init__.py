@@ -137,281 +137,114 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # relational core — round-5 rotation: 61 of 111 entries had never
-    # had a driver record, so seven redundant family SIBLINGS moved past
-    # 50 (q04/q08/q12/q20/q24/q26/q29 — each family keeps an in-window
-    # representative: q03 filters, q07 outer joins, q11 non-equi joins,
-    # q19+q21 windows, q23 set ops, q27 dates, q28 scalar exprs; the
-    # rotated-out rows keep their local oracle + pytest coverage) in
-    # favor of never-driver-checked families: the q15 thresholded
-    # approx-distinct boolean, UDTF lateral join, UNPIVOT, two TPC-H
-    # decorrelation shapes, and the two LLM-pipeline ops (mixture
-    # sampling, sequence packing).
-    # round-5c swaps: five more r4-green redundant siblings rotated out
-    # for the five newest never-driver-checked families (each outgoing
-    # row keeps an in-window family rep + its local oracle + pytest):
-    # q03→p_chunk_documents (q02 keeps filters), q05→g_triangle_count
-    # (q06 keeps joins incl. broadcast dims), q09→s_knn_classify (q10
-    # keeps semi/anti), q21→q65_scd2_history (q19 keeps windows),
-    # st_sliding_counts→q70_funnel_stages (st_tumbling/st_session keep
-    # the windowed-streaming reps).
-    # round-6 rotation: twelve r5-driver-green redundant siblings move
-    # past 50 (each keeps an in-window family rep + local oracle +
-    # pytest) for twelve never-driver-checked families:
-    # q01→q71_cohort_retention (q02 keeps scan/filter/project),
-    # q07→q79_table_checksums (q06/q10/q11 keep joins),
-    # q17→q80_multitouch_attribution + q18→q89_active_users (q13+q16
-    # keep aggs/rollup/subquery shapes), q23→q90_referential_integrity
-    # (q22 keeps the topk/set-finals family),
-    # q25→q92_event_transitions + q27→q93_spend_gini (q28/q30/q36 keep
-    # scalar string/date/json exprs), q32→q94_retention_curve (q31
-    # keeps arrays/structs), tpch_q21→q95_fulfillment_leadtime
-    # (tpch_q17 keeps TPC-H decorrelation),
-    # p_pack_sequences→t_bm25_scores (p_source_mixture keeps the LLM
-    # sampling/packing family), q40_python_udtf_lateral→
-    # a_frequent_item_pairs (q40_grouped_map + m02 keep Python-UDF
-    # surfaces), st_stream_stream_join→q60_merge_upsert (five streaming
-    # rows remain in-window incl. the CDC MERGE equivalence).
-    # round-6b (graph t2 upgrade): g_triangle_count / d_near_dedup_keep
-    # / s_knn_classify (all r5-driver-green; dedup keeps d_ngram +
-    # d_embedding_ann, similarity keeps s_brute_force + s_ivf) rotate
-    # out for the three newly oracle-backed graph fixpoints
-    # g_pagerank_top / g_lpa_communities / g_bfs_depths (recursive-CTE
-    # DuckDB oracles — the r5 verdict's t1→t2 ask).
-    # round-7 rotation (r6 verdict ask #5: keep de-blinding the window;
-    # ever-checked 113 → 125): twelve r6-driver-green rows rotate out,
-    # each keeping an in-window family rep + local oracle + pytest, for
-    # the ten never-checked entries the verdict names plus the two NEW
-    # round-7 registrations (the lossless prefix-filter jaccard and the
-    # IVF hard-negative miner):
-    # q79_table_checksums→q103_dq_audit (audit family; joins keep
-    # q06/q10), q80_multitouch_attribution + q89_active_users +
-    # q94_retention_curve→q105_spearman_corr / q101_order_overlap_pairs
-    # / g_link_prediction (events analytics keeps q71 cohort +
-    # q92 transitions), q93_spend_gini→q96_grouping_sets (scalar/agg
-    # keeps q13/q31), d_repeated_spans→t_lexical_diversity (text stats
-    # keep q36 + t_bm25), s_kmeans_clusters→a_heavy_hitters_mg
-    # (clustering stays in-window INSIDE d_semantic_dedup_keep),
-    # d_containment_pairs→d_prefix_jaccard_pairs +
-    # d_sorted_neighborhood_pairs→d_tfidf_cosine_pairs (dedup keeps
-    # d_ngram/d_minhash_md5/d_embedding_ann + the two newcomers),
-    # q104_join_key_skew + p_negative_pairs + q106_rolling_zscore→
-    # d_entity_resolution_keep / q102_equiheight_histogram /
-    # s_hard_negative_ann (rank/window families keep q65 lag windows
-    # and gain the two global_rank riders; the hard-negative pair keeps
-    # BOTH the exact twin and now the production ANN path in-window).
-    # round-8 rotation (r7 verdict ask #1: cumulative driver-checked
-    # 126 -> 140): fourteen r7-driver-green rows rotate out, each
-    # keeping an in-window family rep + local oracle + pytest, for the
-    # thirteen never-checked families the verdict names plus the NEW
-    # md5 LSH index lifecycle. Swaps (out -> in):
-    # p_chunk_documents->p_stratified_split (pipeline keeps
-    # p_training_bins_e2e, which CONTAINS the chunk stage),
-    # q71_cohort_retention->q107_ewma_per_event +
-    # q92_event_transitions->q98_intersect_all (events analytics reps
-    # now q107/q108; set-op family gains its bag forms),
-    # g_lpa_communities->q108_cumulative_new_users +
-    # g_link_prediction->q111_hll_rolling_distinct (graph keeps
-    # g_pagerank_top + g_bfs_depths),
-    # d_tfidf_cosine_pairs->d_cross_source_dup_matrix (dedup keeps
-    # d_ngram/d_minhash_md5/d_prefix/d_embedding_ann/d_semantic/
-    # d_entity in-window),
-    # q105_spearman_corr->q99_regression_per_group (stats; q102
-    # histogram stays), q90_referential_integrity->q97_except_all
-    # (audit keeps q103_dq_audit), q96_grouping_sets->
-    # q109_interval_join_shipments (aggs keep q13 + q58 + q102; the
-    # batch keyless range join joins its q110 overlap sibling),
-    # q95_fulfillment_leadtime->st_windowed_topk (TPC-H keeps tpch_q17;
-    # streaming gains the windowed top-k shape),
-    # t_lexical_diversity->p_shard_assignment (text keeps q36 + t_bm25
-    # + t_pii), a_frequent_item_pairs->d_lsh_index_md5_query
-    # (associations keep a_heavy_hitters_mg; the persistent-LSH
-    # lifecycle gets its FIRST cross-engine hash-checked driver row),
-    # q60_merge_upsert->st_stream_interval_join (CDC MERGE keeps
-    # st_cdc_upsert_snapshot; the streaming keyless range join is the
-    # range-join family's streaming rep),
-    # s_hard_negative_top1->p_bloom_known_users (verdict-directed: the
-    # exact twin's recall binding to the in-window ANN row lives in
-    # t1; the freed slot funds the bloom-pruned ingest family's first
-    # record — now reading the PERSISTED bloom artifact).
-    # round-9 rotation (r8 verdict asks #3 + #4: make the window 50/50
-    # hash-green and keep de-blinding it; cumulative driver-checked
-    # 140 -> 157): seventeen r8-driver-green rows rotate out, each
-    # keeping an in-window family rep + local oracle + pytest, for
-    # SEVENTEEN never-driver-checked oracle-backed entries. Swaps:
-    # s_hard_negative_ann->s_hard_negative_md5_query (THE verdict ask:
-    # the deterministic IVF-lifecycle twin replaces the rows-only ANN
-    # row, so every window row is hash-checked; the operational ANN
-    # path keeps its t1 recall-vs-exact-twin binding),
-    # q107_ewma_per_event->q74_quantile_normalize (window family keeps
-    # q65 lag windows; the grouped two-phase-rank shape gets its first
-    # record), p_stratified_split->q91_weighted_sample_md5 (md5-variate
-    # determinism family swap; the split keeps local oracle + pytest),
-    # q108_cumulative_new_users->q84_dwell_time_stats +
-    # q103_dq_audit->q64_table_diff (events/audit families swap to
-    # never-checked siblings), q99_regression_per_group->
-    # q81_customer_deciles (stats family; q102 histogram stays; the
-    # deciles row is the global_rank Bresenham rider's first record),
-    # q97_except_all->q55_cube_grouping (set ops keep q98; CUBE +
-    # GROUPING() markers get their first record),
-    # d_cross_source_dup_matrix->d_simhash_md5_sigs (dedup keeps six
-    # in-window rows; the portable SimHash family was never checked),
-    # d_lsh_index_md5_query->d_lsh_takedown_md5_query (the takedown
-    # lifecycle STRICTLY CONTAINS build/append/query and adds
-    # delete->exclude->compact equivalence — the GDPR path's first
-    # driver record), st_cdc_upsert_snapshot->st_cdc_delete_snapshot
-    # (same containment argument: the delete path extends upsert with
-    # retained tombstones), st_tumbling_hour_counts->
-    # st_sketch_maintenance (streaming keeps four in-window rows; the
-    # replay-safe additive-sketch sink was never checked),
-    # p_source_mixture->p_temperature_mixture (the tau=0.5 quota math
-    # is the strictly harder member of the mixture family),
-    # q30_json_extract->t_char_entropy (scalar exprs keep q31 + q58;
-    # the entropy quality signal is a never-checked text family),
-    # t_bm25_scores->t_tfidf_top_terms (relevance-scoring siblings),
-    # mm_binary_stats->mm_base64_roundtrip (multimodal codec sibling),
-    # g_bfs_depths->q112_histogram_quantile_rollup (graph keeps
-    # g_pagerank_top; the mergeable-sketch rollup was never checked),
-    # q109_interval_join_shipments->q113_histogram_drift_tv (range
-    # joins keep q110 + st_stream_interval_join; the TV drift monitor
-    # completes the sketch-family trio).
-    # round-9b (verdict ask #5's three NEW t2 twins get driver rows):
-    # q31_array_dot_norm->s_pq_md5_query (the PQ replay embeds dozens
-    # of dot/norm folds — strictly the harder member of the array-HOF
-    # family; q50/q59 keep local coverage),
-    # q36_lang_stats->t_quality_langid_check (the twin runs the full
-    # per-doc quality+langid heuristics, strictly harder than the lang
-    # rollup), st_windowed_topk->s_mmr_md5_rerank (streaming keeps
-    # four in-window rows; the unrolled-MMR replay is a shape nothing
-    # else covers).
-    # round-9c (two later-round registrations get driver rows):
-    # q102_equiheight_histogram->s_rrf_hybrid_topk (the global_rank
-    # rider family keeps q81_customer_deciles in-window; hybrid
-    # retrieval fusion is a new family) and p_shard_assignment->
-    # t_source_boilerplate_prefix (md5-determinism family keeps
-    # q91_weighted_sample_md5; the LCP boilerplate signal is a new
-    # text-quality shape).
-    "q74_quantile_normalize",
-    "q02_filter_and",
-    "q91_weighted_sample_md5",
-    "g_pagerank_top",
-    "q06_multiway_join",
-    "q64_table_diff",
-    "q84_dwell_time_stats",
-    "q10_left_anti_join",
-    # round-6e swap: q11_theta_join (driver-green r5; non-equi joins
-    # keep local oracle + pytest, and the join family keeps q06 + q10
-    # + tpch_q17 in-window) rotates out for the portable md5-MinHash —
-    # the hash-sketch family's FIRST driver record (the xxhash64
-    # minhash/simhash rows are engine-defined t1 by design; the md5
-    # twins are the cross-engine-checkable form).
-    "d_minhash_md5_pairs",
+    # Round-10 rotation (r9 verdict ask #1: target the 91 never-checked
+    # entries; this window rotates in 22 FIRST-TIME rows while every
+    # rotated-out row leaves an in-window family rep + its local oracle
+    # + pytest). Rotation history r5-r9 lives in git (this literal,
+    # commits tagged "rotation") and CORRECTNESS_r0{5..9}.json.
+    #
+    # Out->in map, with the surviving family rep in parentheses:
+    #   q02_filter_and -> q83_not_in_null_semantics (filter family gains
+    #     the three-valued NOT IN edge; q01/q03/q04 driver-green r5-r9)
+    #   q74_quantile_normalize / q81_customer_deciles ->
+    #     q60_exact_percentiles + q72_running_median (rank/percentile
+    #     family, both first-time)
+    #   q65_scd2_history -> q56_time_range_window (window family; the
+    #     RANGE-over-epoch frame was never driver-checked)
+    #   q91_weighted_sample_md5 -> q86_dp_noisy_counts stays OUT; md5-
+    #     deterministic family reps remain d_minhash_md5_pairs,
+    #     s_*_md5_query (all in-window)
+    #   q06_multiway_join / q10_left_anti_join -> tpch_q8_market_share
+    #     (8-way join) + tpch_q16/tpch_q20 (NOT IN + EXISTS/IN
+    #     decorrelation carry the semi/anti shapes)
+    #   tpch_q17_small_qty_revenue -> tpch_q2/q8/q13/q16/q20 (suite goes
+    #     from one driver-checked row to five, all first-time)
+    #   q64_table_diff -> q98_intersect_all stays in-window (set ops)
+    #   q84_dwell_time_stats -> q101_order_overlap_pairs (events/pair
+    #     analytics, first-time) + q110 r9-green
+    #   q110_overlap_join_congestion -> st_stream_interval_join stays
+    #     (interval-join family) + q101 overlap pairs
+    #   q15_approx_within_5pct -> st_sketch_maintenance stays (approx/
+    #     sketch family; q15 driver-green r9)
+    #   a_heavy_hitters_mg -> q100_heavy_hitters (same family,
+    #     first-time; MG sketch keeps its local oracle + pytest)
+    #   q111_hll_rolling_distinct / q112_histogram_quantile_rollup /
+    #     q113_histogram_drift_tv (all r9-green) -> q67_histogram
+    #     (equi-width histogram, first-time)
+    #   q55_cube_grouping (r9-green) -> tpch_q13_customer_distribution
+    #     (grouped-distribution shape, first-time)
+    #   q58_unpivot (r9-green) -> q59_array_exists_forall (reshape/HOF
+    #     neighbors, first-time)
+    #   t_char_entropy / t_source_boilerplate_prefix / t_tfidf_top_terms
+    #     (all r9-green) -> t_bpe_learn_merges (the X150 iterative-
+    #     trainer replay, never driver-checked) + q57_string_distance
+    #   s_ivf_index_query (r9-green) -> s_rh_lsh_md5_query (completes
+    #     driver coverage of all three ANN replay families: IVF via
+    #     s_hard_negative_md5_query, PQ via s_pq_md5_query, RH-LSH here)
+    #   + first-time riders with no out-partner: q114_asof_forward,
+    #     q115_asof_nearest (the r9-ADVICE-hardened directions),
+    #     p_corpus_report, p_decontaminate_keep, mm_feature_check,
+    #     mm_frame_check (the X152/X153/X155 t2 twins).
+    #
+    # relational / window / percentile core
     "q13_hash_agg_tpch_q1",
-    # round-5 swap #1: q14_count_distinct rotated out (its exact
-    # count-distinct leg is computed INSIDE q15's thresholded compare,
-    # and q14 keeps local oracle + pytest) for the contamination check,
-    # a never-driver-checked family
-    # round-6c swaps: two r5-driver-green redundant siblings rotate out
-    # for the two brand-new round-6 operator FAMILIES (each outgoing row
-    # keeps an in-window family rep + local oracle + pytest):
-    # q16_rollup→s_kmeans_clusters (q13 keeps hash aggs; clustering had
-    # no driver row at all), q22_topk_global→d_containment_pairs (q19
-    # keeps top-k; asymmetric containment is a new dedup check the
-    # symmetric jaccard row can't cover).
-    # round-6g swaps: five more r5-driver-green rows rotate out for
-    # the five newest never-checked families (each outgoing row keeps
-    # an in-window family rep + local oracle + pytest):
-    # c_contamination->d_sorted_neighborhood_pairs (train/eval hygiene
-    # keeps t_pii_redact + the dedup rows; SNM is the third blocking
-    # family, never checked), q19->q106_rolling_zscore (both window
-    # ops; the trailing-ROWS frame is a window shape no other row
-    # exercises; top-k windows stay via st_windowed-style local checks
-    # + q65 lag windows), q70->q104_join_key_skew (events analytics
-    # keeps q71/q89/q92/q94; the skew diagnostic is a new family),
-    # q77->p_negative_pairs (same md5-variate determinism family,
-    # plus global_rank + dense-integer self-join), s_brute_force_top1
-    # ->s_hard_negative_top1 (same broadcast scoring kernel + label
-    # filter over ALL anchors -- strictly the wider check).
-    "d_simhash_md5_sigs",
-    "q15_approx_within_5pct",
-    "a_heavy_hitters_mg",
-    "q81_customer_deciles",
-    # round-7e swap: q101_order_overlap_pairs (keyed overlap; keeps
-    # local oracle + pytest) rotates out for the KEYLESS binned
-    # overlap join — the same interval-overlap family repped by its
-    # strictly harder member, and the range-join operator family's
-    # (X124-X125) first driver record.
-    "q110_overlap_join_congestion",
-    "s_rrf_hybrid_topk",
-    "q65_scd2_history",
-    "d_prefix_jaccard_pairs",
-    "q55_cube_grouping",
+    "q83_not_in_null_semantics",
+    "q56_time_range_window",
+    "q57_string_distance",
+    "q59_array_exists_forall",
+    "q60_exact_percentiles",
+    "q72_running_median",
+    "q67_histogram",
     "q98_intersect_all",
-    "q113_histogram_drift_tv",
-    # round-6b swap: q28_math_functions (driver-green r5; scalar-math
-    # family keeps in-window coverage via q31_array_dot_norm and
-    # q93_spend_gini) rotated out for the never-checked corpus-level
-    # substring-duplication stat.
-    "t_source_boilerplate_prefix",
-    "t_char_entropy",
-    "q58_unpivot",
-    "tpch_q17_small_qty_revenue",
-    "q111_hll_rolling_distinct",
-    "p_temperature_mixture",
-    "t_tfidf_top_terms",
-    # array / struct / UDF families (Q31/Q32/Q40)
-    "s_pq_md5_query",
-    "d_entity_resolution_keep",
-    # round-5 swap #2: q40_pandas_udf_scalar rotated out (the scalar
-    # pandas_udf path stays driver-covered via m02_linear_inference;
-    # grouped-map + UDTF keep their rows) for PII redaction
-    "t_pii_redact",
+    "q100_heavy_hitters",
+    "q101_order_overlap_pairs",
+    "q114_asof_forward",
+    "q115_asof_nearest",
+    # TPC-H suite (first-time driver rows)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_part_promotion",
+    # python-eval surface
     "q40_grouped_map_applyinpandas",
-    "d_lsh_takedown_md5_query",
-    # dedup family (Q34/Q35)
-    # round-5d swap: q34_exact_dedup_count rotated out (exact dedup is
-    # ALSO exercised in-window by p_clean_corpus's dedup stage; d_* keep
-    # three dedup rows) for the persistent-IVF-index lifecycle check
-    "s_ivf_index_query",
-    "d_ngram_jaccard_pairs",
-    "q112_histogram_quantile_rollup",
-    "d_embedding_near_dup_ann",
-    # text analysis (Q36) + the end-to-end cleaning pipeline
-    # round-5d swap: t_token_count rotated out (text family keeps
-    # q36_lang_stats + p_clean_corpus + t_pii_redact in-window) for the
-    # end-to-end streaming CDC MERGE equivalence check
+    # graph
+    "g_pagerank_top",
+    # text / tokenizer
+    "t_pii_redact",
     "t_quality_langid_check",
-    "st_cdc_delete_snapshot",
-    # round-6c swap: p_clean_corpus (driver-green r5) → the e2e
-    # pipeline that CONTAINS it as stage one (clean → dedup → chunk →
-    # pack); the composition check strictly subsumes the family rep.
-    "p_training_bins_e2e",
-    # streaming (Q37–Q39 + streaming dedup) — all four watermark queries
-    # have driver records; q40_python_udtf_lateral (two sibling UDF rows
-    # already in-window) moved past 50 to make room for st_sliding_counts
-    # round-5d swap: st_stream_dedup rotated out (streaming keeps five
-    # in-window rows incl. the new CDC check; its dedup semantics stay
-    # covered by the d_* family) for the deterministic hash split
-    # round-6d swap: st_session_counts rotates out (streaming keeps
-    # st_tumbling + st_stateful + st_cdc in-window; session windows stay
-    # locally oracle-checked + pytest'd) for the SemDeDup end-to-end
-    # fixpoint (k-means → within-cluster pairs → connected components →
-    # keep), a shape no other window row exercises.
-    "st_sketch_maintenance",
+    "t_bpe_learn_merges",
+    # dedup families
+    "d_minhash_md5_pairs",
+    "d_simhash_md5_sigs",
+    "d_prefix_jaccard_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_lsh_takedown_md5_query",
+    "d_entity_resolution_keep",
+    "d_embedding_near_dup_ann",
+    "d_semantic_dedup_keep",
+    # similarity / retrieval
+    "s_rrf_hybrid_topk",
+    "s_pq_md5_query",
     "s_hard_negative_md5_query",
     "s_mmr_md5_rerank",
-    "d_semantic_dedup_keep",
+    "s_rh_lsh_md5_query",
+    # pipeline
+    "p_temperature_mixture",
+    "p_training_bins_e2e",
+    "p_bloom_known_users",
+    "p_corpus_report",
+    "p_decontaminate_keep",
+    # streaming
+    "st_cdc_delete_snapshot",
+    "st_sketch_maintenance",
     "st_stream_interval_join",
     "st_stateful_user_counts",
-    # similarity, multimodal, ML (§2c LLM-pipeline + M02/M03)
-    "p_bloom_known_users",
+    # multimodal
     "mm_base64_roundtrip",
-    # round-7b swap: m02_linear_inference (driver-green since r3; the
-    # DistributedDLModel inference path keeps its in-window rep via
-    # m03's persistence roundtrip + local oracle + pytest) rotates out
-    # for the NEW framework-agnostic serving hook — same affine
-    # contract, served through PredictWith/predict_batch_udf (r6
-    # verdict missing #1).
+    "mm_feature_check",
+    "mm_frame_check",
+    # ML
     "m06_predict_batch_hook",
     "m03_persistence_roundtrip",
 )
