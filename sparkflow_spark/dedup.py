@@ -1522,3 +1522,113 @@ def prefix_filter_jaccard_pairs(
     return inter.where(jac >= threshold).select(
         "id_a", "id_b", jac.alias("jaccard")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    ExactSubstr pass, re-expressed relationally): emit every MAXIMAL
+    character span of length >= ``min_len`` that also occurs verbatim
+    in at least one OTHER document.
+
+    Semantics (identical to merging the overlapping byte ranges the
+    suffix-array implementation emits): a character position is
+    duplicated iff the ``min_len``-gram starting there occurs in >= 2
+    distinct documents; maximal runs of consecutive duplicated start
+    positions [i1..i2] merge to the span [i1, i2 + min_len). Every
+    cross-document duplicated substring of length m >= min_len flags
+    exactly its m - min_len + 1 start positions, so merged spans
+    reproduce the maximal duplicated regions without building a suffix
+    array — two window passes instead of a global suffix sort.
+
+    Output: (doc_id, span_start 1-based, span_end exclusive, span_len).
+
+    Scale shape: one per-doc gram explode (linear in corpus chars, no
+    pairs), ONE gram-keyed exchange where min(doc)!=max(doc) over the
+    gram partition detects cross-doc duplication (no count-distinct, no
+    self-join, boilerplate grams cost one window partition instead of
+    an O(df²) join bucket), then ONE doc-keyed exchange for the
+    gaps-and-islands merge. At 100 TB the gram key would be an 8-byte
+    xxhash64 prefilter with an exact-gram verify join behind it
+    (hash-shard-able, 10× narrower shuffle); the fixtures' corpus fits
+    the exact-gram key, which keeps the oracle engine-portable.
+    """
+    k = int(min_len)
+    if k < 2:
+        raise ValueError(f"exact_substring_spans: min_len must be >= 2, got {min_len}")
+    d = df.select(id_col, text_col).where(F.char_length(F.col(text_col)) >= k)
+    grams = d.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.char_length(F.col(text_col)) - k + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(F.col(text_col), i, k).alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+    wg = Window.partitionBy("gram")
+    flagged = (
+        grams.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        flagged.withColumn("_grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_len"),
+        )
+        .drop("_grp")
+    )
+
+
+def exact_substring_strip_list(
+    df: DataFrame,
+    min_len: int = 30,
+    max_dup_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep/strip decision over :func:`exact_substring_spans`:
+    per document, the duplicated-character mass (spans never overlap
+    after the island merge, so a plain SUM is exact), its fraction of
+    the doc, and keep = dup_frac < ``max_dup_frac``. Docs with no
+    duplicated span keep with dup_frac 0. Pipelines drop (or
+    span-strip) the keep=false rows before training. One extra
+    doc-keyed rollup + a doc-keyed left join against the corpus scan on
+    top of the spans kernel."""
+    spans = exact_substring_spans(df, min_len=min_len, text_col=text_col, id_col=id_col)
+    mass = spans.groupBy(id_col).agg(F.sum("span_len").alias("_dup_chars"))
+    return (
+        df.select(id_col, F.char_length(F.col(text_col)).alias("_n"))
+        .join(mass, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_dup_chars"), F.lit(0)).cast("bigint").alias("n_dup_chars"),
+            (
+                F.round(
+                    F.coalesce(F.col("_dup_chars"), F.lit(0))
+                    / F.greatest(F.col("_n"), F.lit(1)),
+                    6,
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+            (
+                F.coalesce(F.col("_dup_chars"), F.lit(0))
+                / F.greatest(F.col("_n"), F.lit(1))
+                < max_dup_frac
+            ).alias("keep"),
+        )
+    )

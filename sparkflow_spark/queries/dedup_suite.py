@@ -1050,3 +1050,87 @@ def d_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .transform(ordered, "source_a", "source_b")
     )
+
+
+# Anchor/window length for the exact-substring pass (characters). Lee
+# et al. use 50 BPE tokens; 30 chars keeps fixture spans non-empty at
+# every SF while the kernel is length-agnostic.
+_SUBSTR_L = 30
+_SUBSTR_MAX_DUP_FRAC = 0.2
+
+_SUBSTR_SPANS_CTE = f"""
+        d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {_SUBSTR_L}),
+        g0 AS (SELECT doc_id, text,
+                      unnest(generate_series(1, length(text) - {_SUBSTR_L - 1}))
+                          AS pos
+               FROM d),
+        grams AS (SELECT doc_id, pos, substr(text, pos, {_SUBSTR_L}) AS gram
+                  FROM g0),
+        flagged AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+                       MAX(doc_id) OVER (PARTITION BY gram) AS mx
+                FROM grams) t
+            WHERE mn != mx),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM flagged),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + {_SUBSTR_L} AS BIGINT) AS span_end,
+                   CAST(MAX(pos) + {_SUBSTR_L} - MIN(pos) AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, grp)"""
+
+
+@register(
+    "d_exact_substring_spans",
+    oracle=f"""
+        WITH {_SUBSTR_SPANS_CTE}
+        SELECT doc_id, span_start, span_end, span_len
+        FROM spans ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "lee2022"),
+)
+def d_exact_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr): every
+    maximal character span >= 30 chars that occurs verbatim in >= 2
+    distinct documents — the one dedup family fixed-k shingle counting
+    (d_repeated_spans) only approximates. See
+    :func:`sparkflow_spark.dedup.exact_substring_spans` for the
+    suffix-array-free plan (gram window + island merge, two exchanges,
+    zero self-joins)."""
+    t = Tables(spark, sf)
+    return dedup.exact_substring_spans(t.documents, min_len=_SUBSTR_L).transform(
+        ordered, "doc_id", "span_start"
+    )
+
+
+@register(
+    "d_exact_substring_strip",
+    oracle=f"""
+        WITH {_SUBSTR_SPANS_CTE},
+        mass AS (SELECT doc_id, SUM(span_len) AS dc FROM spans GROUP BY doc_id)
+        SELECT doc.doc_id,
+               CAST(COALESCE(m.dc, 0) AS BIGINT) AS n_dup_chars,
+               CAST(ROUND(COALESCE(m.dc, 0) / GREATEST(length(doc.text), 1), 6)
+                    AS DOUBLE) + 0.0 AS dup_frac,
+               COALESCE(m.dc, 0) / GREATEST(length(doc.text), 1)
+                   < {_SUBSTR_MAX_DUP_FRAC} AS keep
+        FROM documents doc LEFT JOIN mass m USING (doc_id)
+        ORDER BY doc.doc_id
+    """,
+    tags=("dedup", "substring", "lee2022"),
+)
+def d_exact_substring_strip_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The keep/strip list over d_exact_substring_spans: per-doc
+    duplicated-character mass (islands never overlap, so SUM is exact),
+    duplicated fraction, and keep = dup_frac < 0.2 — what a training
+    pipeline actually consumes from the ExactSubstr pass."""
+    t = Tables(spark, sf)
+    return dedup.exact_substring_strip_list(
+        t.documents, min_len=_SUBSTR_L, max_dup_frac=_SUBSTR_MAX_DUP_FRAC
+    ).transform(ordered, "doc_id")

@@ -100,3 +100,75 @@ def test_query_reference_doc_matches_registry():
     )
     missing = [n for n in reg if f"| {n} " not in doc]
     assert not missing, f"QUERY_REFERENCE.md missing rows: {missing}"
+
+
+def test_exact_substring_spans_match_suffix_array_reference(spark):
+    """d_exact_substring_spans' kernel vs a brute-force suffix-array
+    reference (all-pairs cross-doc LCP per suffix — the Lee et al.
+    definition computed the slow exact way): identical maximal spans on
+    a corpus with a long shared passage, an exactly-L share, a
+    just-under-L share (must NOT emit), an internal-only repeat (must
+    NOT emit — cross-document means >= 2 distinct docs), a full-doc
+    duplicate, and a doc shorter than L."""
+    from sparkflow_spark.dedup import exact_substring_spans
+
+    L = 12
+    shared45 = "the quick brown fox jumps over the lazy dog!"
+    shared12 = "abcdefghijkl"
+    shared11 = "ABCDEFGHIJK"
+    docs = {
+        1: "xx " + shared45 + " yy",
+        2: "zz" + shared45 + "qq " + shared12,
+        3: "prefix " + shared12 + " suffix",
+        4: "one" + shared11 + "two",
+        5: "six" + shared11 + "four",
+        6: "selfrepeatselfrepeatselfrepeat",  # internal-only repeat
+        7: "short",
+        8: "duplicate document body here",
+        9: "duplicate document body here",
+    }
+
+    def lcp(a: str, b: str) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    suffixes = [
+        (t[i:], d, i + 1) for d, t in docs.items() for i in range(len(t))
+    ]
+    expect = set()
+    for d, t in docs.items():
+        flagged = sorted(
+            p
+            for (s, dd, p) in suffixes
+            if dd == d
+            and max(
+                (lcp(s, s2) for (s2, d2, _) in suffixes if d2 != d), default=0
+            )
+            >= L
+        )
+        run: list[int] = []
+        for p in flagged:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expect.add((d, run[0], run[-1] + L, run[-1] + L - run[0]))
+                run = [p]
+        if run:
+            expect.add((d, run[0], run[-1] + L, run[-1] + L - run[0]))
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_substring_spans(df, min_len=L).collect()
+    }
+    assert got == expect
+    assert any(r[0] == 1 for r in got)          # long shared passage found
+    assert any(r[0] == 3 for r in got)          # exactly-L share found
+    assert not any(r[0] in (4, 5, 6, 7) for r in got)  # under-L/internal/short
+    full = {r for r in got if r[0] in (8, 9)}
+    assert full == {(8, 1, 29, 28), (9, 1, 29, 28)}  # full-doc duplicates
