@@ -435,3 +435,54 @@ def st_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = run_stream_to_memory(agg, "complete")
     return out.orderBy("signup_day")
+
+
+@register(
+    "st_stream_stream_left_join",
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'purchase'),
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'signup')
+            ) - 10800000 AS wm_ms),
+        l AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'signup')
+        SELECT l.event_id AS l_id, r.event_id AS r_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 2 HOUR
+        UNION ALL
+        SELECT l.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id
+        FROM l, wm
+        WHERE epoch_us(l.ts) < wm.wm_ms * 1000
+          AND NOT EXISTS (SELECT 1 FROM r
+                          WHERE r.user_id = l.user_id
+                            AND r.ts <= l.ts
+                            AND r.ts > l.ts - INTERVAL 2 HOUR)
+        ORDER BY l_id, r_id
+    """,
+    tags=("streaming", "join", "outer"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_ss_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (r9 verdict ask #7):
+    matches == the batch join; null-padded rows appear ONLY for
+    unmatched purchases whose state the watermark has expired. The
+    timing rule — the trickiest semantics in the join family — is
+    pinned cross-engine: Catalyst pushes each leg's event-type filter
+    BELOW its EventTimeWatermark node, so every leg's watermark tracks
+    its own filtered max (verified from StreamingQueryProgress: the
+    purchase leg reports max = max purchase ts, not the corpus max);
+    the global watermark is the MIN across legs (default
+    multipleWatermarkPolicy) minus the 3h delay, truncated to WHOLE
+    MILLISECONDS (Spark tracks watermarks in ms); an unmatched left row
+    emits null-padded iff l_ts (µs) < that ms-floored watermark.
+    Unmatched rows at/above it stay buffered when the query stops —
+    the oracle reproduces exactly that, not a batch LEFT JOIN."""
+    from sparkflow_spark.streaming.windows import stream_stream_left_join
+
+    return stream_stream_left_join(spark, sf)

@@ -172,3 +172,44 @@ def test_exact_substring_spans_match_suffix_array_reference(spark):
     assert not any(r[0] in (4, 5, 6, 7) for r in got)  # under-L/internal/short
     full = {r for r in got if r[0] in (8, 9)}
     assert full == {(8, 1, 29, 28), (9, 1, 29, 28)}  # full-doc duplicates
+
+
+def test_stream_stream_left_join_null_padding_timing(spark, tmp_path):
+    """Pins the outer-emission rule of st_stream_stream_left_join on a
+    planted-boundary fixture: global wm = min(per-leg filtered max) -
+    3h delay = 09:00:00.000; an unmatched purchase EXACTLY at the
+    watermark must be withheld (strict <), 1 µs above withheld, below
+    emitted null-padded, and matches emit regardless."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from sparkflow_spark.streaming.windows import stream_stream_left_join
+
+    T = dt.datetime.fromisoformat
+    rows = [
+        (1, T("2024-01-01 04:30:00"), 10, "signup"),
+        (2, T("2024-01-01 12:00:00"), 99, "signup"),  # right-leg max
+        (3, T("2024-01-01 05:00:00"), 10, "purchase"),  # matched
+        (4, T("2024-01-01 06:00:00"), 20, "purchase"),  # below wm
+        (5, T("2024-01-01 09:00:00"), 30, "purchase"),  # == wm exactly
+        (6, T("2024-01-01 09:00:00.000001"), 40, "purchase"),  # 1 µs above
+        (7, T("2024-01-01 23:00:00"), 50, "purchase"),  # left-leg max
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in stream_stream_left_join(spark, str(tmp_path)).collect()
+    )
+    assert got == [(3, 1), (4, None)]
