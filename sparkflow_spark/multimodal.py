@@ -11,11 +11,13 @@ Convention (north-star brief): a modality column is
   ``mapInPandas`` with explicit schemas — the only sane shape at 100 TB:
   batches of blobs arrive at the Python worker without row-pickling, and
   the work parallelizes per partition with zero shuffle.
-- The container has no image/audio libraries, so the actual codecs are
-  STUBBED: ``decode_image`` raises NotImplementedError unless PIL is
-  importable; ``extract_features`` / ``sample_frames`` use clearly-marked
-  deterministic fakes (byte histograms / chunk hashes) so the Spark-side
-  plumbing — schema, batching, partitioning — is real and testable.
+- ``decode_image`` decodes FOR REAL even without imaging libraries:
+  Pillow when importable (production, every format), else dependency-free
+  pure-python PPM/PGM + 24-bit-BMP codecs that match PIL bit-for-bit on
+  those formats; anything else yields NULL rows. ``extract_features`` /
+  ``sample_frames`` use clearly-marked deterministic fakes (byte
+  histograms / chunk hashes) so the Spark-side plumbing — schema,
+  batching, partitioning — is real and testable for arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -140,57 +142,153 @@ def sample_frames(
 IMAGE_SCHEMA = "doc_id long, width int, height int, mode string, pixels array<float>"
 
 
+def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[bytes], int]:
+    """Tokenize a PNM header after the 2-byte magic: whitespace-separated
+    integer tokens with ``#``-to-EOL comments. Returns (tokens, index of
+    the single whitespace byte that terminates the last token) — the
+    raster begins exactly one byte after that (PNM spec)."""
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < n_tokens and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace() and b[j : j + 1] != b"#":
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    return toks, i
+
+
+def decode_ppm_bytes(b: bytes):
+    """Pure-python binary-PNM decoder: P6 (RGB) / P5 (grayscale),
+    maxval 255. Returns (width, height, mode, float32 pixels in [0,1])
+    or None if the blob is not a decodable PPM/PGM. Matches PIL's
+    decode of the same blob bit-for-bit (same /255 float32 math)."""
+    if b[:2] not in (b"P5", b"P6"):
+        return None
+    toks, end = _ppm_header_tokens(b, 3)
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, mx = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if mx != 255 or w <= 0 or h <= 0:
+        return None
+    ch = 3 if b[:2] == b"P6" else 1
+    raster = b[end + 1 : end + 1 + w * h * ch]
+    if len(raster) < w * h * ch:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.float32) / 255.0
+    return w, h, ("RGB" if ch == 3 else "L"), arr
+
+
+def decode_bmp_bytes(b: bytes):
+    """Pure-python BMP decoder: uncompressed (BI_RGB) 24-bit with a
+    BITMAPINFOHEADER — the plain Windows bitmap. Handles the 4-byte row
+    padding and both bottom-up (positive height, flipped to top-down)
+    and top-down (negative height) rasters; pixels come out RGB
+    interleaved like PIL's. Returns None for anything else."""
+    import struct
+
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    off = struct.unpack_from("<I", b, 10)[0]
+    hsz = struct.unpack_from("<I", b, 14)[0]
+    if hsz < 40:
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up, height = h > 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < off + stride * height:
+        return None
+    rows = (
+        np.frombuffer(b, np.uint8, stride * height, off)
+        .reshape(height, stride)[:, : w * 3]
+        .reshape(height, w, 3)
+    )
+    rgb = rows[:, :, ::-1]  # BMP stores BGR
+    if bottom_up:
+        rgb = rgb[::-1]
+    return w, height, "RGB", (rgb.astype(np.float32) / 255.0).ravel()
+
+
+def _decode_blob(blob: bytes):
+    """One blob → (w, h, mode, pixels) or None. PIL when installed (the
+    production path, every format); otherwise the dependency-free
+    built-in codecs (PPM/PGM + 24-bit BMP) so the decode stage stays
+    executable — and testable — in environments without imaging libs."""
+    try:
+        import io
+
+        import PIL.Image as Image
+
+        img = Image.open(io.BytesIO(blob))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return img.width, img.height, img.mode, arr.ravel()
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    for codec in (decode_ppm_bytes, decode_bmp_bytes):
+        try:
+            got = codec(blob)
+        except Exception:
+            got = None
+        if got is not None:
+            return got
+    return None
+
+
 def decode_image(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Real image decode via Pillow → (doc_id, width, height, mode,
-    pixels) with pixels scaled to [0, 1] float32, row-major, channel-
-    interleaved. Undecodable blobs yield a row with NULL width/height/
-    mode/pixels (pipeline keeps flowing; callers filter on
-    ``width IS NOT NULL``).
+    """Image decode → (doc_id, width, height, mode, pixels) with pixels
+    scaled to [0, 1] float32, row-major, channel-interleaved.
+    Undecodable blobs yield a row with NULL width/height/mode/pixels
+    (pipeline keeps flowing; callers filter on ``width IS NOT NULL``).
+
+    Codec resolution per worker: Pillow when importable (production —
+    every format), else the built-in pure-python PPM/PGM + 24-bit BMP
+    decoders (:func:`decode_ppm_bytes` / :func:`decode_bmp_bytes`),
+    which match PIL bit-for-bit on those formats — so the decode stage
+    executes for real in this sandbox instead of stubbing.
 
     Spark shape: one Arrow-batched ``mapInPandas`` stage over the binary
     column with a declared schema — identical plumbing to
-    :func:`extract_features` / :func:`sample_frames`, which keep this
-    path's partitioning/batching behavior tested in environments (like
-    this build sandbox) that ship no imaging libraries. There the
-    import guard below fails LOUDLY at plan-construction time instead
-    of faking a decode.
+    :func:`extract_features` / :func:`sample_frames`.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "decode_image requires Pillow, which this environment does not ship; "
-            "the Spark plumbing (mapInPandas over binary, declared schema) is "
-            "exercised via extract_features/sample_frames instead"
-        ) from exc
-
     flat = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("content")
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import PIL.Image as Image
-
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [], "mode": [], "pixels": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
                 out["doc_id"].append(doc_id)
-                try:
-                    img = Image.open(io.BytesIO(bytes(blob)))
-                    arr = np.asarray(img, dtype=np.float32) / 255.0
-                    out["width"].append(img.width)
-                    out["height"].append(img.height)
-                    out["mode"].append(img.mode)
-                    out["pixels"].append(arr.ravel())
-                except Exception:
+                got = _decode_blob(bytes(blob)) if blob is not None else None
+                if got is None:
                     out["width"].append(None)
                     out["height"].append(None)
                     out["mode"].append(None)
                     out["pixels"].append(None)
+                else:
+                    w, h, mode, pixels = got
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mode"].append(mode)
+                    out["pixels"].append(pixels)
             yield pd.DataFrame(out)
 
     return flat.mapInPandas(decode, schema=IMAGE_SCHEMA)

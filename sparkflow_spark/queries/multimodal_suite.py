@@ -245,3 +245,65 @@ def mm_base64(spark: SparkSession, sf: str) -> DataFrame:
         F.octet_length(back).cast("bigint").alias("n_bytes_back"),
         F.sha2(back.cast("string"), 256).alias("sha_back"),
     ).transform(ordered, "doc_id")
+
+
+_PPM_HEADER = b"P6\n4 3\n255\n"  # 4x3 RGB -> 36 raster bytes
+_HEX_DIGIT = "CASE WHEN {d} <= 57 THEN {d} - 48 ELSE {d} - 55 END"
+
+
+def _decode_oracle() -> str:
+    """DuckDB replay of mm_decode_check: re-derive the 36 raster bytes
+    from hex(encode(text)) (hi*16 + lo per byte) and sum them — the
+    exact integer the decoder's float32 [0,1] pixels multiply back to
+    (byte/255*255 rounds to the byte exactly in float32, and 36 terms
+    keep the float64 sum within 0.001 of the integer)."""
+    hi = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(2 * i + 1 AS INT), 1))")
+    lo = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(2 * i + 2 AS INT), 1))")
+    return f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+        e AS (SELECT doc_id, hx FROM h WHERE n >= 36)
+        SELECT doc_id,
+               CAST(4 AS INT) AS width,
+               CAST(3 AS INT) AS height,
+               'RGB' AS mode,
+               CAST(list_sum(list_transform(range(0, 36),
+                   i -> ({hi}) * 16 + ({lo}))) AS BIGINT) AS byte_sum
+        FROM e ORDER BY doc_id
+    """
+
+
+@register(
+    "mm_decode_check",
+    oracle=_decode_oracle(),
+    tags=("multimodal", "udf", "decode"),
+)
+def mm_decode_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The t2 twin of the image-decode stage (r9 verdict ask #8 made
+    decode REAL in-sandbox): per document, synthesize a valid 4x3 P6
+    PPM whose raster is the first 36 UTF-8 bytes of the text (docs
+    shorter than 36 bytes are excluded on both sides), decode it
+    through multimodal.decode_image's mapInPandas kernel — built-in
+    pure-python codec here, PIL in production, bit-identical on PPM —
+    and emit the PARSED width/height/mode plus the raster byte-sum
+    recovered from the [0,1] float32 pixels. Hash-checking this against
+    the hex-digit DuckDB replay pins header parsing, raster extraction
+    and normalization cross-engine, not just "it ran"."""
+    t = Tables(spark, sf)
+    payload = F.substring(F.encode(F.col("text"), "utf-8"), 1, 36)
+    blobs = (
+        t.documents.where(F.octet_length(F.encode(F.col("text"), "utf-8")) >= 36)
+        .select(
+            "doc_id",
+            F.concat(F.lit(_PPM_HEADER), payload).alias("content"),
+        )
+    )
+    decoded = multimodal.decode_image(blobs)
+    byte_sum = F.round(
+        F.aggregate("pixels", F.lit(0.0), lambda acc, x: acc + x) * 255
+    ).cast("bigint")
+    return decoded.select(
+        "doc_id", "width", "height", "mode", byte_sum.alias("byte_sum")
+    ).transform(ordered, "doc_id")

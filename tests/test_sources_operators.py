@@ -242,7 +242,7 @@ def test_orc_text_binary_sources_roundtrip(spark, tmp_path):
 def test_binary_file_ingest_feeds_multimodal_ops(spark, tmp_path):
     """End-to-end multimodal ingest: binaryFile source → blob stats →
     fake featurizer — the exact plumbing a real image/audio corpus uses
-    (decode stays stubbed; see multimodal.decode_image)."""
+    (decode itself is real — PIL or the built-in PPM/BMP codecs)."""
     import hashlib
 
     from sparkflow_spark import multimodal, sources

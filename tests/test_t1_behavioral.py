@@ -166,11 +166,46 @@ def test_multimodal_frame_sampler_python_oracle(spark, sf_dir):
         assert r["frame_sha"] == hashlib.sha256(chunk).hexdigest()
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_builtin_codecs(spark):
+    """decode_image decodes real fixtures through mapInPandas with the
+    dependency-free codecs (r9 verdict ask #8): a P6 PPM with a header
+    comment, a P5 PGM, a bottom-up 24-bit BMP with row padding (3px
+    wide → 3 pad bytes), and an undecodable blob → NULL row."""
+    import struct
+
+    import numpy as np
+
     from sparkflow_spark.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image(None)
+    ppm6 = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    pgm5 = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    # 3x2 bottom-up BMP, BGR rows padded to 12 bytes
+    row_bottom = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90]) + b"\0\0\0"
+    row_top = bytes([11, 21, 31, 41, 51, 61, 71, 81, 91]) + b"\0\0\0"
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 24, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, 24, 0, 0, 0, 0)
+        + row_bottom
+        + row_top
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm6)), (2, bytearray(pgm5)), (3, bytearray(bmp)),
+         (4, bytearray(b"not an image"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mode"]) == (2, 2, "RGB")
+    assert np.allclose(rows[1]["pixels"], np.arange(12) / 255.0, atol=1e-7)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["mode"]) == (3, 1, "L")
+    assert np.allclose(rows[2]["pixels"], np.array([0, 128, 255]) / 255.0)
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["mode"]) == (3, 2, "RGB")
+    # bottom-up flip puts row_top first; BGR → RGB reverses each triple
+    expect = np.array(
+        [31, 21, 11, 61, 51, 41, 91, 81, 71, 30, 20, 10, 60, 50, 40, 90, 80, 70]
+    ) / 255.0
+    assert np.allclose(rows[3]["pixels"], expect)
+    assert rows[4]["width"] is None and rows[4]["pixels"] is None
 
 
 def test_lang_id_accuracy(spark, sf_dir):
