@@ -486,3 +486,28 @@ def st_ss_left_join(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.windows import stream_stream_left_join
 
     return stream_stream_left_join(spark, sf)
+
+
+@register(
+    "st_tws_user_stats",
+    oracle="""
+        SELECT user_id, COUNT(*) AS c,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 state-v2: typed value-state
+    handle, RocksDB column families) running FOR REAL — the X25 row,
+    un-gated in round 10 by the from-scratch minipb protobuf runtime
+    (sparkflow_spark/minipb.py) standing in for the absent wheel; the
+    JVM state server parses every frame with real protobuf, so this
+    t2's stream==batch hash check doubles as a wire-format conformance
+    check. Final per-key emission == batch GROUP BY (count + exact
+    integer-cents sum)."""
+    from sparkflow_spark.streaming.stateful import running_user_stats_tws
+
+    return running_user_stats_tws(spark, sf).transform(ordered, "user_id")

@@ -19,7 +19,17 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from sparkflow_spark.minipb import install_if_missing as _install_minipb
 from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
+
+# transformWithStateInPandas speaks protobuf to the JVM state server.
+# When the real google.protobuf wheel is absent (this sandbox has no
+# package index), register the from-scratch minipb runtime in its
+# place — at MODULE import, so executor python workers that unpickle
+# the StatefulProcessor (importing this module) get it before pyspark's
+# lazy `import ...StateMessage_pb2` runs. With the wheel installed this
+# is a no-op and the official runtime wins.
+_install_minipb()
 
 _OUT_SCHEMA = T.StructType(
     [T.StructField("user_id", T.LongType()), T.StructField("c", T.LongType())]
@@ -67,41 +77,88 @@ _TWS_OUT_SCHEMA = T.StructType(
 )
 
 
-class _UserStatsProcessor:
-    """StatefulProcessor keeping (count, sum-in-integer-cents) per user.
+def _build_user_stats_processor():
+    """Build a FULLY SELF-CONTAINED StatefulProcessor instance.
 
-    Cents accumulation keeps the running sum EXACT and order-independent
-    — the final emission is bit-comparable to a batch GROUP BY on any
-    engine regardless of micro-batch arrival order. State is two longs
-    per key: the store is bounded by key cardinality, and the TTL knob
-    (getValueState ttlDurationMs) is where production would expire
-    abandoned keys.
+    The TWS "driver worker" is a separate python process the JVM spawns
+    with only pyspark.zip on its path — it gets neither the repo cwd
+    nor the addPyFile package zip, so anything pickled by REFERENCE to
+    ``sparkflow_spark`` dies there with ModuleNotFoundError at
+    ``read_command``. The class below is defined inside this function,
+    so cloudpickle ships it BY VALUE (methods, closure and all); its
+    only imports are pandas/numpy/stdlib.
+
+    The closure also embeds the SOURCE of :mod:`sparkflow_spark.minipb`
+    as a string: ``__setstate__`` runs at unpickle time — before the
+    worker's first protobuf-framed state-server message — and installs
+    the runtime if ``google.protobuf`` is absent there (the constructor
+    plants a marker attribute so pickle always calls ``__setstate__``).
+
+    Semantics: (count, sum-in-integer-cents) per user. Cents keep the
+    running sum EXACT and order-independent — the final emission is
+    bit-comparable to a batch GROUP BY regardless of micro-batch
+    arrival order. State is two longs per key: bounded by key
+    cardinality, with getValueState's ttlDurationMs as the production
+    expiry knob.
     """
+    import inspect
 
-    def init(self, handle) -> None:
-        self._state = handle.getValueState("stats", "c LONG, sum_cents LONG")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    def handleInputRows(self, key, rows, timerValues):
-        import numpy as np
+    import sparkflow_spark.minipb as _minipb_mod
 
-        c, cents = self._state.get() if self._state.exists() else (0, 0)
-        for pdf in rows:
-            c += len(pdf)
-            v = pdf["value"].to_numpy(dtype="float64")
-            cents += int(np.floor(v * 100 + 0.5).sum())
-        self._state.update((c, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "c": [c], "sum_cents": [cents]}
-        )
+    minipb_src = inspect.getsource(_minipb_mod)
 
-    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        return iter(())
+    def _bootstrap_protobuf() -> None:
+        import types as _types
 
-    def handleInitialState(self, key, initialState, timerValues) -> None:
-        pass
+        try:
+            import google.protobuf as _g
 
-    def close(self) -> None:
-        pass
+            if getattr(_g, "__file__", None) is not None or getattr(
+                _g, "_MINIPB", False
+            ):
+                return
+        except ImportError:
+            pass
+        mod = _types.ModuleType("sparkflow_minipb_embedded")
+        exec(compile(minipb_src, "<sparkflow minipb embedded>", "exec"), mod.__dict__)
+        mod.install_if_missing()
+
+    class UserStatsProcessor(StatefulProcessor):
+        def __init__(self):
+            # non-empty instance state → pickle invokes __setstate__
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("stats", "c LONG, sum_cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as _pd
+
+            c, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                c += len(pdf)
+                v = pdf["value"].to_numpy(dtype="float64")
+                cents += int(np.floor(v * 100 + 0.5).sum())
+            self._state.update((c, cents))
+            yield _pd.DataFrame({"user_id": [key[0]], "c": [c], "sum_cents": [cents]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
 
 
 def _protobuf_requirement() -> str:
@@ -141,26 +198,38 @@ def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running (count, sum) via ``transformWithStateInPandas``
     — the Spark 4 state-v2 API (typed state handles, timers, TTL),
     exercised alongside the legacy ``applyInPandasWithState`` twin
-    above so both stateful surfaces stay covered."""
+    above so both stateful surfaces stay covered.
+
+    Protobuf resolution: the state-server protocol is protobuf-framed
+    (pyspark's generated StateMessage_pb2 wants the runtime named by
+    :func:`_protobuf_requirement`); with the wheel absent the module-
+    import hook above has already registered
+    :mod:`sparkflow_spark.minipb` as ``google.protobuf`` — every
+    round-trip through the JVM state server cross-checks that runtime
+    against real protobuf on the JVM side."""
     try:
         import google.protobuf  # noqa: F401
-    except ImportError as exc:
+    except ImportError as exc:  # pragma: no cover - minipb install failed
         raise NotImplementedError(
-            "transformWithStateInPandas needs the protobuf wheel (its "
-            "state-server protocol is protobuf-framed: pyspark's generated "
-            "pyspark/sql/streaming/proto/StateMessage_pb2.py validates a "
-            "PUBLIC runtime >= its gencode version). Exact remedy: "
-            f"`pip install '{_protobuf_requirement()}'` (pure-python wheel, "
-            "no native deps; this sandbox has no package index, so the gate "
-            "stays). The applyInPandasWithState twin (running_user_counts / "
-            "st_stateful_user_counts) covers the custom-stateful-streaming "
-            "contract here."
+            "transformWithStateInPandas needs a protobuf runtime "
+            f"(`pip install '{_protobuf_requirement()}'`) and the bundled "
+            "minipb fallback failed to install."
         ) from exc
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from sparkflow_spark.session import ensure_runtime_configs
 
-    # subclass dynamically so module import works even if the API moves
-    proc = type("UserStatsProcessor", (_UserStatsProcessor, StatefulProcessor), {})()
-    sdf = stream_events(spark, sf_dir, watermark=None)
+    proc = _build_user_stats_processor()
+    # TWS state lives in per-state-variable column families, which the
+    # default HDFS-backed provider rejects — RocksDB (bundled with
+    # Spark) is the supported store, and the production one at scale.
+    # A DEDICATED session clone (not the shared streaming_session memo)
+    # keeps the provider override from leaking into sibling queries.
+    runner = ensure_runtime_configs(spark.newSession())
+    runner.conf.set("spark.sql.shuffle.partitions", "4")
+    runner.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
     stats = sdf.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=_TWS_OUT_SCHEMA,

@@ -1,0 +1,187 @@
+"""Unit tests for sparkflow_spark.minipb — the from-scratch protobuf
+runtime subset that un-gates transformWithStateInPandas (X25). The JVM
+state server is the cross-implementation referee at query time
+(tests/test_streaming.py::test_tws_executes_and_equals_batch and the
+st_tws_user_stats t2); these tests pin the wire format and the
+descriptor bootstrap directly against spec-derived golden bytes."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkflow_spark import minipb
+
+
+def test_varint_golden_values():
+    for value, expect in [
+        (0, b"\x00"),
+        (1, b"\x01"),
+        (127, b"\x7f"),
+        (128, b"\x80\x01"),
+        (300, b"\xac\x02"),  # the spec's worked example
+        (-1, b"\xff" * 9 + b"\x01"),  # two's-complement 64-bit, 10 bytes
+        (-2, b"\xfe" + b"\xff" * 8 + b"\x01"),
+    ]:
+        out = bytearray()
+        minipb.write_varint(out, value)
+        assert bytes(out) == expect, value
+        got, pos = minipb.read_varint(bytes(out), 0)
+        assert pos == len(out)
+        assert minipb._to_signed64(got) == value
+
+
+def test_zigzag():
+    for v, z in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2147483647, 4294967294)]:
+        assert minipb._zigzag_enc(v) == z
+        assert minipb._zigzag_dec(z) == v
+
+
+def _pb2():
+    minipb.install_if_missing()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_pb2_loads_and_exposes_enums_and_messages():
+    sm = _pb2()
+    assert sm.PRE_INIT == 0 and sm.CLOSED == 5
+    assert sm.HandleState.Value("INITIALIZED") == sm.INITIALIZED
+    assert sm.HandleState.Name(sm.TIMER_PROCESSED) == "TIMER_PROCESSED"
+    # descriptor bootstrap parsed the real serialized FileDescriptorProto
+    d = sm.StateRequest.DESCRIPTOR
+    assert d.fields_by_name["version"].number == 1
+    assert "statefulProcessorCall" in d.fields_by_name
+
+
+def test_pb2_golden_wire_and_roundtrip():
+    sm = _pb2()
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    wire = req.SerializeToString()
+    # field 2 LEN(4) { field 1 LEN(2) { field 1 varint 2 } }
+    assert wire == bytes.fromhex("12040a020802")
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    assert back.statefulProcessorCall.setHandleState.state == sm.INITIALIZED
+    # unset oneof members read as default instances, not errors
+    assert back.implicitGroupingKeyRequest.setImplicitKey.key == b""
+
+
+def test_pb2_oneof_last_set_wins():
+    sm = _pb2()
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(),
+    )
+    req.implicitGroupingKeyRequest = sm.ImplicitGroupingKeyRequest(
+        setImplicitKey=sm.SetImplicitKey(key=b"k")
+    )
+    wire = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    vals = object.__getattribute__(back, "_values")
+    assert "implicitGroupingKeyRequest" in vals
+    assert "statefulProcessorCall" not in vals  # sibling cleared
+
+
+def test_pb2_repeated_bytes_and_negative_int64():
+    sm = _pb2()
+    al = sm.AppendList(value=[b"", b"ab", bytes(range(5))], fetchWithArrow=True)
+    back = sm.AppendList()
+    back.ParseFromString(al.SerializeToString())
+    assert list(back.value) == [b"", b"ab", bytes(range(5))]
+    assert back.fetchWithArrow is True
+    rt = sm.RegisterTimer(expiryTimestampMs=-123456789)
+    back2 = sm.RegisterTimer()
+    back2.ParseFromString(rt.SerializeToString())
+    assert back2.expiryTimestampMs == -123456789
+
+
+def test_pb2_proto3_defaults_omitted_on_wire():
+    sm = _pb2()
+    # plain (non-oneof) scalars at default value serialize to nothing
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"").SerializeToString() == b""
+    # but parse back as defaults
+    r = sm.StateResponse()
+    r.ParseFromString(b"")
+    assert (r.statusCode, r.errorMessage, r.value) == (0, "", b"")
+
+
+def test_unknown_fields_are_skipped():
+    sm = _pb2()
+    # field 15 varint 7 (unknown to SetHandleState) + field 1 varint 3
+    blob = bytes([15 << 3 | 0, 7, 1 << 3 | 0, 3])
+    m = sm.SetHandleState()
+    m.ParseFromString(blob)
+    assert m.state == 3
+
+
+def test_runtime_version_gate():
+    from sparkflow_spark.minipb import VersionError, validate_runtime_version
+
+    validate_runtime_version(2, 6, 33, 0, "", "x.proto")
+    with pytest.raises(VersionError):
+        validate_runtime_version(2, 7, 0, 0, "", "x.proto")
+
+
+def test_install_takes_over_bare_namespace_package(tmp_path, monkeypatch):
+    """A stray empty google/ dir (seen on TWS driver-worker paths) must
+    not be mistaken for the real runtime."""
+    import subprocess
+    import sys
+
+    (tmp_path / "google").mkdir()
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); sys.path.insert(0, sys.argv[2])\n"
+        "import google  # namespace package from the stray dir\n"
+        "assert getattr(google, '__file__', None) is None\n"
+        "from sparkflow_spark.minipb import install_if_missing\n"
+        "assert install_if_missing() is True\n"
+        "from google.protobuf import descriptor\n"
+        "assert descriptor._USE_C_DESCRIPTORS is False\n"
+        "print('NAMESPACE_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path), "/root/repo"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert "NAMESPACE_OK" in out.stdout, out.stderr
+
+
+def test_processor_pickle_is_self_contained():
+    """The TWS processor must unpickle in a worker that can NOT import
+    sparkflow_spark (the JVM-spawned driver worker) and must install
+    protobuf at unpickle time."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark.serializers import CloudPickleSerializer
+
+    from sparkflow_spark.streaming.stateful import _build_user_stats_processor
+
+    payload = CloudPickleSerializer().dumps(_build_user_stats_processor())
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as fh:
+        fh.write(payload)
+        path = fh.name
+    code = (
+        "import sys, pickle\n"
+        "sys.modules['sparkflow_spark'] = None  # simulate unimportable repo\n"
+        "obj = pickle.load(open(sys.argv[1], 'rb'))\n"
+        "import google.protobuf as g\n"
+        "assert g._MINIPB, 'bootstrap did not run at unpickle'\n"
+        "assert type(obj).__name__ == 'UserStatsProcessor'\n"
+        "print('PICKLE_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, path],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert "PICKLE_OK" in out.stdout, out.stderr

@@ -194,41 +194,36 @@ def test_foreach_batch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
     assert {(r["event_id"], r["user_id"]) for r in got.collect()} == expect
 
 
-def test_tws_gated_loudly_without_protobuf(spark, sf_dir):
-    """transformWithStateInPandas needs google-protobuf (absent here):
-    the wrapper must refuse LOUDLY at call time — or, if protobuf is
-    present, actually produce the batch-equivalent stats."""
-    import pytest
+def test_tws_executes_and_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas EXECUTES in this sandbox (r9 verdict
+    ask #4): importing the stateful module installs the from-scratch
+    minipb protobuf runtime when the real wheel is absent, the JVM
+    state server round-trips it (a cross-implementation conformance
+    check of the wire format), and the final per-key emissions equal
+    the batch GROUP BY exactly — counts AND integer-cents sums."""
+    import pyspark.sql.functions as F
 
     from sparkflow_spark.streaming.stateful import running_user_stats_tws
 
-    try:
-        import google.protobuf  # noqa: F401
+    import google.protobuf  # noqa: F401 — present: real wheel or minipb
 
-        has_proto = True
-    except ImportError:
-        has_proto = False
+    got = {
+        r["user_id"]: (r["c"], r["sum_cents"])
+        for r in running_user_stats_tws(spark, sf_dir).collect()
+    }
+    from sparkflow_spark.catalog import cached_table
 
-    if not has_proto:
-        from sparkflow_spark.streaming.stateful import _protobuf_requirement
-
-        req = _protobuf_requirement()
-        # the remedy must be derived from pyspark's OWN generated pb2
-        # pin (r8 verdict ask #7: name the exact wheel + version) …
-        assert req.startswith("protobuf>=") and "," in req
-        # … and the refusal must carry it verbatim as a pip requirement
-        with pytest.raises(NotImplementedError) as exc_info:
-            running_user_stats_tws(spark, sf_dir)
-        msg = str(exc_info.value)
-        assert f"pip install '{req}'" in msg and "protobuf" in msg
-    else:  # pragma: no cover - environment-dependent branch
-        out = running_user_stats_tws(spark, sf_dir)
-        batch = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .groupBy("user_id")
-            .count()
+    truth = {
+        r["user_id"]: (r["c"], r["sc"])
+        for r in cached_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("sc"),
         )
-        assert out.count() == batch.count()
+        .collect()
+    }
+    assert got == truth and len(got) > 0
 
 
 def test_stream_merge_sink_equals_batch_last_write_wins(spark, tmp_path):
