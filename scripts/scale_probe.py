@@ -178,6 +178,21 @@ PROBES = [
     # is probe-bounded) — expect linear-at-worst, falling per-row.
     "q112_histogram_quantile_rollup",
     "d_lsh_index_md5_query",
+    # round-10 additions (r9 verdict ask #6 — the retrieval/e2e stack):
+    # RRF fusion is two corpus-linear top-k legs (sort-limit, no corpus
+    # window) + a k-row fusion join — expect falling per-row; the
+    # training-bins e2e pipeline chains clean→bins over documents (all
+    # partial-agg'd, doc-keyed exchanges — linear); decontamination's
+    # eval-side shingle universe grows with m but stays the SMALL side
+    # of one shingle-keyed join (train side scanned once — expect
+    # near-linear). t_bm25_scores has ridden PROBES since round-5b; its
+    # ×256 reading lands with this batch. The new exact-substring spans
+    # kernel probes here too: token-tagged copies keep cross-copy grams
+    # distinct, so flagged positions stay linear in m.
+    "s_rrf_hybrid_topk",
+    "p_training_bins_e2e",
+    "p_decontaminate_keep",
+    "d_exact_substring_spans",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.
