@@ -511,3 +511,78 @@ def st_tws(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.stateful import running_user_stats_tws
 
     return running_user_stats_tws(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_tws_list_state",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS top3_cents
+        FROM (SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+        WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_list(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS ListState (put / appendValue / get) round-tripped through
+    the JVM state server and read BACK from the store before emission —
+    per user the 3 most-recent events' exact integer-cents sum; equals
+    the batch top-3-by-(ts,event_id) rollup. Extends the X25 surface
+    (and the minipb conformance check) to the ListStateCall protocol
+    paths."""
+    from sparkflow_spark.streaming.stateful import tws_last_events_list_state
+
+    return tws_last_events_list_state(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_tws_map_state",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "stateful", "tws"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_map(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS MapState (containsKey / getValue / updateValue / iterator)
+    round-tripped through the JVM state server, emission read from the
+    map iterator — per-user per-event-type counts == batch GROUP BY.
+    Extends the X25 surface to the MapStateCall protocol paths."""
+    from sparkflow_spark.streaming.stateful import tws_type_counts_map_state
+
+    return tws_type_counts_map_state(spark, sf).transform(
+        ordered, "user_id", "event_type"
+    )
+
+
+@register(
+    "st_tws_session_timers",
+    oracle="""
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 10800000 AS w FROM events),
+        u AS (SELECT user_id, epoch_ms(MAX(ts)) + 1800000 AS expiry
+              FROM events GROUP BY user_id)
+        SELECT user_id, CAST(expiry AS BIGINT) AS session_end_ms
+        FROM u, wm WHERE expiry <= wm.w ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "timers"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS EVENT-TIME TIMERS (registerTimer / listTimers / deleteTimer
+    / handleExpiredTimer): per user a session-end timer at last-ts +
+    30 min; the final AvailableNow flush fires exactly the timers with
+    expiry <= final watermark (max ts − 3 h, whole-ms arithmetic —
+    inclusivity pinned by the planted-boundary t1: an expiry EQUAL to
+    the watermark fires). Users with younger last events keep their
+    timers buffered — the oracle reproduces the fired set only."""
+    from sparkflow_spark.streaming.stateful import tws_session_end_timers
+
+    return tws_session_end_timers(spark, sf).transform(ordered, "user_id")

@@ -77,6 +77,55 @@ _TWS_OUT_SCHEMA = T.StructType(
 )
 
 
+def _minipb_bootstrap_closure():
+    """A by-value-picklable zero-dependency bootstrap: embeds the
+    SOURCE of :mod:`sparkflow_spark.minipb` in its closure and installs
+    it as ``google.protobuf`` when the real wheel is absent. Shared by
+    every TWS processor builder below — their ``__setstate__`` calls it
+    at unpickle time, before the worker's first protobuf-framed
+    state-server message."""
+    import inspect
+
+    import sparkflow_spark.minipb as _minipb_mod
+
+    minipb_src = inspect.getsource(_minipb_mod)
+
+    def _bootstrap_protobuf() -> None:
+        import types as _types
+
+        try:
+            import google.protobuf as _g
+
+            if getattr(_g, "__file__", None) is not None or getattr(
+                _g, "_MINIPB", False
+            ):
+                return
+        except ImportError:
+            pass
+        mod = _types.ModuleType("sparkflow_minipb_embedded")
+        exec(compile(minipb_src, "<sparkflow minipb embedded>", "exec"), mod.__dict__)
+        mod.install_if_missing()
+
+    return _bootstrap_protobuf
+
+
+def _tws_runner_session(spark: SparkSession):
+    """Dedicated session clone for a TWS query: RocksDB state store
+    (TWS state lives in per-variable column families, which the default
+    HDFS-backed provider rejects — RocksDB is also the production
+    store) + fixture-sized state width. A fresh clone per call keeps
+    the provider override from leaking into sibling queries."""
+    from sparkflow_spark.session import ensure_runtime_configs
+
+    runner = ensure_runtime_configs(spark.newSession())
+    runner.conf.set("spark.sql.shuffle.partitions", "4")
+    runner.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return runner
+
+
 def _build_user_stats_processor():
     """Build a FULLY SELF-CONTAINED StatefulProcessor instance.
 
@@ -101,29 +150,9 @@ def _build_user_stats_processor():
     cardinality, with getValueState's ttlDurationMs as the production
     expiry knob.
     """
-    import inspect
-
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    import sparkflow_spark.minipb as _minipb_mod
-
-    minipb_src = inspect.getsource(_minipb_mod)
-
-    def _bootstrap_protobuf() -> None:
-        import types as _types
-
-        try:
-            import google.protobuf as _g
-
-            if getattr(_g, "__file__", None) is not None or getattr(
-                _g, "_MINIPB", False
-            ):
-                return
-        except ImportError:
-            pass
-        mod = _types.ModuleType("sparkflow_minipb_embedded")
-        exec(compile(minipb_src, "<sparkflow minipb embedded>", "exec"), mod.__dict__)
-        mod.install_if_missing()
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
 
     class UserStatsProcessor(StatefulProcessor):
         def __init__(self):
@@ -215,20 +244,8 @@ def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(`pip install '{_protobuf_requirement()}'`) and the bundled "
             "minipb fallback failed to install."
         ) from exc
-    from sparkflow_spark.session import ensure_runtime_configs
-
     proc = _build_user_stats_processor()
-    # TWS state lives in per-state-variable column families, which the
-    # default HDFS-backed provider rejects — RocksDB (bundled with
-    # Spark) is the supported store, and the production one at scale.
-    # A DEDICATED session clone (not the shared streaming_session memo)
-    # keeps the provider override from leaking into sibling queries.
-    runner = ensure_runtime_configs(spark.newSession())
-    runner.conf.set("spark.sql.shuffle.partitions", "4")
-    runner.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    runner = _tws_runner_session(spark)
     sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
     stats = sdf.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
@@ -248,3 +265,245 @@ def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "c", "sum_cents")
     )
+
+
+_TWS_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("top3_cents", T.LongType()),
+    ]
+)
+
+
+def tws_last_events_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS ListState coverage: per user keep the 3 most-recent events
+    (by ts, event_id) in a typed ListState and emit their count + exact
+    integer-cents sum, READ BACK FROM THE STATE STORE (put → appendValue
+    → get round-trips the JVM state server, so the emission proves the
+    list survived serialization, not just local arithmetic). Exercises
+    the ListStatePut / AppendValue / ListStateGet protocol paths of the
+    protobuf runtime. Deterministic single-batch semantics: AvailableNow
+    delivers every row of a key to one handleInputRows call."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+
+    class LastEventsProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._last = handle.getListState(
+                "last_events", "ts_us LONG, event_id LONG, cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as _pd
+
+            parts = [pdf for pdf in rows]
+            pdf = _pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"]).tail(3)
+            cents = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
+            tuples = [
+                (int(ts.value // 1000), int(eid), int(c))
+                for ts, eid, c in zip(pdf["ts"], pdf["event_id"], cents)
+            ]
+            # put the head, append the tail — exercises BOTH write paths
+            self._last.put(tuples[:-1] if len(tuples) > 1 else tuples)
+            if len(tuples) > 1:
+                self._last.appendValue(tuples[-1])
+            stored = list(self._last.get())  # read back through the server
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_kept": [len(stored)],
+                    "top3_cents": [sum(t[2] for t in stored)],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LastEventsProcessor(),
+        outputStructType=_TWS_LIST_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    res = run_stream_to_memory(out, "update")
+    import pyspark.sql.functions as F
+
+    return res.groupBy("user_id").agg(
+        F.max("n_kept").alias("n_kept"), F.max("top3_cents").alias("top3_cents")
+    )
+
+
+_TWS_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+
+def tws_type_counts_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS MapState coverage: per user a MapState keyed by event_type
+    holding counts, updated via containsKey/getValue/updateValue and
+    EMITTED FROM iterator() — every (key, value) pair round-trips the
+    JVM state server through the MapStateCall protocol paths
+    (UpdateValue / ContainsKey / GetValue / Iterator) of the protobuf
+    runtime. Final emission per user == batch GROUP BY (user_id,
+    event_type)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+
+    class TypeCountsProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._counts = handle.getMapState("type_counts", "t STRING", "c LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            for pdf in rows:
+                for t, n in pdf["event_type"].value_counts().items():
+                    k = (str(t),)
+                    if self._counts.containsKey(k):
+                        (cur,) = self._counts.getValue(k)
+                    else:
+                        cur = 0
+                    self._counts.updateValue(k, (cur + int(n),))
+            ks, cs = [], []
+            for (t,), (c,) in self._counts.iterator():
+                ks.append(t)
+                cs.append(c)
+            yield _pd.DataFrame(
+                {"user_id": [key[0]] * len(ks), "event_type": ks, "c": cs}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCountsProcessor(),
+        outputStructType=_TWS_MAP_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    res = run_stream_to_memory(out, "update")
+    import pyspark.sql.functions as F
+
+    return res.groupBy("user_id", "event_type").agg(F.max("c").alias("c"))
+
+
+_TWS_TIMER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+    ]
+)
+
+
+def tws_session_end_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS EVENT-TIME TIMER coverage: per user, (re)register a timer at
+    last-seen-ts + gap (delete-then-register exercises ListTimers /
+    DeleteTimer / RegisterTimer; expiry delivery exercises the
+    ExpiryTimerRequest path), and emit (user, session_end) from
+    handleExpiredTimer when the watermark expires the session. With
+    AvailableNow over the static source the timing rule is
+    deterministic: the final flush batch fires exactly the timers with
+    expiry <= final watermark = (min over watermark nodes of max ts) -
+    delay, floored to whole ms — users whose last event is younger keep
+    their timer buffered (same watermark arithmetic the left-outer join
+    entry pinned; the boundary inclusivity is pinned by t1)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+    gap_ms = 30 * 60 * 1000
+
+    class SessionTimerProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._last_ts = handle.getValueState("last_ts", "ts_ms LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            mx = None
+            for pdf in rows:
+                m = pdf["ts"].max()
+                mx = m if mx is None or m > mx else mx
+            last_ms = int(mx.value // 1_000_000)
+            prev = self._last_ts.get() if self._last_ts.exists() else None
+            if prev is None or last_ms > prev[0]:
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(last_ms + gap_ms)
+                self._last_ts.update((last_ms,))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_end_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(runner, sf_dir, watermark="3 hours", state_partitions=None)
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimerProcessor(),
+        outputStructType=_TWS_TIMER_SCHEMA,
+        outputMode="append",
+        timeMode="eventtime",
+    )
+    res = run_stream_to_memory(out, "append")
+    import pyspark.sql.functions as F
+
+    return res.select("user_id", "session_end_ms").orderBy("user_id")

@@ -213,3 +213,47 @@ def test_stream_stream_left_join_null_padding_timing(spark, tmp_path):
         for r in stream_stream_left_join(spark, str(tmp_path)).collect()
     )
     assert got == [(3, 1), (4, None)]
+
+
+def test_tws_timer_expiry_boundary_inclusive(spark, tmp_path):
+    """Pins st_tws_session_timers' firing rule on a planted fixture:
+    wm = max ts - 3h = 09:00:00.000; a timer with expiry EXACTLY equal
+    to the watermark fires (inclusive <=), a same-ms +1 µs sibling
+    fires identically (whole-ms arithmetic), a younger session stays
+    buffered, an old one fires."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from sparkflow_spark.streaming.stateful import tws_session_end_timers
+
+    T = dt.datetime.fromisoformat
+    rows = [
+        (1, T("2024-01-01 05:30:00"), 10, "click"),  # expiry 06:00 < wm
+        (2, T("2024-01-01 08:30:00"), 20, "click"),  # expiry == wm exactly
+        (3, T("2024-01-01 08:30:00.000001"), 30, "click"),  # same ms as wm
+        (4, T("2024-01-01 10:00:00"), 40, "click"),  # expiry > wm: buffered
+        (5, T("2024-01-01 12:00:00"), 99, "click"),  # corpus max
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r["session_end_ms"]
+        for r in tws_session_end_timers(spark, str(tmp_path)).collect()
+    }
+    h = lambda s: int(T(s).timestamp() * 1000)
+    assert got == {
+        10: h("2024-01-01 06:00:00"),
+        20: h("2024-01-01 09:00:00"),
+        30: h("2024-01-01 09:00:00"),
+    }
