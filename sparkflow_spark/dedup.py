@@ -1539,12 +1539,18 @@ def exact_substring_spans(
     Semantics (identical to merging the overlapping byte ranges the
     suffix-array implementation emits): a character position is
     duplicated iff the ``min_len``-gram starting there occurs in >= 2
-    distinct documents; maximal runs of consecutive duplicated start
-    positions [i1..i2] merge to the span [i1, i2 + min_len). Every
-    cross-document duplicated substring of length m >= min_len flags
-    exactly its m - min_len + 1 start positions, so merged spans
-    reproduce the maximal duplicated regions without building a suffix
-    array — two window passes instead of a global suffix sort.
+    distinct documents; every flagged position covers the interval
+    [pos, pos + min_len), and maximal spans are the UNION of those
+    intervals — flagged starts i and j belong to one span iff
+    j - i <= min_len (overlapping-or-touching coverage), NOT merely
+    when starts are consecutive: two duplicated windows can overlap
+    through a stretch whose own start positions are not duplicated
+    (seen at sf0.1 — consecutive-start merging emitted overlapping
+    "maximal" spans and double-counted strip mass). Every duplicated
+    substring of length m >= min_len flags its m - min_len + 1 starts,
+    so the interval union reproduces the maximal duplicated regions
+    without building a suffix array — two window passes instead of a
+    global suffix sort.
 
     Output: (doc_id, span_start 1-based, span_end exclusive, span_len).
 
@@ -1582,8 +1588,14 @@ def exact_substring_spans(
         .select(id_col, "pos")
     )
     wd = Window.partitionBy(id_col).orderBy("pos")
+    new_island = F.when(
+        F.lag("pos").over(wd).isNull()
+        | (F.col("pos") - F.lag("pos").over(wd) > k),
+        1,
+    ).otherwise(0)
+    wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        flagged.withColumn("_grp", F.col("pos") - F.row_number().over(wd))
+        flagged.withColumn("_grp", F.sum(new_island).over(wrun))
         .groupBy(id_col, "_grp")
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),

@@ -1075,9 +1075,14 @@ _SUBSTR_SPANS_CTE = f"""
             WHERE mn != mx),
         isl AS (
             SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
-            FROM flagged),
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > {_SUBSTR_L}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM (SELECT doc_id, pos,
+                         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS prev
+                  FROM flagged) fp),
         spans AS (
             SELECT doc_id,
                    CAST(MIN(pos) AS BIGINT) AS span_start,
@@ -1134,3 +1139,97 @@ def d_exact_substring_strip_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_substring_strip_list(
         t.documents, min_len=_SUBSTR_L, max_dup_frac=_SUBSTR_MAX_DUP_FRAC
     ).transform(ordered, "doc_id")
+
+
+@register(
+    "d_exact_substring_clean",
+    oracle=f"""
+        WITH {_SUBSTR_SPANS_CTE},
+        seg AS (
+            SELECT s.doc_id, s.span_start,
+                   substr(doc.text,
+                          CAST(COALESCE(LAG(s.span_end) OVER w, 1) AS INT),
+                          CAST(s.span_start
+                               - COALESCE(LAG(s.span_end) OVER w, 1) AS INT))
+                       AS seg
+            FROM spans s JOIN documents doc USING (doc_id)
+            WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.span_start)),
+        body AS (
+            SELECT doc_id, string_agg(seg, '' ORDER BY span_start) AS body
+            FROM seg GROUP BY doc_id),
+        tl AS (
+            SELECT doc_id, CAST(MAX(span_end) AS INT) AS tail_pos
+            FROM spans GROUP BY doc_id)
+        SELECT doc.doc_id,
+               CAST(length(CASE WHEN tl.doc_id IS NULL THEN doc.text
+                    ELSE COALESCE(body.body, '')
+                         || substr(doc.text, tl.tail_pos) END) AS BIGINT)
+                   AS kept_chars,
+               md5(CASE WHEN tl.doc_id IS NULL THEN doc.text
+                   ELSE COALESCE(body.body, '')
+                        || substr(doc.text, tl.tail_pos) END) AS cleaned_md5
+        FROM documents doc
+        LEFT JOIN body USING (doc_id)
+        LEFT JOIN tl USING (doc_id)
+        ORDER BY doc.doc_id
+    """,
+    tags=("dedup", "substring", "lee2022"),
+)
+def d_exact_substring_clean_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The SPAN-STRIP transform over X156 — what Lee et al.'s pipeline
+    actually writes back out: each document's text with every
+    cross-document duplicated span (>= 30 chars) removed, emitted as
+    (kept_chars, md5 of the cleaned text) so the full reconstructed
+    string is hash-checked without shipping megabytes through the
+    compare. Construction is identical in both engines: per doc the
+    ordered spans yield gap segments via LAG(span_end) (spans are
+    disjoint after the island merge), concatenated in span order plus
+    the tail after the last span; span-free docs pass through whole.
+    Plan: the spans kernel's two exchanges, then one doc-keyed window +
+    rollup and a doc-keyed left join back to the corpus scan — linear,
+    no per-row Python."""
+    docs = Tables(spark, sf).documents.select("doc_id", "text")
+    spans = dedup.exact_substring_spans(t_docs := docs, min_len=_SUBSTR_L)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    seg = (
+        spans.withColumn(
+            "prev_end", F.coalesce(F.lag("span_end").over(w), F.lit(1))
+        )
+        .join(t_docs, "doc_id")
+        .withColumn(
+            "seg",
+            F.col("text").substr(
+                F.col("prev_end").cast("int"),
+                (F.col("span_start") - F.col("prev_end")).cast("int"),
+            ),
+        )
+    )
+    per_doc = seg.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("span_start"), F.col("seg")))
+                ),
+                lambda x: x["seg"],
+            ),
+        ).alias("body"),
+        F.max("span_end").cast("int").alias("tail_pos"),
+    )
+    cleaned = F.when(
+        F.col("tail_pos").isNull(), F.col("text")
+    ).otherwise(
+        F.concat(
+            F.coalesce(F.col("body"), F.lit("")),
+            F.expr("substring(text, tail_pos)"),
+        )
+    )
+    return (
+        t_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.char_length(cleaned).cast("bigint").alias("kept_chars"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+        .transform(ordered, "doc_id")
+    )

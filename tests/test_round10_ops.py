@@ -150,9 +150,11 @@ def test_exact_substring_spans_match_suffix_array_reference(spark):
             )
             >= L
         )
+        # interval-union merge: [p, p+L) windows overlap/touch iff the
+        # next start is within L of the previous one
         run: list[int] = []
         for p in flagged:
-            if run and p == run[-1] + 1:
+            if run and p - run[-1] <= L:
                 run.append(p)
             else:
                 if run:
@@ -257,3 +259,35 @@ def test_tws_timer_expiry_boundary_inclusive(spark, tmp_path):
         20: h("2024-01-01 09:00:00"),
         30: h("2024-01-01 09:00:00"),
     }
+
+
+def test_exact_substring_spans_never_overlap(spark):
+    """Regression for the round-10 interval-union fix: two duplicated
+    windows can overlap through a stretch whose own start positions are
+    NOT duplicated; the emitted 'maximal' spans must still be disjoint.
+    Construction: docs 2 and 3 each share a different L-window with
+    doc 1, overlapping inside doc 1, while the in-between start
+    positions match nobody."""
+    from sparkflow_spark.dedup import exact_substring_spans
+
+    L = 10
+    a = "AAAAABBBBB"  # matches doc 2 at doc-1 positions 1..10
+    b = "BBBCCCCCCC"  # matches doc 3 at doc-1 positions 8..17
+    docs = [
+        (1, a + "CCCCCCC"),      # 17 chars: [1,11) dup via 2, [8,18) via 3
+        (2, "xx" + a + "yy"),
+        (3, "qq" + b + "zz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, min_len=L).collect()
+    )
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, iv in by_doc.items():
+        for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
+            assert s2 >= e1, f"doc {d}: overlapping spans {(s1, e1)} {(s2, e2)}"
+    # doc 1's two overlapping windows merged into ONE maximal span
+    assert by_doc[1] == [(1, 18)]
