@@ -185,3 +185,34 @@ def test_processor_pickle_is_self_contained():
         timeout=120,
     )
     assert "PICKLE_OK" in out.stdout, out.stderr
+
+
+def test_packed_repeated_scalars_roundtrip():
+    """The TWS proto has no packed fields, but the runtime claims
+    proto3 semantics — pin the packed path directly with a synthetic
+    descriptor: repeated int64 serializes as ONE length-delimited
+    packed record and parses back, including negative values and the
+    unpacked-encoding fallback on the wire."""
+    from sparkflow_spark import minipb
+
+    d = minipb.Descriptor("P", ".t.P")
+    f = minipb.FieldDescriptor("xs", 1, minipb.L_REPEATED, minipb.T_INT64, "", None)
+    d.fields = [f]
+    d._index()
+    cls = minipb.make_message_class(d)
+
+    m = cls(xs=[0, 1, -1, 300])
+    wire = m.SerializeToString()
+    # tag(1, LEN) + len + [00, 01, <10-byte -1>, ac 02]
+    assert wire[0] == (1 << 3) | 2
+    back = cls()
+    back.ParseFromString(wire)
+    assert list(back.xs) == [0, 1, -1, 300]
+    # a peer that encodes the same field UNPACKED must also parse
+    unpacked = bytearray()
+    for v in (7, 9):
+        minipb.write_tag(unpacked, 1, 0)
+        minipb.write_varint(unpacked, v)
+    back2 = cls()
+    back2.ParseFromString(bytes(unpacked))
+    assert list(back2.xs) == [7, 9]

@@ -291,3 +291,43 @@ def test_exact_substring_spans_never_overlap(spark):
             assert s2 >= e1, f"doc {d}: overlapping spans {(s1, e1)} {(s2, e2)}"
     # doc 1's two overlapping windows merged into ONE maximal span
     assert by_doc[1] == [(1, 18)]
+
+
+def test_exact_substring_spans_boilerplate_hot_gram(spark):
+    """Skew pin for X156: a 40-char boilerplate header shared by 30% of
+    a 2,000-doc corpus puts ~600 rows into each header-gram's window
+    partition (the hot-key regime a real crawl guarantees). The kernel
+    must stay correct — every boilerplate doc gets exactly the header
+    span, tail-unique docs nothing else — because the min!=max window
+    is a streamed per-partition aggregate, not a join: the hot gram
+    costs one sorted partition, never an O(df^2) pair bucket."""
+    from sparkflow_spark.dedup import exact_substring_spans
+
+    header = "COMMON-SITE-HEADER:0123456789abcdefghij "  # 40 chars
+    assert len(header) == 40
+    import hashlib
+
+    docs = [
+        (
+            i,
+            (header if i % 10 < 3 else f"unique{i:05d}head ")
+            + f"tail-{i:05d}-"
+            + hashlib.md5(str(i).encode()).hexdigest(),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    spans = exact_substring_spans(df, min_len=30).collect()
+    got = {}
+    for r in spans:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    boiler = {d for d, _t in docs if d % 10 < 3}
+    assert set(got) == boiler
+    # one span per boilerplate doc, starting at 1 and covering at least
+    # the 40-char header; the shared "tail-0..." literal after it lets
+    # duplicated windows reach a few chars further (bounded by the
+    # first distinguishing digit), never into the md5-unique region
+    for d, iv in got.items():
+        assert len(iv) == 1 and iv[0][0] == 1 and 41 <= iv[0][1] <= 55, (d, iv)
