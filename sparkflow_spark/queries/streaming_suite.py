@@ -586,3 +586,28 @@ def st_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.stateful import tws_session_end_timers
 
     return tws_session_end_timers(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_tws_seeded_counts",
+    oracle="""
+        SELECT user_id, COUNT(*) AS c FROM events
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE ts >= TIMESTAMP '2024-01-15')
+        GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "initial-state"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS INITIAL STATE (the backfill-then-stream migration shape):
+    per-user counts seeded from a batch GroupedData of pre-cutoff
+    history through handleInitialState, stream delivering only
+    post-cutoff events; final emission per post-cutoff-active user ==
+    the all-time batch count, and seeded-but-inactive users correctly
+    emit nothing (update-mode emission rides handleInputRows) — the
+    oracle reproduces exactly that set. Completes the state-v2 API
+    legs: value/list/map state, timers, and now initial state."""
+    from sparkflow_spark.streaming.stateful import tws_seeded_user_counts
+
+    return tws_seeded_user_counts(spark, sf).transform(ordered, "user_id")

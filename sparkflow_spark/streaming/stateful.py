@@ -507,3 +507,75 @@ def tws_session_end_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     return res.select("user_id", "session_end_ms").orderBy("user_id")
+
+
+_TWS_SEED_CUTOFF = "2024-01-15"
+
+
+def tws_seeded_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS INITIAL-STATE coverage (the last state-v2 API leg): per-user
+    event counts seeded from a BATCH DataFrame of pre-cutoff history
+    (``initialState=GroupedData`` → ``handleInitialState`` installs the
+    seed into ValueState), while the stream delivers only post-cutoff
+    events — the standard backfill-then-stream migration shape. Final
+    emission per active user = seed + streamed = the batch all-time
+    count. Users with history but NO post-cutoff activity are seeded
+    but never emit (update-mode emission rides handleInputRows) — the
+    oracle reproduces exactly that: all-time counts for users active
+    after the cutoff."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from sparkflow_spark.catalog import cached_table
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+
+    class SeededCountsProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._count = handle.getValueState("count", "c LONG")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._count.update((int(initialState["c"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (c,) = self._count.get() if self._count.exists() else (0,)
+            for pdf in rows:
+                c += len(pdf)
+            self._count.update((c,))
+            yield _pd.DataFrame({"user_id": [key[0]], "c": [c]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    import pyspark.sql.functions as F
+
+    seed = (
+        cached_table(runner, sf_dir, "events")
+        .where(F.col("ts") < F.lit(_TWS_SEED_CUTOFF).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None).where(
+        F.col("ts") >= F.lit(_TWS_SEED_CUTOFF).cast("timestamp")
+    )
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededCountsProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+        initialState=seed.groupBy("user_id"),
+    )
+    res = run_stream_to_memory(out, "update")
+    return res.groupBy("user_id").agg(F.max("c").alias("c"))
