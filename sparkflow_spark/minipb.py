@@ -351,14 +351,18 @@ def parse_file_descriptor(serialized: bytes) -> FileDescriptor:
 class Message:
     """Instances hold values in ``_values`` keyed by field name;
     presence = key in dict. Reads of absent fields return proto3
-    defaults (empty sub-message / empty list included)."""
+    defaults. Reading an absent singular sub-message attaches a cached
+    instance (so ``msg.sub.x = 1`` writes through, like real protobuf);
+    ``_auto`` tracks read-attached names so serialization elides them
+    while they are still empty — a bare read never changes the wire."""
 
     DESCRIPTOR: Descriptor = None  # set on subclasses
 
-    __slots__ = ("_values",)
+    __slots__ = ("_values", "_auto")
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_auto", set())
         for k, v in kwargs.items():
             if v is None:
                 continue  # protobuf-python treats None kwargs as unset
@@ -379,7 +383,15 @@ class Message:
             vals[name] = lst  # mutable default container, like protobuf's
             return lst
         if f.type == T_MESSAGE:
-            return f.message_type._concrete_class()  # fresh default instance
+            # Cache-and-attach on first read so ``msg.sub.x = 1`` writes
+            # through (real protobuf semantics) instead of mutating a
+            # detached temporary. The field name is recorded in ``_auto``:
+            # SerializeToString elides auto-attached sub-messages that are
+            # still empty, so a mere read never changes the wire bytes.
+            sub = f.message_type._concrete_class()
+            vals[name] = sub
+            object.__getattribute__(self, "_auto").add(name)
+            return sub
         return _SCALAR_DEFAULTS[f.type]
 
     def __setattr__(self, name, value):
@@ -400,12 +412,15 @@ class Message:
         elif f.type == T_BYTES:
             value = bytes(value)
         vals = object.__getattribute__(self, "_values")
+        auto = object.__getattribute__(self, "_auto")
         if f.oneof_index is not None:
             # setting one member clears its siblings
             for other in d.fields:
                 if other.oneof_index == f.oneof_index and other.name != name:
                     vals.pop(other.name, None)
+                    auto.discard(other.name)
         vals[name] = value
+        auto.discard(name)  # explicit set → explicit presence
 
     def __eq__(self, other):
         return (
@@ -423,10 +438,20 @@ class Message:
         out = bytearray()
         d = type(self).DESCRIPTOR
         vals = object.__getattribute__(self, "_values")
+        auto = object.__getattribute__(self, "_auto")
         for f in sorted(d.fields, key=lambda x: x.number):
             if f.name not in vals:
                 continue
             v = vals[f.name]
+            if (
+                f.name in auto
+                and f.label != L_REPEATED
+                and f.type == T_MESSAGE
+                and not v.SerializeToString()
+            ):
+                # sub-message attached by a read and never mutated: a bare
+                # read must not flip the field's wire presence
+                continue
             if f.label == L_REPEATED:
                 if not v:
                     continue
@@ -456,6 +481,7 @@ class Message:
 
     def ParseFromString(self, data: bytes) -> int:
         object.__getattribute__(self, "_values").clear()
+        object.__getattribute__(self, "_auto").clear()
         self._merge(bytes(data))
         return len(data)
 
@@ -490,6 +516,7 @@ class Message:
                         ):
                             vals.pop(other.name, None)
                 vals[f.name] = value
+                object.__getattribute__(self, "_auto").discard(f.name)
 
     def ByteSize(self) -> int:
         return len(self.SerializeToString())

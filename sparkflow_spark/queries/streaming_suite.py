@@ -517,14 +517,17 @@ def st_tws(spark: SparkSession, sf: str) -> DataFrame:
     "st_tws_list_state",
     oracle="""
         SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_kept,
-               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                   AS top3_cents
+               CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN rn <= 3
+                             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS top3_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_seen
         FROM (SELECT user_id, value,
                      ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
-        WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
+        GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "stateful", "tws"),
     memo=False,  # fn runs eager work per call — do not reuse results
@@ -535,7 +538,10 @@ def st_tws_list(spark: SparkSession, sf: str) -> DataFrame:
     per user the 3 most-recent events' exact integer-cents sum; equals
     the batch top-3-by-(ts,event_id) rollup. Extends the X25 surface
     (and the minipb conformance check) to the ListStateCall protocol
-    paths."""
+    paths. Each call merges prior state with the new rows before
+    re-ranking, and a monotone ValueState counter (``n_seen``) marks
+    the final emission — correct under ANY micro-batch arrival pattern
+    (ADVICE r10), pinned by the maxFilesPerTrigger=1 pytest."""
     from sparkflow_spark.streaming.stateful import tws_last_events_list_state
 
     return tws_last_events_list_state(spark, sf).transform(ordered, "user_id")

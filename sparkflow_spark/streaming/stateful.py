@@ -19,17 +19,26 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from sparkflow_spark.minipb import install_if_missing as _install_minipb
 from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
 
-# transformWithStateInPandas speaks protobuf to the JVM state server.
-# When the real google.protobuf wheel is absent (this sandbox has no
-# package index), register the from-scratch minipb runtime in its
-# place — at MODULE import, so executor python workers that unpickle
-# the StatefulProcessor (importing this module) get it before pyspark's
-# lazy `import ...StateMessage_pb2` runs. With the wheel installed this
-# is a no-op and the official runtime wins.
-_install_minipb()
+
+def _ensure_protobuf() -> None:
+    """Driver-side protobuf resolution, deferred to FIRST TWS USE.
+
+    transformWithStateInPandas speaks protobuf to the JVM state server;
+    pyspark's client imports ``StateMessage_pb2`` lazily inside its
+    methods, so registering the from-scratch minipb runtime here — at
+    the top of each TWS query builder — is early enough. It is NOT done
+    at module import (ADVICE r10): mutating process-wide ``sys.modules``
+    as an import side effect would hand every other library in the
+    process a partial ``google.protobuf`` it never asked for. Executor
+    workers are covered separately by the processors' ``__setstate__``
+    bootstrap (see :func:`_minipb_bootstrap_closure`). With the real
+    wheel installed this is a no-op and the official runtime wins.
+    """
+    from sparkflow_spark.minipb import install_if_missing
+
+    install_if_missing()
 
 _OUT_SCHEMA = T.StructType(
     [T.StructField("user_id", T.LongType()), T.StructField("c", T.LongType())]
@@ -115,6 +124,7 @@ def _tws_runner_session(spark: SparkSession):
     HDFS-backed provider rejects — RocksDB is also the production
     store) + fixture-sized state width. A fresh clone per call keeps
     the provider override from leaking into sibling queries."""
+    _ensure_protobuf()  # every TWS query builder funnels through here
     from sparkflow_spark.session import ensure_runtime_configs
 
     runner = ensure_runtime_configs(spark.newSession())
@@ -231,11 +241,12 @@ def running_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Protobuf resolution: the state-server protocol is protobuf-framed
     (pyspark's generated StateMessage_pb2 wants the runtime named by
-    :func:`_protobuf_requirement`); with the wheel absent the module-
-    import hook above has already registered
-    :mod:`sparkflow_spark.minipb` as ``google.protobuf`` — every
-    round-trip through the JVM state server cross-checks that runtime
-    against real protobuf on the JVM side."""
+    :func:`_protobuf_requirement`); with the wheel absent
+    :func:`_ensure_protobuf` registers :mod:`sparkflow_spark.minipb` as
+    ``google.protobuf`` at first TWS use — every round-trip through the
+    JVM state server cross-checks that runtime against real protobuf on
+    the JVM side."""
+    _ensure_protobuf()
     try:
         import google.protobuf  # noqa: F401
     except ImportError as exc:  # pragma: no cover - minipb install failed
@@ -272,19 +283,24 @@ _TWS_LIST_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType()),
         T.StructField("n_kept", T.LongType()),
         T.StructField("top3_cents", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
     ]
 )
 
 
-def tws_last_events_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tws_last_events_list_state(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """TWS ListState coverage: per user keep the 3 most-recent events
     (by ts, event_id) in a typed ListState and emit their count + exact
     integer-cents sum, READ BACK FROM THE STATE STORE (put → appendValue
     → get round-trips the JVM state server, so the emission proves the
     list survived serialization, not just local arithmetic). Exercises
     the ListStatePut / AppendValue / ListStateGet protocol paths of the
-    protobuf runtime. Deterministic single-batch semantics: AvailableNow
-    delivers every row of a key to one handleInputRows call."""
+    protobuf runtime. Correct for ANY micro-batch arrival pattern
+    (ADVICE r10): each call merges the previously stored list with the
+    new rows before re-ranking, so maxFilesPerTrigger / real streams
+    converge to the same top-3 as the single-batch AvailableNow run."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     _bootstrap_protobuf = _minipb_bootstrap_closure()
@@ -301,29 +317,41 @@ def tws_last_events_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._last = handle.getListState(
                 "last_events", "ts_us LONG, event_id LONG, cents LONG"
             )
+            # monotone per-key total: identifies the FINAL emission
+            # under any micro-batch arrival pattern
+            self._seen = handle.getValueState("n_seen", "n LONG")
 
         def handleInputRows(self, key, rows, timerValues):
             import numpy as np
             import pandas as _pd
 
+            # merge prior state with this batch's rows, THEN re-rank:
+            # correct under any micro-batch split of a key's events
+            prev = [
+                (int(t[0]), int(t[1]), int(t[2])) for t in self._last.get()
+            ]
             parts = [pdf for pdf in rows]
             pdf = _pd.concat(parts, ignore_index=True)
-            pdf = pdf.sort_values(["ts", "event_id"]).tail(3)
             cents = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
-            tuples = [
+            new = [
                 (int(ts.value // 1000), int(eid), int(c))
                 for ts, eid, c in zip(pdf["ts"], pdf["event_id"], cents)
             ]
+            # (ts_us, event_id) ordering == (ts, event_id): keep last 3
+            tuples = sorted(prev + new)[-3:]
             # put the head, append the tail — exercises BOTH write paths
             self._last.put(tuples[:-1] if len(tuples) > 1 else tuples)
             if len(tuples) > 1:
                 self._last.appendValue(tuples[-1])
+            seen = (self._seen.get()[0] if self._seen.exists() else 0) + len(pdf)
+            self._seen.update((seen,))
             stored = list(self._last.get())  # read back through the server
             yield _pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_kept": [len(stored)],
                     "top3_cents": [sum(t[2] for t in stored)],
+                    "n_seen": [seen],
                 }
             )
 
@@ -337,7 +365,13 @@ def tws_last_events_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     runner = _tws_runner_session(spark)
-    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
+    sdf = stream_events(
+        runner,
+        sf_dir,
+        watermark=None,
+        state_partitions=None,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     out = sdf.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=LastEventsProcessor(),
         outputStructType=_TWS_LIST_SCHEMA,
@@ -346,9 +380,15 @@ def tws_last_events_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_stream_to_memory(out, "update")
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
-    return res.groupBy("user_id").agg(
-        F.max("n_kept").alias("n_kept"), F.max("top3_cents").alias("top3_cents")
+    # the FINAL emission per key is the one with the highest n_seen
+    # (strictly monotone per key across micro-batches)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_kept", "top3_cents", "n_seen")
     )
 
 

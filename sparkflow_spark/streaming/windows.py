@@ -280,17 +280,22 @@ def stream_stream_left_join(
     (inner semantics), and an unmatched left row emits null-padded only
     when the watermark proves no future right row can join it.
 
-    The null-padding timing is the contract here, and it is MORE
-    conservative than the naive "l_ts below the watermark" reading:
-    Spark retains a left row for (watermark delay + join-range upper
-    bound) — the state-cleanup rule in the stream-stream join docs —
-    so with ``r_ts ∈ (l_ts - within, l_ts]`` the row is evicted (and
-    its outer null emitted by the final AvailableNow flush batch) only
-    when ``l_ts < max(ts) - delay - within``. Unmatched rows younger
-    than that stay buffered in the state store when the query stops —
-    they are NOT in the result, and the oracle must not invent them.
-    Verified empirically: at sf0.001 two unmatched purchases sit inside
-    the (wm - within, wm) band and are correctly withheld.
+    The null-padding timing is the contract here. The verified rule
+    (encoded in the registered oracle and hash-matched at three SFs) is:
+    an unmatched left row emits null-padded iff
+    ``l_ts < wm``, where ``wm = min over the two filtered legs of
+    (max event ts in that leg) - delay``, strict ``<`` at whole-ms
+    resolution — with NO ``within`` term. The join range
+    ``r_ts ∈ (l_ts - within, l_ts]`` only looks BACKWARD from the left
+    row, so once the watermark passes ``l_ts`` no future right row
+    (all of which arrive with ``r_ts ≥ wm``) can satisfy
+    ``r_ts ≤ l_ts``; Spark's state cleanup therefore needs no extra
+    ``within`` grace on the left side for this condition shape.
+    Unmatched rows younger than ``wm`` stay buffered in the state
+    store when the query stops — they are NOT in the result, and the
+    oracle must not invent them. Verified empirically: at sf0.001
+    unmatched purchases just under the watermark emit, while those at
+    or above it are correctly withheld.
 
     Scale shape: state is bounded by the watermark horizon on both
     sides (the point of watermarked outer joins); keys shuffle once

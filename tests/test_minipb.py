@@ -216,3 +216,46 @@ def test_packed_repeated_scalars_roundtrip():
     back2 = cls()
     back2.ParseFromString(bytes(unpacked))
     assert list(back2.xs) == [7, 9]
+
+
+def test_submessage_write_through_and_read_purity():
+    """ADVICE r10: reading an unset singular sub-message must attach it
+    (``msg.sub.x = 1`` writes through like real protobuf), while a bare
+    read must NOT change the serialized bytes."""
+    sm = _pb2()
+    # bare read of a deep unset chain leaves the wire empty
+    req = sm.StateRequest()
+    _ = req.statefulProcessorCall.setHandleState.state
+    assert req.SerializeToString() == b""
+    # mutation through the read-attached instance is visible on the wire
+    req.statefulProcessorCall.setHandleState.state = sm.INITIALIZED
+    assert req.SerializeToString() == bytes.fromhex("12040a020802")
+    # explicit assignment of an EMPTY sub-message still serializes
+    # presence (tag + len 0) — only read-attached empties are elided
+    req2 = sm.StateRequest(statefulProcessorCall=sm.StatefulProcessorCall())
+    assert req2.SerializeToString() == bytes.fromhex("1200")
+
+
+def test_importing_stateful_module_has_no_sys_modules_side_effect():
+    """ADVICE r10: merely importing the stateful module must not
+    register minipb into sys.modules — installation is deferred to the
+    first TWS use. Checked in a fresh interpreter so earlier tests'
+    installs can't mask a regression."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys; import sparkflow_spark.streaming.stateful; "
+                "assert 'google.protobuf' not in sys.modules, 'side effect!'; "
+                "print('IMPORT_PURE')"
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert "IMPORT_PURE" in out.stdout, out.stderr

