@@ -1529,6 +1529,7 @@ def exact_substring_spans(
     min_len: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_key: str = "exact",
 ) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the suffix-array
@@ -1559,34 +1560,86 @@ def exact_substring_spans(
     gram partition detects cross-doc duplication (no count-distinct, no
     self-join, boilerplate grams cost one window partition instead of
     an O(df²) join bucket), then ONE doc-keyed exchange for the
-    gaps-and-islands merge. At 100 TB the gram key would be an 8-byte
-    xxhash64 prefilter with an exact-gram verify join behind it
-    (hash-shard-able, 10× narrower shuffle); the fixtures' corpus fits
-    the exact-gram key, which keeps the oracle engine-portable.
+    gaps-and-islands merge.
+
+    ``gram_key`` picks the shuffle key for the cross-doc prescreen:
+
+    - ``"exact"`` — the raw ``min_len``-char gram (~``min_len`` bytes
+      per position through the exchange). Engine-portable (the DuckDB
+      oracle runs the same plan), correct in one pass.
+    - ``"hash"`` — the 100 TB shape the exact form's docstring always
+      named: shuffle ``xxhash64(gram)`` (8 bytes/position, ~4× narrower
+      at k=30) for the min≠max prescreen, then re-derive the exact gram
+      ONLY for prescreen survivors (a doc-keyed join back to the corpus
+      — broadcastable candidate list in practice) and re-apply the
+      min≠max test on the exact gram, so a 64-bit collision can never
+      flag a position the exact key wouldn't (collision-safe; identical
+      output by construction, pinned at three SFs by the registered
+      twin ``d_exact_substring_spans_hashed``).
     """
     k = int(min_len)
     if k < 2:
         raise ValueError(f"exact_substring_spans: min_len must be >= 2, got {min_len}")
+    if gram_key not in ("exact", "hash"):
+        raise ValueError(f"exact_substring_spans: unknown gram_key {gram_key!r}")
     d = df.select(id_col, text_col).where(F.char_length(F.col(text_col)) >= k)
-    grams = d.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.char_length(F.col(text_col)) - k + 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.substring(F.col(text_col), i, k).alias("gram"),
-                ),
-            )
-        ).alias("_g"),
-    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
-    wg = Window.partitionBy("gram")
-    flagged = (
-        grams.withColumn("_mn", F.min(id_col).over(wg))
-        .withColumn("_mx", F.max(id_col).over(wg))
-        .where(F.col("_mn") != F.col("_mx"))
-        .select(id_col, "pos")
-    )
+    if gram_key == "exact":
+        grams = d.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.char_length(F.col(text_col)) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.substring(F.col(text_col), i, k).alias("gram"),
+                    ),
+                )
+            ).alias("_g"),
+        ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+        wg = Window.partitionBy("gram")
+        flagged = (
+            grams.withColumn("_mn", F.min(id_col).over(wg))
+            .withColumn("_mx", F.max(id_col).over(wg))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select(id_col, "pos")
+        )
+    else:
+        # stage 1 (prescreen): shuffle only (id, pos, hkey int64) — the
+        # gram string never crosses the wire
+        hgrams = d.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.char_length(F.col(text_col)) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.substring(F.col(text_col), i, k)).alias("hkey"),
+                    ),
+                )
+            ).alias("_g"),
+        ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.hkey").alias("hkey"))
+        wh = Window.partitionBy("hkey")
+        cand = (
+            hgrams.withColumn("_mn", F.min(id_col).over(wh))
+            .withColumn("_mx", F.max(id_col).over(wh))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select(id_col, "pos")
+        )
+        # stage 2 (verify): exact grams for SURVIVORS ONLY — kills any
+        # 64-bit collision across distinct grams; candidate volume is
+        # the duplicated mass, tiny next to the corpus
+        cand_grams = cand.join(d, id_col).select(
+            F.col(id_col),
+            F.col("pos"),
+            F.substring(F.col(text_col), F.col("pos"), k).alias("gram"),
+        )
+        wg = Window.partitionBy("gram")
+        flagged = (
+            cand_grams.withColumn("_mn", F.min(id_col).over(wg))
+            .withColumn("_mx", F.max(id_col).over(wg))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select(id_col, "pos")
+        )
     wd = Window.partitionBy(id_col).orderBy("pos")
     new_island = F.when(
         F.lag("pos").over(wd).isNull()

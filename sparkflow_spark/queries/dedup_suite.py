@@ -1115,6 +1115,29 @@ def d_exact_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d_exact_substring_spans_hashed",
+    oracle=f"""
+        WITH {_SUBSTR_SPANS_CTE}
+        SELECT doc_id, span_start, span_end, span_len
+        FROM spans ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "lee2022", "scale"),
+)
+def d_exact_substring_spans_hashed_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB shuffle shape of d_exact_substring_spans (r10 verdict
+    ask #1): xxhash64(gram) 8-byte prescreen key — ~4× narrower than
+    the raw 30-char gram through the exchange — with an exact-gram
+    verify pass behind it restricted to prescreen survivors, so a
+    64-bit collision can never flag a position the exact key wouldn't.
+    Identical output to the exact-key twin by construction; this entry
+    pins that against the SAME oracle at every fixture scale."""
+    t = Tables(spark, sf)
+    return dedup.exact_substring_spans(
+        t.documents, min_len=_SUBSTR_L, gram_key="hash"
+    ).transform(ordered, "doc_id", "span_start")
+
+
+@register(
     "d_exact_substring_strip",
     oracle=f"""
         WITH {_SUBSTR_SPANS_CTE},

@@ -489,6 +489,102 @@ def st_ss_left_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "st_stream_stream_full_join",
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'purchase'),
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'signup')
+            ) - 10800000 AS wm_ms),
+        l AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'signup')
+        SELECT l.event_id AS l_id, r.event_id AS r_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 2 HOUR
+        UNION ALL
+        SELECT l.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id
+        FROM l, wm
+        WHERE epoch_us(l.ts) < wm.wm_ms * 1000
+          AND NOT EXISTS (SELECT 1 FROM r
+                          WHERE r.user_id = l.user_id
+                            AND r.ts <= l.ts
+                            AND r.ts > l.ts - INTERVAL 2 HOUR)
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS l_id, r.event_id AS r_id
+        FROM r, wm
+        WHERE epoch_us(r.ts) + 7200000000 <= wm.wm_ms * 1000
+          AND NOT EXISTS (SELECT 1 FROM l
+                          WHERE l.user_id = r.user_id
+                            AND r.ts <= l.ts
+                            AND r.ts > l.ts - INTERVAL 2 HOUR)
+        ORDER BY l_id, r_id
+    """,
+    tags=("streaming", "join", "outer"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_ss_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (r10 verdict ask #3)
+    — both sides null-pad, each on its own watermark-proven-unmatchable
+    schedule. Matches == the batch join; an unmatched purchase pads iff
+    l_ts < wm (strict, whole-ms — same as the left-outer twin); an
+    unmatched signup pads iff r_ts + within <= wm (INCLUSIVE — at
+    equality a future left must satisfy the STRICT l_ts < r_ts + within
+    with l_ts >= wm, impossible, so Spark evicts that same batch). The
+    asymmetry follows from the range bounds (r_ts <= l_ts inclusive,
+    r_ts > l_ts - within exclusive) and is pinned ±1 ms on both legs by
+    the planted-boundary t1 (tests/test_streaming.py)."""
+    from sparkflow_spark.streaming.windows import stream_stream_full_join
+
+    return stream_stream_full_join(spark, sf)
+
+
+@register(
+    "st_stream_stream_right_join",
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'purchase'),
+                (SELECT epoch_ms(MAX(ts)) FROM events
+                 WHERE event_type = 'signup')
+            ) - 10800000 AS wm_ms),
+        l AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'signup')
+        SELECT l.event_id AS l_id, r.event_id AS r_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 2 HOUR
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS l_id, r.event_id AS r_id
+        FROM r, wm
+        WHERE epoch_us(r.ts) + 7200000000 <= wm.wm_ms * 1000
+          AND NOT EXISTS (SELECT 1 FROM l
+                          WHERE l.user_id = r.user_id
+                            AND r.ts <= l.ts
+                            AND r.ts > l.ts - INTERVAL 2 HOUR)
+        ORDER BY l_id, r_id
+    """,
+    tags=("streaming", "join", "outer"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_ss_right_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join — the right-leg half
+    of the full-outer entry: unmatched signups pad iff r_ts + within <=
+    wm (inclusive horizon, see st_stream_stream_full_join); purchases
+    never pad."""
+    from sparkflow_spark.streaming.windows import stream_stream_right_join
+
+    return stream_stream_right_join(spark, sf)
+
+
+@register(
     "st_tws_user_stats",
     oracle="""
         SELECT user_id, COUNT(*) AS c,

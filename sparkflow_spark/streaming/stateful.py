@@ -619,3 +619,195 @@ def tws_seeded_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_stream_to_memory(out, "update")
     return res.groupBy("user_id").agg(F.max("c").alias("c"))
+
+
+# ---------------------------------------------------------------------------
+# state TTL + processing-time timers (r10 verdict ask #4)
+
+
+_TWS_TTL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("pt_ms", T.LongType()),
+    ]
+)
+
+
+def tws_ttl_user_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int = 6 * 3600 * 1000,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-user running counts in a ValueState with ``TTLConfig``
+    (``ttlDurationMs``) — the production knob that keeps keyed-stream
+    state bounded at 100 TB: a key idle longer than the TTL is evicted
+    by the store itself, no user code.
+
+    TTL in state-v2 is PROCESSING-time based (expiry = batch processing
+    time + ttl). Two deterministic regimes, both used:
+
+    - ``ttl_ms`` >> run duration (default 6 h vs a seconds-long
+      AvailableNow run): nothing can expire mid-run, so the final
+      per-key count equals the batch ``GROUP BY`` exactly — the t2
+      oracle regime;
+    - ``ttl_ms`` << inter-batch gap (1 ms, with
+      ``max_files_per_trigger=1`` forcing multiple batches): state
+      written in batch N is ALWAYS expired by batch N+1 (micro-batches
+      are never sub-millisecond apart), so counts restart per batch —
+      the t1 boundary regime.
+
+    Each emission carries ``pt_ms`` (the batch's processing time) —
+    strictly increasing across micro-batches — so the FINAL emission
+    per key is identifiable under expiry, where the count is not
+    monotone.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+    _ttl = int(ttl_ms)
+
+    class TtlCountsProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._count = handle.getValueState(
+                "cnt", "c LONG", ttlDurationMs=_ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            c = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                c += len(pdf)
+            self._count.update((c,))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "c": [c],
+                    "pt_ms": [timerValues.getCurrentProcessingTimeInMs()],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(
+        runner,
+        sf_dir,
+        watermark=None,
+        state_partitions=None,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TtlCountsProcessor(),
+        outputStructType=_TWS_TTL_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    res = run_stream_to_memory(out, "update")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("pt_ms").desc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "c")
+    )
+
+
+_TWS_PT_TIMER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("fired_after_pt_ms", T.LongType()),
+    ]
+)
+
+
+def tws_processing_time_timer_fires(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """PROCESSING-time timers (``timeMode="processingTime"``) — the
+    state-v2 leg event-time timers don't cover. Per key, batch 1
+    registers a timer at (current processing time - 1 ms): an
+    already-elapsed expiry, so the NEXT micro-batch must fire it —
+    deterministic without controlling the wall clock, because batch
+    processing time strictly increases and fired timers are delivered
+    when expiry < the batch's processing time. ``handleExpiredTimer``
+    emits (key, expiry); a key therefore appears iff a batch ran after
+    its registration batch (with ``max_files_per_trigger=1`` over a
+    multi-file source: every key seen before the final batch).
+    Duplicate registrations are prevented by a seen-marker ValueState.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+
+    class PtTimerProcessor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._armed = handle.getValueState("armed", "a LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for _ in rows:
+                pass
+            if not self._armed.exists():
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() - 1
+                )
+                self._armed.update((1,))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "fired_after_pt_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(
+        runner,
+        sf_dir,
+        watermark=None,
+        state_partitions=None,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PtTimerProcessor(),
+        outputStructType=_TWS_PT_TIMER_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime",
+    )
+    return run_stream_to_memory(out, "update")

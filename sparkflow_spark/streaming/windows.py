@@ -329,3 +329,114 @@ def stream_stream_left_join(
     joined = left.join(right, cond, "left_outer").select("l_id", "r_id")
     out = run_stream_to_memory(joined, "append")
     return out.orderBy("l_id", "r_id")
+
+
+def stream_stream_full_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "signup",
+    within: str = "2 hours",
+    delay: str = "3 hours",
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (r10 verdict ask #3)
+    — the hardest state-expiry semantics: BOTH sides null-pad, each on
+    its own watermark-proven-unmatchable schedule.
+
+    With the range condition ``r_ts ∈ (l_ts - within, l_ts]`` and
+    global watermark ``wm = min over the two filtered legs of
+    (max event ts in that leg) - delay`` (whole-ms, per-leg maxima):
+
+    - an unmatched LEFT row null-pads iff ``l_ts < wm`` (strict): any
+      future right arrives with ``r_ts ≥ wm > l_ts`` and the condition
+      needs ``r_ts ≤ l_ts`` — same rule as the left-outer twin;
+    - an unmatched RIGHT row null-pads iff ``r_ts + within ≤ wm``
+      (INCLUSIVE, unlike the left leg): a future left arrives with
+      ``l_ts ≥ wm`` and the condition needs the STRICT
+      ``l_ts < r_ts + within``, so at ``wm == r_ts + within`` the row
+      is already provably unmatchable and Spark evicts it that same
+      batch. The asymmetry is forced by the range bounds — ``r_ts ≤
+      l_ts`` is inclusive (a right arriving exactly at ``wm`` can still
+      match a left with ``l_ts == wm``, so left eviction waits for
+      ``l_ts < wm`` strictly), while ``r_ts > l_ts - within`` is
+      exclusive. Both legs pinned by the planted-boundary t1
+      (±1 ms around each horizon).
+
+    Rows younger than their side's horizon stay buffered in the state
+    store when the query stops — they are NOT in the result, and the
+    oracle must not invent them.
+
+    Scale shape: state on each side is bounded by (delay + within) of
+    event time — the point of watermarked outer joins; keys shuffle
+    once into the join's state-store partitioning.
+    """
+    runner = streaming_session(spark)
+    left = (
+        stream_events(runner, sf_dir, watermark=delay, state_partitions=None)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+    )
+    right = (
+        stream_events(runner, sf_dir, watermark=delay, state_partitions=None)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    joined = left.join(right, cond, "full_outer").select("l_id", "r_id")
+    out = run_stream_to_memory(joined, "append")
+    return out.orderBy("l_id", "r_id")
+
+
+def stream_stream_right_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "signup",
+    within: str = "2 hours",
+    delay: str = "3 hours",
+) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join — the right-leg half
+    of :func:`stream_stream_full_join`: matches emit as both sides
+    arrive; an unmatched RIGHT row null-pads iff ``r_ts + within ≤ wm``
+    (inclusive — see the full-join docstring for why the legs'
+    horizons differ); left rows never pad. Same state bounds as the
+    full join."""
+    runner = streaming_session(spark)
+    left = (
+        stream_events(runner, sf_dir, watermark=delay, state_partitions=None)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+    )
+    right = (
+        stream_events(runner, sf_dir, watermark=delay, state_partitions=None)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    joined = left.join(right, cond, "right_outer").select("l_id", "r_id")
+    out = run_stream_to_memory(joined, "append")
+    return out.orderBy("l_id", "r_id")

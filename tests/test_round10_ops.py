@@ -331,3 +331,49 @@ def test_exact_substring_spans_boilerplate_hot_gram(spark):
     # first distinguishing digit), never into the md5-unique region
     for d, iv in got.items():
         assert len(iv) == 1 and iv[0][0] == 1 and 41 <= iv[0][1] <= 55, (d, iv)
+
+
+def test_exact_substring_hashed_equals_exact_and_narrow_shuffle(spark):
+    """r10 verdict ask #1: the xxhash64-prefilter variant must emit the
+    IDENTICAL span set as the exact-gram kernel (collision-safe via the
+    exact-gram verify behind the prescreen), and its first exchange
+    must carry the 8-byte hkey instead of the 30-char gram string."""
+    import hashlib
+
+    from sparkflow_spark.dedup import exact_substring_spans
+
+    header = "COMMON-SITE-HEADER:0123456789abcdefghij "
+    docs = [
+        (
+            i,
+            (header if i % 10 < 3 else f"unique{i:05d}head ")
+            + f"tail-{i:05d}-"
+            + hashlib.md5(str(i).encode()).hexdigest(),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    exact = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_substring_spans(df, min_len=30).collect()
+    }
+    hashed_df = exact_substring_spans(df, min_len=30, gram_key="hash")
+    hashed = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in hashed_df.collect()
+    }
+    assert hashed == exact and len(exact) > 0
+    # the prescreen exchange is keyed on the int64 hash, and the gram
+    # string does not ride that shuffle
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(hkey" in plan, plan[:2000]
+    assert "xxhash64" in plan
+
+
+def test_exact_substring_gram_key_validation():
+    import pytest as _pytest
+
+    from sparkflow_spark.dedup import exact_substring_spans
+
+    with _pytest.raises(ValueError, match="gram_key"):
+        exact_substring_spans(None, min_len=30, gram_key="bogus")

@@ -623,3 +623,49 @@ def test_tws_list_state_correct_across_micro_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == truth and len(got) > 0
+
+
+def test_full_outer_join_null_pad_boundaries_both_legs(spark, tmp_path):
+    """r10 verdict ask #3: pin the full-outer null-padding timing ±1 ms
+    around each leg's horizon. within=2h, delay=3h; both legs' max ts
+    planted at T=100h so wm = 97h. Left pads iff l_ts < wm STRICTLY
+    (a right arriving exactly at wm could still match l_ts == wm via
+    the inclusive r_ts <= l_ts bound); right pads iff r_ts + within <=
+    wm INCLUSIVELY (a future left must satisfy the strict
+    l_ts < r_ts + within with l_ts >= wm — impossible at equality)."""
+    import datetime
+
+    from sparkflow_spark.streaming.windows import stream_stream_full_join
+
+    B = datetime.datetime(2024, 1, 1)
+
+    def t(h, ms=0):
+        return B + datetime.timedelta(hours=h, milliseconds=ms)
+
+    rows = [
+        # watermark anchors: a matched pair at T=100h on both legs
+        (1, t(100), 1, "purchase", 1.0, "{}"),
+        (2, t(100), 1, "signup", 1.0, "{}"),
+        # left-leg probes (users with no signups): wm-1ms / wm / wm+1ms
+        (10, t(97, -1), 10, "purchase", 1.0, "{}"),
+        (11, t(97, 0), 11, "purchase", 1.0, "{}"),
+        (12, t(97, 1), 12, "purchase", 1.0, "{}"),
+        # right-leg probes (users with no purchases):
+        # r_ts + 2h = wm-1ms / wm / wm+1ms
+        (20, t(95, -1), 20, "signup", 1.0, "{}"),
+        (21, t(95, 0), 21, "signup", 1.0, "{}"),
+        (22, t(95, 1), 22, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / "boundary"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in stream_stream_full_join(spark, str(d)).collect()
+    }
+    assert got == {(1, 2), (10, None), (None, 20), (None, 21)}, got
