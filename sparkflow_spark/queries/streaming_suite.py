@@ -713,3 +713,58 @@ def st_tws_seeded(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.stateful import tws_seeded_user_counts
 
     return tws_seeded_user_counts(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_tws_ttl_counts",
+    oracle="""
+        SELECT user_id, COUNT(*) AS c
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "ttl"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS state TTL (r10 verdict ask #4): per-user running counts in a
+    ValueState carrying ttlDurationMs — the knob that keeps a 100 TB
+    keyed stream's state bounded (idle keys evicted by the store, no
+    user code). TTL is processing-time based; with the 6 h default
+    nothing can expire inside a seconds-long AvailableNow run, so the
+    final per-key count equals the batch GROUP BY exactly — while the
+    1 ms/multi-batch t1 (tests/test_streaming.py) pins the EXPIRY leg:
+    state written in batch N is always gone by batch N+1, so counts
+    restart. Also exercises the settle-drain protocol: processingTime
+    timeMode never self-terminates under AvailableNow."""
+    from sparkflow_spark.streaming.stateful import tws_ttl_user_counts
+
+    return tws_ttl_user_counts(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_tws_pt_timer_fired_keys",
+    oracle="""
+        SELECT DISTINCT user_id FROM events ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "timers"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_tws_pt_timer(spark: SparkSession, sf: str) -> DataFrame:
+    """TWS PROCESSING-TIME timers (r10 verdict ask #4): every key's
+    first batch registers a timer at (current processing time - 1 ms) —
+    already elapsed, so a later micro-batch MUST fire it; in
+    processingTime timeMode AvailableNow keeps scheduling post-data
+    empty batches, which is exactly where they fire. The fired-key set
+    therefore equals the distinct key set — deterministic without
+    controlling the wall clock (expiry strictly below every future
+    batch's processing time). Expiry timestamps themselves are
+    wall-clock and are projected away for the oracle."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.streaming.stateful import tws_processing_time_timer_fires
+
+    return (
+        tws_processing_time_timer_fires(spark, sf)
+        .select("user_id")
+        .distinct()
+        .transform(ordered, "user_id")
+    )

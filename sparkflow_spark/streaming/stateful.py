@@ -717,9 +717,11 @@ def tws_ttl_user_counts(
         statefulProcessor=TtlCountsProcessor(),
         outputStructType=_TWS_TTL_SCHEMA,
         outputMode="update",
-        timeMode="none",
+        timeMode="processingTime",  # TTL is only legal in this timeMode
     )
-    res = run_stream_to_memory(out, "update")
+    # processingTime + AvailableNow never self-terminates; drain the
+    # data batches, let the sink settle, stop (see run_stream_to_memory)
+    res = run_stream_to_memory(out, "update", drain="settle")
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -810,4 +812,6 @@ def tws_processing_time_timer_fires(
         outputMode="update",
         timeMode="processingTime",
     )
-    return run_stream_to_memory(out, "update")
+    # timers fire in the post-data empty batches that processingTime
+    # mode keeps scheduling — settle-drain captures them, then stops
+    return run_stream_to_memory(out, "update", drain="settle")

@@ -123,7 +123,13 @@ def stream_events(
     return sdf
 
 
-def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_memory(
+    sdf: DataFrame,
+    output_mode: str,
+    drain: str = "terminate",
+    settle_secs: float = 1.0,
+    settle_timeout: float = 60.0,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the final result as a batch DataFrame.
 
@@ -131,7 +137,27 @@ def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     :func:`streaming_session` (the stream must be built under the sized
     session — a conf applied after the DataFrame exists does not rebind
     its JVM-side session); this runner only starts the query and waits.
+
+    ``drain`` picks the completion protocol:
+
+    - ``"terminate"`` (default): ``awaitTermination()`` — correct for
+      every timeMode except processingTime, where AvailableNow NEVER
+      self-terminates (the micro-batch executor keeps scheduling empty
+      batches because processing time always advances, so
+      ``shouldRunAnotherBatch`` stays true — observed: 212 epochs and
+      counting on a one-file source);
+    - ``"settle"``: poll the sink until its row count is non-zero¹ and
+      unchanged for ``settle_secs``, then ``stop()``. The poll alone is
+      the protocol — ``processAllAvailable()`` ALSO never returns under
+      processingTime+AvailableNow (verified by traceback: it blocks
+      while the executor schedules empty batch after empty batch), and
+      those post-data empty batches are exactly where already-elapsed
+      processing-time timers fire, so their emissions are wanted.
+      ¹If the query legitimately emits nothing the poll just runs out
+      the (bounded) ``settle_timeout``.
     """
+    import time as _time
+
     spark = sdf.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
     q = (
@@ -141,7 +167,23 @@ def run_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if drain == "terminate":
+        q.awaitTermination()
+    elif drain == "settle":
+        deadline = _time.time() + settle_timeout
+        prev, prev_t = -1, _time.time()
+        while _time.time() < deadline:
+            n = spark.table(name).count()
+            now = _time.time()
+            if n != prev:
+                prev, prev_t = n, now
+            elif n > 0 and now - prev_t >= settle_secs:
+                break
+            _time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+    else:  # pragma: no cover - programmer error
+        raise ValueError(f"run_stream_to_memory: unknown drain {drain!r}")
     return spark.table(name)
 
 

@@ -669,3 +669,87 @@ def test_full_outer_join_null_pad_boundaries_both_legs(spark, tmp_path):
         for r in stream_stream_full_join(spark, str(d)).collect()
     }
     assert got == {(1, 2), (10, None), (None, 20), (None, 21)}, got
+
+
+def test_tws_ttl_state_expires_between_micro_batches(spark, sf_dir, tmp_path):
+    """r10 verdict ask #4, expiry leg: with ttl=1ms and
+    maxFilesPerTrigger=1 over a 3-file source, state written in batch N
+    is ALWAYS expired by batch N+1 (micro-batches are never
+    sub-millisecond apart), so each batch's emission counts ONLY that
+    batch's rows — the final per-key count equals the key's row count
+    in the LAST file containing it, not the all-time total."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.streaming.stateful import tws_ttl_user_counts
+
+    ev = cached_table(spark, sf_dir, "events")
+    fixture = tmp_path / "ttl"
+    fixture.mkdir()
+    # deterministic 3-way split on event_id, written as separate files
+    # with staggered mtimes so the file source orders them as batches
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(fixture / "events.parquet")
+    os.makedirs(src)
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    got = {
+        r["user_id"]: r["c"]
+        for r in tws_ttl_user_counts(
+            spark, str(fixture), ttl_ms=1, max_files_per_trigger=1
+        ).collect()
+    }
+    # truth: per key, the count within the LAST batch (highest event_id%3
+    # bucket) that contains the key
+    w_ev = ev.withColumn("b", F.col("event_id") % 3)
+    last_b = w_ev.groupBy("user_id").agg(F.max("b").alias("b"))
+    truth = {
+        r["user_id"]: r["c"]
+        for r in w_ev.join(last_b, ["user_id", "b"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == truth and len(got) > 0
+    # sanity: expiry actually changed something vs the all-time counts
+    alltime = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got != alltime
+
+
+def test_tws_processing_time_timer_fires_every_key(spark, sf_dir):
+    """r10 verdict ask #4, processing-time timers: every key registers
+    an already-elapsed timer in its first batch; a later batch (the
+    empty ones processingTime mode keeps scheduling) must fire it —
+    the fired-key set equals the distinct key set."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.streaming.stateful import (
+        tws_processing_time_timer_fires,
+    )
+
+    fired = {
+        r["user_id"]
+        for r in tws_processing_time_timer_fires(spark, sf_dir).collect()
+    }
+    allk = {
+        r["user_id"]
+        for r in cached_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert fired == allk and len(fired) > 0
