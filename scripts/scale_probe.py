@@ -193,6 +193,19 @@ PROBES = [
     "p_training_bins_e2e",
     "p_decontaminate_keep",
     "d_exact_substring_spans",
+    # round-11 additions (r10 verdict asks #1/#7): the hashed-gram
+    # prescreen twin (8-byte hkey through the first exchange instead of
+    # the 30-char gram — expect a lower wall clock AND a ~4× narrower
+    # prescreen shuffle, reported separately by stream_state_probe.py);
+    # the streaming/TWS stack gets its first ×N rows — tumbling agg
+    # (state = windows, near-flat), stream-stream left join (state
+    # bounded by the watermark horizon per key; user shift keeps
+    # per-copy join structure intact so matches scale linearly), and
+    # the TWS python processor (state = 2 longs/key; keys scale with m,
+    # rows/key constant — per-row cost should be flat python work).
+    "d_exact_substring_spans_hashed",
+    "st_stream_stream_left_join",
+    "st_tws_user_stats",
 ]
 
 # Tables the probe queries never touch are symlinked, not rewritten.

@@ -137,116 +137,79 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-10 rotation (r9 verdict ask #1: target the 91 never-checked
-    # entries; this window rotates in 22 FIRST-TIME rows while every
-    # rotated-out row leaves an in-window family rep + its local oracle
-    # + pytest). Rotation history r5-r9 lives in git (this literal,
-    # commits tagged "rotation") and CORRECTNESS_r0{5..9}.json.
+    # Round-11 rotation (r10 verdict ask #2: "finish the never-checked
+    # tail" — 86 entries had no driver CORRECTNESS row after r10, 7 of
+    # them new this round). This window is 49 FIRST-TIME entries + the
+    # flagship: every slot except q13 has never had a driver record.
+    # The 37 still-never-checked entries (21 t2 + 16 rows-only) fit in
+    # ONE more rotation — r12 retires the tail entirely, completing the
+    # plan the r10 verdict laid out. Rotated-out rows are all
+    # driver-green r10 (see CORRECTNESS_r10.json); rotation history
+    # r5-r10 lives in git on this literal.
     #
-    # Out->in map, with the surviving family rep in parentheses:
-    #   q02_filter_and -> q83_not_in_null_semantics (filter family gains
-    #     the three-valued NOT IN edge; q01/q03/q04 driver-green r5-r9)
-    #   q74_quantile_normalize / q81_customer_deciles ->
-    #     q60_exact_percentiles + q72_running_median (rank/percentile
-    #     family, both first-time)
-    #   q65_scd2_history -> q56_time_range_window (window family; the
-    #     RANGE-over-epoch frame was never driver-checked)
-    #   q91_weighted_sample_md5 -> q86_dp_noisy_counts stays OUT; md5-
-    #     deterministic family reps remain d_minhash_md5_pairs,
-    #     s_*_md5_query (all in-window)
-    #   q06_multiway_join / q10_left_anti_join -> tpch_q8_market_share
-    #     (8-way join) + tpch_q16/tpch_q20 (NOT IN + EXISTS/IN
-    #     decorrelation carry the semi/anti shapes)
-    #   tpch_q17_small_qty_revenue -> tpch_q2/q8/q13/q16/q20 (suite goes
-    #     from one driver-checked row to five, all first-time)
-    #   q64_table_diff -> q98_intersect_all stays in-window (set ops)
-    #   q84_dwell_time_stats -> q101_order_overlap_pairs (events/pair
-    #     analytics, first-time) + q110 r9-green
-    #   q110_overlap_join_congestion -> st_stream_interval_join stays
-    #     (interval-join family) + q101 overlap pairs
-    #   q15_approx_within_5pct -> st_sketch_maintenance stays (approx/
-    #     sketch family; q15 driver-green r9)
-    #   a_heavy_hitters_mg -> q100_heavy_hitters (same family,
-    #     first-time; MG sketch keeps its local oracle + pytest)
-    #   q111_hll_rolling_distinct / q112_histogram_quantile_rollup /
-    #     q113_histogram_drift_tv (all r9-green) -> q67_histogram
-    #     (equi-width histogram, first-time)
-    #   q55_cube_grouping (r9-green) -> tpch_q13_customer_distribution
-    #     (grouped-distribution shape, first-time)
-    #   q58_unpivot (r9-green) -> q59_array_exists_forall (reshape/HOF
-    #     neighbors, first-time)
-    #   t_char_entropy / t_source_boilerplate_prefix / t_tfidf_top_terms
-    #     (all r9-green) -> t_bpe_learn_merges (the X150 iterative-
-    #     trainer replay, never driver-checked) + q57_string_distance
-    #   s_ivf_index_query (r9-green) -> s_rh_lsh_md5_query (completes
-    #     driver coverage of all three ANN replay families: IVF via
-    #     s_hard_negative_md5_query, PQ via s_pq_md5_query, RH-LSH here)
-    #   + first-time riders with no out-partner: q114_asof_forward,
-    #     q115_asof_nearest (the r9-ADVICE-hardened directions),
-    #     p_corpus_report, p_decontaminate_keep, mm_feature_check,
-    #     mm_frame_check (the X152/X153/X155 t2 twins).
-    #
-    # relational / window / percentile core
+    # flagship (stays every round; entry() smoke-check target)
     "q13_hash_agg_tpch_q1",
-    "q83_not_in_null_semantics",
-    "q56_time_range_window",
-    "q57_string_distance",
-    "q59_array_exists_forall",
-    "q60_exact_percentiles",
-    "q72_running_median",
-    "q67_histogram",
-    "q98_intersect_all",
-    "q100_heavy_hitters",
-    "q101_order_overlap_pairs",
-    "q114_asof_forward",
-    "q115_asof_nearest",
-    # TPC-H suite (first-time driver rows)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_part_promotion",
+    # relational / sketch tail
+    "q61_approx_percentile_within_5pct",
+    "q76_winsorize",
+    "q82_approx_distinct_hourly",
+    # TPC-H suite — the 12 adapted shapes never driver-checked
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_line_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
     # python-eval surface
-    "q40_grouped_map_applyinpandas",
-    # graph
-    "g_pagerank_top",
-    # text / tokenizer
-    "t_pii_redact",
-    "t_quality_langid_check",
-    "t_bpe_learn_merges",
-    # dedup families
-    "d_minhash_md5_pairs",
-    "d_simhash_md5_sigs",
-    "d_prefix_jaccard_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_lsh_takedown_md5_query",
-    "d_entity_resolution_keep",
-    "d_embedding_near_dup_ann",
-    "d_semantic_dedup_keep",
-    # similarity / retrieval
-    "s_rrf_hybrid_topk",
-    "s_pq_md5_query",
-    "s_hard_negative_md5_query",
-    "s_mmr_md5_rerank",
-    "s_rh_lsh_md5_query",
-    # pipeline
-    "p_temperature_mixture",
-    "p_training_bins_e2e",
-    "p_bloom_known_users",
-    "p_corpus_report",
-    "p_decontaminate_keep",
-    # streaming
-    "st_cdc_delete_snapshot",
-    "st_sketch_maintenance",
-    "st_stream_interval_join",
-    "st_stateful_user_counts",
+    "q40_map_in_arrow",
+    "q40_cogroup_applyinpandas",
+    "q40_grouped_agg_pandas_udf",
+    # VARIANT (new this round, r10 ask #5)
+    "q116_variant_extract",
+    "q117_variant_nested_roundtrip",
+    # python data source (new this round, r10 ask #6)
+    "src_sfl_roundtrip",
+    # text / quality
+    "t_quality_components",
+    "p_quality_percentile_filter",
+    "t_skipgram_pairs",
+    "t_bpe_encode",
+    "t_unigram_logprob",
+    # dedup families — incl. the full exact-substring quartet and the
+    # hashed-gram scale twin (new this round, r10 ask #1)
+    "d_exact_dedup_rows",
+    "d_embedding_near_dup",
+    "d_edit_distance_join",
+    "d_near_dedup_keep_longest",
+    "d_exact_substring_spans",
+    "d_exact_substring_spans_hashed",
+    "d_exact_substring_strip",
+    "d_exact_substring_clean",
+    "d_semantic_dedup_pairs",
+    # streaming — the entire never-checked streaming/TWS tail, incl.
+    # the outer-join family (r10 ask #3) and TTL/pt-timers (ask #4)
+    "st_stream_static_join",
+    "st_stream_stream_left_join",
+    "st_stream_stream_full_join",
+    "st_stream_stream_right_join",
+    "st_tws_user_stats",
+    "st_tws_list_state",
+    "st_tws_map_state",
+    "st_tws_session_timers",
+    "st_tws_seeded_counts",
+    "st_tws_ttl_counts",
+    "st_tws_pt_timer_fired_keys",
     # multimodal
-    "mm_base64_roundtrip",
-    "mm_feature_check",
-    "mm_frame_check",
+    "mm_binary_dup_groups",
+    "mm_decode_check",
     # ML
-    "m06_predict_batch_hook",
-    "m03_persistence_roundtrip",
+    "m05_logistic_inference",
 )
 
 
@@ -266,6 +229,7 @@ def load_all() -> dict[str, Query]:
         ml_suite,
         pipeline_suite,
         graph_suite,
+        sources_suite,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

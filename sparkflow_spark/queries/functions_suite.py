@@ -251,3 +251,77 @@ def q40b(spark: SparkSession, sf: str) -> DataFrame:
         .agg(dec2(mean_udaf(F.col("value"))).alias("av"))
         .transform(ordered, "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured surface (Spark 4, r10 verdict ask #5)
+
+
+@register(
+    "q116_variant_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INT) AS k,
+               CAST(NULL AS INT) AS miss
+        FROM events ORDER BY event_id
+    """,
+    tags=("relational", "functions", "json", "variant", "large-output"),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT extraction over the real JSON column (Spark 4
+    ``parse_json`` → binary VARIANT → ``variant_get`` path+cast) — the
+    shredded-at-scan successor to Q30's string-walking
+    ``get_json_object``: parse once, extract many, no re-tokenizing per
+    path. ``try_variant_get`` on a missing path returns NULL (the
+    error-tolerant leg; the throwing/coercion legs are pinned by t1).
+    Dialect split per Q30's template: DuckDB replays with ``->>``.
+    Scan pruning survives the VARIANT plan — ReadSchema carries only
+    (event_id, props), asserted by the plan t1."""
+    t = Tables(spark, sf)
+    return t.events.select("event_id", F.parse_json("props").alias("v")).select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'int')").alias("miss"),
+    )
+
+
+@register(
+    "q117_variant_nested_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey AS cust,
+               CAST(o_orderkey % 3 AS INT) AS f1,
+               CAST(NULL AS INT) AS status_int,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders ORDER BY o_orderkey
+    """,
+    tags=("relational", "functions", "json", "variant", "large-output"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT nested-object + array-index extraction, verified against
+    GROUND TRUTH rather than another JSON engine: build a nested JSON
+    doc per order (object, sub-object, array, int fields), parse to
+    VARIANT, extract through '$.ids.cust', '$.flags[1]' and
+    '$.price_cents' — the results must equal the source columns the doc
+    was built from, so any drift in path navigation, array indexing or
+    numeric round-trip shows as a hash mismatch. try_variant_get of a
+    non-numeric string as int → NULL (cast-failure leg on real data).
+    Integer-only payloads keep the doc bit-exact on both engines."""
+    t = Tables(spark, sf)
+    j = F.format_string(
+        '{"status":"%s","ids":{"order":%d,"cust":%d},"flags":[%d,%d],'
+        '"price_cents":%d}',
+        F.col("o_orderstatus"),
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        (F.col("o_orderkey") % 2).cast("long"),
+        (F.col("o_orderkey") % 3).cast("long"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+    )
+    return t.orders.select("o_orderkey", F.parse_json(j).alias("v")).select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.ids.cust', 'bigint')").alias("cust"),
+        F.expr("variant_get(v, '$.flags[1]', 'int')").alias("f1"),
+        F.expr("try_variant_get(v, '$.status', 'int')").alias("status_int"),
+        F.expr("variant_get(v, '$.price_cents', 'bigint')").alias("cents"),
+    )

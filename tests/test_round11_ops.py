@@ -1,0 +1,170 @@
+"""Round-11 operator behaviors: VARIANT coercion/error paths + scan
+pruning, and (added below as the round proceeds) Python Data Source
+API roundtrips."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_variant_coercion_and_error_paths(spark):
+    """Pin the VARIANT type-coercion rules the t2 entries rely on:
+    decimal→int truncating coercion, cast-failure NULL vs throw,
+    missing-path NULL, schema_of_variant introspection, and VARIANT→
+    STRING of an array."""
+    row = spark.sql(
+        """
+        SELECT parse_json('{"a": {"b": 7}, "arr": [1, 2.5, "x"], "p": 123.45}') AS v
+        """
+    ).selectExpr(
+        "variant_get(v, '$.a.b', 'bigint') AS ab",
+        "variant_get(v, '$.arr[1]', 'double') AS a1",
+        "try_variant_get(v, '$.p', 'int') AS p_int",
+        "try_variant_get(v, '$.arr[2]', 'int') AS bad_cast",
+        "try_variant_get(v, '$.missing', 'int') AS miss",
+        "schema_of_variant(v) AS sch",
+        "CAST(variant_get(v, '$.arr') AS STRING) AS arr_str",
+    ).collect()[0]
+    assert row["ab"] == 7
+    assert row["a1"] == 2.5
+    assert row["p_int"] == 123  # decimal 123.45 → int COERCES (truncates)
+    assert row["bad_cast"] is None  # "x" → int fails → NULL (try_)
+    assert row["miss"] is None
+    assert row["sch"].startswith("OBJECT<")
+    assert row["arr_str"] == '[1,2.5,"x"]'
+    # the throwing twin: variant_get (no try_) on a failing cast raises
+    with pytest.raises(Exception, match="(?i)variant|cast"):
+        spark.sql(
+            """SELECT variant_get(parse_json('{"s":"x"}'), '$.s', 'int')"""
+        ).collect()
+    # malformed JSON: parse_json throws, try_parse_json → NULL
+    with pytest.raises(Exception, match="(?i)json|variant|malformed"):
+        spark.sql("SELECT parse_json('{oops')").collect()
+    assert (
+        spark.sql("SELECT try_parse_json('{oops') AS v").collect()[0]["v"] is None
+    )
+
+
+def test_variant_scan_pruning_survives(spark, sf_dir):
+    """r10 verdict ask #5 plan check: the VARIANT query's parquet scan
+    must read ONLY (event_id, props) — parse_json must not defeat
+    column pruning."""
+    from sparkflow_spark.queries import load_all
+
+    df = load_all()["q116_variant_extract"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "props"}, cols
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source API (sfl format, r10 verdict ask #6)
+
+
+def _sfl_session(spark):
+    from sparkflow_spark.sources_python import register_sfl
+
+    register_sfl(spark)
+    return spark
+
+
+def test_sfl_roundtrip_escaping_nulls_and_partition_planning(spark, tmp_path):
+    """Adversarial codec fixture: NULLs in every type, strings holding
+    the field separator, newlines, backslashes, the literal \\N null
+    sentinel, and round-trip-hostile doubles. Read-back must be exact,
+    and the planner must create ONE InputPartition PER SHARD."""
+    import datetime
+
+    spark = _sfl_session(spark)
+    rows = [
+        (1, "plain", 1.5, True, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (2, "unit\x1fsep", -0.1, False, None),
+        (3, "line\nbreak\rcr", float("1e-300"), None, datetime.datetime(2024, 6, 1)),
+        (4, "back\\slash and \\N literal", 0.1 + 0.2, True, None),
+        (None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, s string, d double, b boolean, t timestamp"
+    )
+    d = str(tmp_path / "sfl")
+    df.repartition(3).write.format("sfl").option("path", d).mode("overwrite").save()
+    back = spark.read.format("sfl").option("path", d).load()
+    assert back.rdd.getNumPartitions() == 3  # one InputPartition per shard
+    got = sorted([tuple(r) for r in back.collect()], key=str)
+    want = sorted(rows, key=str)
+    assert got == want
+
+
+def test_sfl_filter_pushdown_consumed_and_partial(spark, tmp_path):
+    """Supported predicates (EqualTo/GreaterThan/LessThan/IsNotNull on
+    top-level columns) are consumed by the source — no post-scan Filter
+    remains; an unsupported predicate (endswith) stays in the plan and
+    results are right either way."""
+    import pyspark.sql.functions as F
+
+    spark = _sfl_session(spark)
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v", "CONCAT('u', id % 10) AS s"
+    )
+    d = str(tmp_path / "sfl")
+    df.repartition(2).write.format("sfl").option("path", d).mode("overwrite").save()
+    back = spark.read.format("sfl").option("path", d).load()
+
+    fully = back.filter((F.col("v") > 2.0) & (F.col("s") == "u3"))
+    plan = fully._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" not in plan.replace("RuntimeFilters: []", ""), plan[:1200]
+    expect = df.filter((F.col("v") > 2.0) & (F.col("s") == "u3"))
+    assert sorted(map(tuple, fully.collect())) == sorted(map(tuple, expect.collect()))
+
+    partial = back.filter((F.col("v") > 2.0) & F.col("s").endswith("3"))
+    plan2 = partial._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan2.replace("RuntimeFilters: []", ""), plan2[:1200]
+    expect2 = df.filter((F.col("v") > 2.0) & F.col("s").endswith("3"))
+    assert sorted(map(tuple, partial.collect())) == sorted(
+        map(tuple, expect2.collect())
+    )
+
+
+def test_sfl_orphan_shard_invisible_until_committed(spark, tmp_path):
+    """The manifest IS the commit: a shard file present in the
+    directory but absent from _manifest.json (aborted/straggler task)
+    must not be read."""
+    spark = _sfl_session(spark)
+    df = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    d = str(tmp_path / "sfl")
+    df.coalesce(1).write.format("sfl").option("path", d).mode("overwrite").save()
+    with open(f"{d}/shard-orphan.sfl", "w") as fh:
+        fh.write("999\x1f9.9\n")
+    back = spark.read.format("sfl").option("path", d).load()
+    assert back.count() == 10
+    assert back.filter("id = 999").count() == 0
+
+
+def test_sfl_streaming_reader_matches_batch(spark, tmp_path):
+    """The SimpleDataSourceStreamReader leg: readStream over a
+    committed sfl dataset equals the batch read (initialOffset → read
+    drains all committed shards → commit)."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.streaming.windows import run_stream_to_memory
+
+    spark = _sfl_session(spark)
+    df = spark.range(200).selectExpr("id", "CAST(id % 5 AS LONG) AS k")
+    d = str(tmp_path / "sfl")
+    df.repartition(3).write.format("sfl").option("path", d).mode("overwrite").save()
+    back = spark.read.format("sfl").option("path", d).load()
+    sdf = spark.readStream.format("sfl").option("path", d).schema(back.schema).load()
+    out = run_stream_to_memory(
+        sdf.groupBy("k").agg(F.count(F.lit(1)).alias("c")), "complete"
+    )
+    got = {(r["k"], r["c"]) for r in out.collect()}
+    want = {
+        (r["k"], r["c"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want
