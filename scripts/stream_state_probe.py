@@ -136,9 +136,12 @@ def main() -> int:
     # (the conf is fixed at SparkContext creation)
     from pyspark.sql import SparkSession
 
+    # context-creation confs must ALL land on this first builder —
+    # build_session only applies its heap sizing when IT creates the
+    # context (default 1g OOMs the ×64 substring probe)
     SparkSession.builder.config("spark.ui.enabled", "true").config(
         "spark.ui.port", "4059"
-    ).getOrCreate()
+    ).config("spark.driver.memory", "20g").getOrCreate()
     spark = build_session(app_name="stream_state_probe")
     assert spark.sparkContext.uiWebUrl, "UI must be on for stage metrics"
     print(json.dumps({"sf_dir": sf_dir, "tws_state": tws_state_footprint(spark, sf_dir)}))
