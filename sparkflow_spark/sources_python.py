@@ -29,7 +29,17 @@ delimited text log with MANIFEST-COMMITTED shards:
   shard committed since the last poll (offset = shards consumed;
   shards appended between triggers arrive in later micro-batches) —
   initialOffset / read / readBetweenOffsets / commit, the minimal
-  exactly-once file-queue pattern.
+  exactly-once file-queue pattern;
+- the streaming WRITER (``DataSourceStreamWriter``) appends each
+  micro-batch's shards to the manifest atomically and IDEMPOTENTLY:
+  committed batchIds are recorded in the manifest, so an epoch
+  replayed after a restart-between-sink-commit-and-checkpoint (the
+  classic exactly-once gap) is detected and its duplicate shards
+  discarded — pinned by a same-checkpoint restart test;
+- ``option("arrow", "true")`` switches the batch reader to one
+  ``pyarrow.RecordBatch`` per shard — column-at-a-time transfer on the
+  same Arrow lane pandas_udf uses, instead of row pickling; same
+  parse, same pushed filters.
 
 Scale note: parse cost is per-row python (this is the EXTENSION point,
 not the fast path — bulk columnar stays on the JVM formats), but the
@@ -47,6 +57,7 @@ from typing import TYPE_CHECKING, Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -138,11 +149,12 @@ class _ShardPartition(InputPartition):
 
 
 class SflReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType, arrow: bool = False):
         self.path = path
         self.schema = schema
         self.types = _schema_types(schema)
         self.pushed: list = []  # (kind, field_index, value) triples
+        self.arrow = arrow  # yield pyarrow.RecordBatch instead of tuples
 
     def pushFilters(self, filters):  # noqa: N802 - API name
         """Consume top-level EqualTo/GreaterThan/LessThan/IsNotNull on
@@ -170,7 +182,7 @@ class SflReader(DataSourceReader):
         shards = _read_manifest(self.path)["shards"]
         return [_ShardPartition(i, s["file"]) for i, s in enumerate(shards)]
 
-    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+    def _rows(self, partition: _ShardPartition) -> Iterator[tuple]:
         types = self.types
         pushed = self.pushed
         fp = os.path.join(self.path, partition.file)
@@ -200,6 +212,40 @@ class SflReader(DataSourceReader):
                         break
                 if ok:
                     yield row
+
+    _PA_TYPES = {
+        "string": "string",
+        "bigint": "int64",
+        "long": "int64",
+        "int": "int32",
+        "integer": "int32",
+        "double": "float64",
+        "float": "float32",
+        "boolean": "bool",
+    }
+
+    def read(self, partition: _ShardPartition):
+        if not self.arrow:
+            yield from self._rows(partition)
+            return
+        # Arrow fast path (option("arrow","true")): one RecordBatch per
+        # shard — column-at-a-time transfer instead of row pickling,
+        # the same Arrow lane pandas_udf uses. Same parse, same pushed
+        # filters; only the return shape changes.
+        import pyarrow as pa
+
+        rows = list(self._rows(partition))
+        cols = list(zip(*rows)) if rows else [[] for _ in self.types]
+        arrays, fields = [], []
+        for i, (name, typ) in enumerate(self.types):
+            vals = list(cols[i]) if rows else []
+            if typ == "timestamp":
+                at = pa.timestamp("us")
+            else:
+                at = pa.type_for_alias(self._PA_TYPES[typ])
+            arrays.append(pa.array(vals, type=at))
+            fields.append(pa.field(name, at))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +367,70 @@ class SflWriter(DataSourceWriter):
                     pass
 
 
+class SflStreamWriter(DataSourceStreamWriter):
+    """Streaming sink leg: per micro-batch, tasks write shard files
+    under pending names; the driver's ``commit(messages, batchId)``
+    appends them to the manifest ATOMICALLY and IDEMPOTENTLY — the
+    manifest records committed batchIds, so a replayed epoch (restart
+    between sink commit and checkpoint write — the classic
+    exactly-once gap) is detected and its duplicate shards are
+    discarded instead of double-appended."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.types = _schema_types(schema)
+
+    def write(self, iterator) -> "_SflCommit":
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"shard-stream-{uuid.uuid4().hex}.sfl"
+        n = 0
+        types = self.types
+        with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _US.join(
+                        _encode_field(row[i], t) for i, (_, t) in enumerate(types)
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return _SflCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        mp = _manifest_path(self.path)
+        if os.path.exists(mp):
+            manifest = _read_manifest(self.path)
+        else:
+            schema_ddl = ", ".join(f"{n} {t}" for n, t in self.types)
+            manifest = {"schema": schema_ddl, "shards": [], "epochs": {}}
+        epochs = manifest.setdefault("epochs", {})
+        if str(batchId) in epochs:
+            # replayed epoch: the sink already holds this batch — drop
+            # the duplicate task outputs
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.file))
+                    except OSError:
+                        pass
+            return
+        files = [{"file": m.file, "rows": m.rows} for m in messages if m is not None]
+        manifest["shards"].extend(files)
+        epochs[str(batchId)] = [f["file"] for f in files]
+        tmp = mp + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mp)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
 # ---------------------------------------------------------------------------
 # the DataSource
 
@@ -346,13 +456,17 @@ class SflDataSource(DataSource):
         return _read_manifest(self._path())["schema"]
 
     def reader(self, schema: StructType) -> SflReader:
-        return SflReader(self._path(), schema)
+        arrow = str(self.options.get("arrow", "false")).lower() == "true"
+        return SflReader(self._path(), schema, arrow=arrow)
 
     def simpleStreamReader(self, schema: StructType) -> SflStreamReader:  # noqa: N802
         return SflStreamReader(self._path(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> SflWriter:
         return SflWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> SflStreamWriter:  # noqa: N802
+        return SflStreamWriter(self._path(), schema)
 
 
 def register_sfl(spark: "SparkSession") -> None:
