@@ -815,3 +815,109 @@ def tws_processing_time_timer_fires(
     # timers fire in the post-data empty batches that processingTime
     # mode keeps scheduling — settle-drain captures them, then stops
     return run_stream_to_memory(out, "update", drain="settle")
+
+
+_TWS_TTL3_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v_cnt", T.LongType()),
+        T.StructField("l_len", T.LongType()),
+        T.StructField("m_types", T.LongType()),
+        T.StructField("pt_ms", T.LongType()),
+    ]
+)
+
+
+def tws_ttl_all_state_types(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """TTL breadth twin of :func:`tws_ttl_user_counts`: the SAME
+    ttlDurationMs applied to all THREE state variable kinds — a
+    ValueState running count, a ListState of event_ids (append-only),
+    and a MapState of per-event-type counts. Each emission reports the
+    post-update sizes read back from the store, so with ttl <<
+    inter-batch gap every batch observes freshly-expired state (value
+    restarts, list holds only this batch's appends, map holds only
+    this batch's types) while ttl >> run length reproduces the
+    accumulate-forever semantics. The t1 pins both regimes."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _bootstrap_protobuf = _minipb_bootstrap_closure()
+    _ttl = int(ttl_ms)
+
+    class Ttl3Processor(StatefulProcessor):
+        def __init__(self):
+            self._minipb_bootstrap = True
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            self.__dict__.update(state or {})
+
+        def init(self, handle) -> None:
+            self._v = handle.getValueState("v", "c LONG", ttlDurationMs=_ttl)
+            self._l = handle.getListState("l", "eid LONG", ttlDurationMs=_ttl)
+            self._m = handle.getMapState(
+                "m", "t STRING", "c LONG", ttlDurationMs=_ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            c = self._v.get()[0] if self._v.exists() else 0
+            for pdf in rows:
+                c += len(pdf)
+                self._l.appendList([(int(e),) for e in pdf["event_id"]])
+                for t_, n in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._m.getValue((t_,))[0]
+                        if self._m.containsKey((t_,))
+                        else 0
+                    )
+                    self._m.updateValue((t_,), (prev + int(n),))
+            self._v.update((c,))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "v_cnt": [c],
+                    "l_len": [sum(1 for _ in self._l.get())],
+                    "m_types": [sum(1 for _ in self._m.keys())],
+                    "pt_ms": [timerValues.getCurrentProcessingTimeInMs()],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            pass
+
+        def close(self) -> None:
+            pass
+
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(
+        runner,
+        sf_dir,
+        watermark=None,
+        state_partitions=None,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Ttl3Processor(),
+        outputStructType=_TWS_TTL3_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime",
+    )
+    res = run_stream_to_memory(out, "update", drain="settle")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("pt_ms").desc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "v_cnt", "l_len", "m_types")
+    )

@@ -146,15 +146,21 @@ def run_stream_to_memory(
       batches because processing time always advances, so
       ``shouldRunAnotherBatch`` stays true — observed: 212 epochs and
       counting on a one-file source);
-    - ``"settle"``: poll the sink until its row count is non-zero¹ and
-      unchanged for ``settle_secs``, then ``stop()``. The poll alone is
-      the protocol — ``processAllAvailable()`` ALSO never returns under
-      processingTime+AvailableNow (verified by traceback: it blocks
-      while the executor schedules empty batch after empty batch), and
-      those post-data empty batches are exactly where already-elapsed
-      processing-time timers fire, so their emissions are wanted.
-      ¹If the query legitimately emits nothing the poll just runs out
-      the (bounded) ``settle_timeout``.
+    - ``"settle"``: watch StreamingQueryProgress and stop only after
+      TWO consecutive completed batches with ``numInputRows == 0`` and
+      no sink growth between them. ``processAllAvailable()`` ALSO never
+      returns under processingTime+AvailableNow (verified by traceback:
+      it blocks while the executor schedules empty batch after empty
+      batch), and those post-data empty batches are exactly where
+      already-elapsed processing-time timers fire, so their emissions
+      are wanted — the first empty batch delivers them, the second
+      proves nothing more is coming. Progress-based, NOT sink-count
+      stability over a time window: a wall-clock window races slow
+      multi-file batches (observed: a 1 s window stopped a
+      maxFilesPerTrigger=1 query between file batches 5.4 s apart and
+      silently truncated the stream to batch 1). ``settle_secs`` is
+      retained as the poll interval bound; ``settle_timeout`` bounds
+      the whole wait for queries that legitimately never go quiet.
     """
     import time as _time
 
@@ -171,15 +177,20 @@ def run_stream_to_memory(
         q.awaitTermination()
     elif drain == "settle":
         deadline = _time.time() + settle_timeout
-        prev, prev_t = -1, _time.time()
+        last_pid, last_count, empty_quiet = None, -1, 0
         while _time.time() < deadline:
+            prog = q.lastProgress
             n = spark.table(name).count()
-            now = _time.time()
-            if n != prev:
-                prev, prev_t = n, now
-            elif n > 0 and now - prev_t >= settle_secs:
-                break
-            _time.sleep(0.1)
+            if prog is not None and prog["batchId"] != last_pid:
+                # a batch completed since the last poll
+                if prog["numInputRows"] == 0 and n == last_count:
+                    empty_quiet += 1
+                else:
+                    empty_quiet = 0
+                last_pid, last_count = prog["batchId"], n
+                if empty_quiet >= 2:
+                    break
+            _time.sleep(min(0.1, settle_secs))
         q.stop()
         q.awaitTermination()
     else:  # pragma: no cover - programmer error

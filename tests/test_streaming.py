@@ -753,3 +753,72 @@ def test_tws_processing_time_timer_fires_every_key(spark, sf_dir):
         .collect()
     }
     assert fired == allk and len(fired) > 0
+
+
+def test_tws_ttl_applies_to_value_list_and_map_state(spark, sf_dir, tmp_path):
+    """r10 verdict ask #4 breadth: the same ttlDurationMs governs all
+    three state variable kinds. With ttl >> run length the final
+    emission accumulates everything (value == all-time count, list ==
+    all event_ids, map == all types); with ttl=1ms across 3 forced
+    micro-batches every batch sees freshly-expired state, so the final
+    emission reflects ONLY the key's last batch."""
+    import pyspark.sql.functions as F
+
+    from sparkflow_spark.catalog import cached_table
+    from sparkflow_spark.streaming.stateful import tws_ttl_all_state_types
+
+    ev = cached_table(spark, sf_dir, "events")
+    # accumulate regime on the plain fixture
+    got = {
+        r["user_id"]: (r["v_cnt"], r["l_len"], r["m_types"])
+        for r in tws_ttl_all_state_types(spark, sf_dir, ttl_ms=6 * 3600 * 1000)
+        .collect()
+    }
+    truth = {
+        r["user_id"]: (r["c"], r["c"], r["nt"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert got == truth and len(got) > 0
+
+    # expiry regime: 3-file source, 1ms ttl
+    import glob
+    import os
+    import shutil
+    import time
+
+    fixture = tmp_path / "ttl3"
+    fixture.mkdir()
+    src = str(fixture / "events.parquet")
+    os.makedirs(src)
+    for i in range(3):
+        stage = str(tmp_path / f"st{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+    got2 = {
+        r["user_id"]: (r["v_cnt"], r["l_len"], r["m_types"])
+        for r in tws_ttl_all_state_types(
+            spark, str(fixture), ttl_ms=1, max_files_per_trigger=1
+        ).collect()
+    }
+    wb = ev.withColumn("b", F.col("event_id") % 3)
+    last_b = wb.groupBy("user_id").agg(F.max("b").alias("b"))
+    truth2 = {
+        r["user_id"]: (r["c"], r["c"], r["nt"])
+        for r in wb.join(last_b, ["user_id", "b"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert got2 == truth2
+    assert got2 != {k: v for k, v in got.items()}  # expiry really bit
