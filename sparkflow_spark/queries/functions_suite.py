@@ -325,3 +325,106 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("try_variant_get(v, '$.status', 'int')").alias("status_int"),
         F.expr("variant_get(v, '$.price_cents', 'bigint')").alias("cents"),
     )
+
+
+@register(
+    "q119_arrow_udf_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS net_cents
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "udf", "arrow", "large-output"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4.1 ``@arrow_udf`` — the pyarrow-native scalar UDF tier
+    (operates on ``pa.Array`` directly; no pandas materialization
+    between Arrow and user code, unlike ``@pandas_udf``). Same net-
+    price kernel as the q40 pandas twin, computed with pyarrow compute
+    so the whole lane stays columnar. (Kernel lives in
+    functions/arrow_kernels.py — arrow_udf needs REAL type hints, and
+    this module's ``from __future__ import annotations`` stringifies
+    them into UNSUPPORTED_SIGNATURE.)"""
+    from sparkflow_spark.functions.arrow_kernels import net_price
+
+    t = Tables(spark, sf)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        # exact integer cents: ROUND(x, 2) is tie-broken differently per
+        # engine on doubles; floor(x*100+0.5) is bit-deterministic given
+        # the identical IEEE product both engines compute
+        F.floor(
+            net_price(F.col("l_extendedprice"), F.col("l_discount")) * 100 + 0.5
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
+@register(
+    "q120_collation_lcase_group",
+    oracle="""
+        SELECT lower(o_orderpriority) AS pri, COUNT(*) AS c,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS tp
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "collation"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """COLLATION surface (Spark 4 UTF8_LCASE): group case-MANGLED
+    priorities under a case-insensitive collation — Catalyst's
+    collation-aware hash agg must merge 'URGENT'/'urgent'/'Urgent'
+    buckets natively (no lower() in the Spark plan; the mangling uses
+    initcap on odd keys so the raw strings genuinely differ). DuckDB
+    replays with explicit lower(). Output is canonicalized to
+    lowercase for the compare — grouping itself ran on the collated
+    values."""
+    t = Tables(spark, sf)
+    mangled = t.orders.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 1, F.initcap("o_orderpriority")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri_raw"),
+        "o_totalprice",
+    )
+    return (
+        mangled.select(
+            F.expr("pri_raw COLLATE UTF8_LCASE").alias("pri_c"), "o_totalprice"
+        )
+        .groupBy("pri_c")
+        .agg(F.count(F.lit(1)).alias("c"), dec2(F.sum("o_totalprice")).alias("tp"))
+        .select(F.lower(F.col("pri_c")).alias("pri"), "c", "tp")
+        .transform(ordered, "pri")
+    )
+
+
+@register(
+    "q121_parameterized_sql",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS c
+        FROM orders
+        WHERE o_totalprice > 150000.0 AND o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("relational", "sql-api"),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """PARAMETERIZED SQL (spark.sql(..., args={...})) — named-parameter
+    binding, the injection-safe way to template queries; the literals
+    never enter the SQL text on the Spark side. DuckDB replays with the
+    values inlined."""
+    from sparkflow_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS c
+        FROM orders
+        WHERE o_totalprice > :minp AND o_orderpriority = :pri
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"minp": 150000.0, "pri": "1-URGENT"},
+    )

@@ -2084,3 +2084,38 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "day")
     )
+
+
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE chain(node, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT node, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1
+        FROM chain WHERE anc > 1
+    )
+    SELECT node,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(SUM(anc) AS BIGINT) AS path_sum
+    FROM chain GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "q118_recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    tags=("relational", "recursive-cte", "large-output"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE — Spark 4's WITH RECURSIVE run natively by
+    Catalyst (UnionLoop), hash-checked against DuckDB executing the
+    IDENTICAL SQL text: every customer key walks its ancestor chain in
+    the deterministic binary forest parent = floor(key/2) (the
+    org-chart / category-tree rollup shape) and reports depth + the
+    ancestor-path sum. Spark's recursion supports UNION ALL only
+    (UNION-dedup recursion raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE
+    — probed), so the walk is structured acyclic with a strictly
+    decreasing ancestor: termination in ceil(log2(max key)) ≈ 17
+    iterations at sf0.1, each iteration one join — the plan a 1000-
+    executor cluster runs as log-depth rounds, never a driver loop."""
+    register_views(spark, sf)
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)

@@ -239,3 +239,57 @@ def test_sfl_stream_writer_exactly_once_on_epoch_replay(spark, tmp_path):
     n_shards = len(manifest["shards"])
     assert set(manifest["epochs"]) == {"0"}
     assert sum(1 for _ in manifest["shards"]) == n_shards
+
+
+def test_polymorphic_udtf_with_analyze(spark):
+    """Spark 4 UDTF with a static ``analyze`` method: the output schema
+    is derived from the ARGUMENT at plan time (one column per requested
+    stat), i.e. a polymorphic table function — the dynamic-schema leg
+    the static q40_python_udtf_lateral entry doesn't cover. TABLE(...)
+    arguments arrive as Rows per eval call."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Stats:
+        @staticmethod
+        def analyze(stats: AnalyzeArgument, row: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for w in [x.strip() for x in stats.value.split(",")]:
+                st = st.add(w, DoubleType())
+            return AnalyzeResult(schema=st)
+
+        def __init__(self):
+            self._vals = []
+            self._wanted = None
+
+        def eval(self, stats: str, row):
+            self._wanted = [x.strip() for x in stats.split(",")]
+            self._vals.append(float(row["v"]))
+
+        def terminate(self):
+            import statistics
+
+            fns = {
+                "mean": lambda v: float(statistics.mean(v)),
+                "mx": lambda v: float(max(v)),
+                "mn": lambda v: float(min(v)),
+            }
+            yield tuple(fns[w](self._vals) for w in self._wanted)
+
+    spark.udtf.register("col_stats", udtf(Stats))
+    row = spark.sql(
+        """SELECT * FROM col_stats('mean,mx', TABLE(
+               SELECT CAST(id AS DOUBLE) AS v FROM range(1, 11))
+               WITH SINGLE PARTITION)"""
+    ).collect()
+    assert len(row) == 1 and set(row[0].asDict()) == {"mean", "mx"}
+    assert row[0]["mean"] == 5.5 and row[0]["mx"] == 10.0
+    # the schema really is argument-driven: a different stats list gives
+    # a different output schema from the SAME function
+    row2 = spark.sql(
+        """SELECT * FROM col_stats('mn', TABLE(
+               SELECT CAST(id AS DOUBLE) AS v FROM range(1, 11))
+               WITH SINGLE PARTITION)"""
+    ).collect()
+    assert set(row2[0].asDict()) == {"mn"} and row2[0]["mn"] == 1.0
