@@ -141,9 +141,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tail" — 86 entries had no driver CORRECTNESS row after r10, 7 of
     # them new this round). This window is 49 FIRST-TIME entries + the
     # flagship: every slot except q13 has never had a driver record.
-    # The 37 still-never-checked entries (21 t2 + 16 rows-only) fit in
-    # ONE more rotation — r12 retires the tail entirely, completing the
-    # plan the r10 verdict laid out. Rotated-out rows are all
+    # The still-never-checked tail after this window — 37 pre-existing
+    # (21 t2 + 16 rows-only) + the 4 registered after the rotation
+    # (q118-q121, all locally 3-SF green) = 41 entries — fits in ONE
+    # more rotation: r12 retires the tail entirely, completing the plan
+    # the r10 verdict laid out. Rotated-out rows are all
     # driver-green r10 (see CORRECTNESS_r10.json); rotation history
     # r5-r10 lives in git on this literal.
     #
