@@ -354,15 +354,22 @@ class Message:
     defaults. Reading an absent singular sub-message attaches a cached
     instance (so ``msg.sub.x = 1`` writes through, like real protobuf);
     ``_auto`` tracks read-attached names so serialization elides them
-    while they are still empty — a bare read never changes the wire."""
+    while they are still empty — a bare read never changes the wire.
+    Mutating an auto-attached sub-message (even to values that
+    serialize empty, e.g. ``msg.sub.x = 0`` under proto3 implicit
+    presence) propagates a SetInParent signal up the ``_parent`` chain,
+    clearing each ancestor's ``_auto`` entry — so an explicitly-written
+    empty sub-message is emitted as a zero-length present field, like
+    real protobuf (r11 ADVICE)."""
 
     DESCRIPTOR: Descriptor = None  # set on subclasses
 
-    __slots__ = ("_values", "_auto")
+    __slots__ = ("_values", "_auto", "_parent")
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_auto", set())
+        object.__setattr__(self, "_parent", None)
         for k, v in kwargs.items():
             if v is None:
                 continue  # protobuf-python treats None kwargs as unset
@@ -391,6 +398,7 @@ class Message:
             sub = f.message_type._concrete_class()
             vals[name] = sub
             object.__getattribute__(self, "_auto").add(name)
+            object.__setattr__(sub, "_parent", (self, name))
             return sub
         return _SCALAR_DEFAULTS[f.type]
 
@@ -421,12 +429,39 @@ class Message:
                     auto.discard(other.name)
         vals[name] = value
         auto.discard(name)  # explicit set → explicit presence
+        self._set_in_parent()
+
+    def _set_in_parent(self) -> None:
+        """SetInParent semantics: any mutation of this message marks it
+        present in its auto-attaching parent (recursively), so a chain
+        like ``a.b.c.x = 0`` flips presence for ``b`` and ``c`` even
+        when every serialized payload is empty."""
+        ref = object.__getattribute__(self, "_parent")
+        if ref is None:
+            return
+        parent, name = ref
+        object.__getattribute__(parent, "_auto").discard(name)
+        parent._set_in_parent()
 
     def __eq__(self, other):
         return (
             type(self) is type(other)
             and self.SerializeToString() == other.SerializeToString()
         )
+
+    # -- pickle: drop the parent backref (it would drag the whole tree
+    # and create tuple-mediated cycles); a pickled copy is detached,
+    # with presence state already resolved into _values/_auto.
+    def __getstate__(self):
+        return {
+            "_values": object.__getattribute__(self, "_values"),
+            "_auto": object.__getattribute__(self, "_auto"),
+        }
+
+    def __setstate__(self, state):
+        object.__setattr__(self, "_values", state["_values"])
+        object.__setattr__(self, "_auto", state["_auto"])
+        object.__setattr__(self, "_parent", None)
 
     def __repr__(self):
         vals = object.__getattribute__(self, "_values")

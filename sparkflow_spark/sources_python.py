@@ -102,16 +102,50 @@ def _encode_field(v: Any, typ: str) -> str:
     raise TypeError(f"sfl: unsupported type {typ}")
 
 
+def _unescape(s: str) -> str:
+    """Single left-to-right pass inverse of the string escape.
+
+    Chained ``str.replace`` is order-UNSOUND here: 'back\\\\' + 'n'
+    encodes to four chars ``\\\\n`` whose second backslash would feed a
+    ``replace("\\n", ...)`` pass and decode to backslash+newline instead
+    of backslash+'n' (r11 ADVICE, verified). A single scan consumes each
+    escape exactly once, so a literal backslash (always doubled by the
+    encoder) can never merge with the following character.
+    """
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "\\":
+                out.append("\\")
+                i += 2
+                continue
+            if nxt == "n":
+                out.append("\n")
+                i += 2
+                continue
+            if nxt == "r":
+                out.append("\r")
+                i += 2
+                continue
+            if s.startswith("u001f", i + 1):
+                out.append(_US)
+                i += 6
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _decode_field(s: str, typ: str) -> Any:
     if s == _NULL:
         return None
     if typ == "string":
-        return (
-            s.replace("\\n", "\n")
-            .replace("\\r", "\r")
-            .replace("\\u001f", _US)
-            .replace("\\\\", "\\")
-        )
+        return _unescape(s)
     if typ in ("bigint", "int", "long", "integer", "smallint", "tinyint"):
         return int(s)
     if typ == "double" or typ == "float":
@@ -349,14 +383,43 @@ class SflWriter(DataSourceWriter):
         # driver-side, once, after every task succeeded: publish the
         # manifest atomically. Readers only believe the manifest, so a
         # crashed/duplicate task's orphan shard is never visible.
+        #
+        # mode semantics (r11 ADVICE: the flag used to be ignored):
+        # - append (overwrite=False): MERGE the new shards into the
+        #   existing manifest (schema must match; mismatch raises);
+        # - overwrite: the new manifest replaces the old one, then the
+        #   shard files it no longer references are deleted — readers
+        #   that resolved the OLD manifest before the rename still see
+        #   a consistent (old) list until their open() races the
+        #   unlink, same exposure as any non-snapshot file format.
         shards = [
             {"file": m.file, "rows": m.rows} for m in messages if m is not None
         ]
         schema_ddl = ", ".join(f"{n} {t}" for n, t in self.types)
-        tmp = _manifest_path(self.path) + f".tmp.{uuid.uuid4().hex}"
+        mp = _manifest_path(self.path)
+        old = _read_manifest(self.path) if os.path.exists(mp) else None
+        if not self.overwrite and old is not None:
+            if old.get("schema") != schema_ddl:
+                raise ValueError(
+                    "sfl append: schema mismatch with existing dataset "
+                    f"({old.get('schema')!r} != {schema_ddl!r})"
+                )
+            manifest = dict(old)  # keep stream-writer epochs, if any
+            manifest["shards"] = list(old.get("shards", [])) + shards
+        else:
+            manifest = {"schema": schema_ddl, "shards": shards}
+        tmp = mp + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"schema": schema_ddl, "shards": shards}, fh)
-        os.replace(tmp, _manifest_path(self.path))
+            json.dump(manifest, fh)
+        os.replace(tmp, mp)
+        if self.overwrite and old is not None:
+            keep = {s["file"] for s in shards}
+            for s in old.get("shards", []):
+                if s["file"] not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, s["file"]))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -374,11 +437,26 @@ class SflStreamWriter(DataSourceStreamWriter):
     manifest records committed batchIds, so a replayed epoch (restart
     between sink commit and checkpoint write — the classic
     exactly-once gap) is detected and its duplicate shards are
-    discarded instead of double-appended."""
+    discarded instead of double-appended.
 
-    def __init__(self, path: str, schema: StructType):
+    Epochs are keyed by ``(query_key, batchId)``, where ``query_key``
+    is derived from the query's ``checkpointLocation`` option (r11
+    ADVICE: keying on batchId alone made a NEW query with a FRESH
+    checkpoint writing to an existing path restart at batchId 0, match
+    the recorded epoch, and silently discard its real data as a
+    "replay"). The checkpoint is the correct identity: replay detection
+    must bind to the checkpoint whose recovery causes the replay — the
+    same query restarted from the SAME checkpoint keeps its key (and
+    its replays are deduplicated), while a different checkpoint gets a
+    different key and appends normally. If no checkpointLocation
+    reaches the options (Spark supplied an implicit one), the key falls
+    back to ``"default"`` — then one output path binds to one
+    checkpoint, and that limitation is documented here."""
+
+    def __init__(self, path: str, schema: StructType, query_key: str = "default"):
         self.path = path
         self.types = _schema_types(schema)
+        self.query_key = query_key
 
     def write(self, iterator) -> "_SflCommit":
         os.makedirs(self.path, exist_ok=True)
@@ -404,7 +482,8 @@ class SflStreamWriter(DataSourceStreamWriter):
             schema_ddl = ", ".join(f"{n} {t}" for n, t in self.types)
             manifest = {"schema": schema_ddl, "shards": [], "epochs": {}}
         epochs = manifest.setdefault("epochs", {})
-        if str(batchId) in epochs:
+        ekey = f"{self.query_key}:{batchId}"
+        if ekey in epochs:
             # replayed epoch: the sink already holds this batch — drop
             # the duplicate task outputs
             for m in messages:
@@ -416,7 +495,7 @@ class SflStreamWriter(DataSourceStreamWriter):
             return
         files = [{"file": m.file, "rows": m.rows} for m in messages if m is not None]
         manifest["shards"].extend(files)
-        epochs[str(batchId)] = [f["file"] for f in files]
+        epochs[ekey] = [f["file"] for f in files]
         tmp = mp + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -466,7 +545,17 @@ class SflDataSource(DataSource):
         return SflWriter(self._path(), schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> SflStreamWriter:  # noqa: N802
-        return SflStreamWriter(self._path(), schema)
+        import hashlib
+
+        ckpt = self.options.get("checkpointlocation") or self.options.get(
+            "checkpointLocation"
+        )
+        key = (
+            hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:12]
+            if ckpt
+            else "default"
+        )
+        return SflStreamWriter(self._path(), schema, query_key=key)
 
 
 def register_sfl(spark: "SparkSession") -> None:

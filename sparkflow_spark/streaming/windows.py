@@ -127,7 +127,7 @@ def run_stream_to_memory(
     sdf: DataFrame,
     output_mode: str,
     drain: str = "terminate",
-    settle_secs: float = 1.0,
+    settle_secs: float = 0.1,
     settle_timeout: float = 60.0,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
@@ -158,9 +158,10 @@ def run_stream_to_memory(
       stability over a time window: a wall-clock window races slow
       multi-file batches (observed: a 1 s window stopped a
       maxFilesPerTrigger=1 query between file batches 5.4 s apart and
-      silently truncated the stream to batch 1). ``settle_secs`` is
-      retained as the poll interval bound; ``settle_timeout`` bounds
-      the whole wait for queries that legitimately never go quiet.
+      silently truncated the stream to batch 1). ``settle_secs`` IS the
+      poll interval (default 0.1 s — correctness does not depend on it,
+      only poll frequency); ``settle_timeout`` bounds the whole wait for
+      queries that legitimately never go quiet.
     """
     import time as _time
 
@@ -190,7 +191,7 @@ def run_stream_to_memory(
                 last_pid, last_count = prog["batchId"], n
                 if empty_quiet >= 2:
                     break
-            _time.sleep(min(0.1, settle_secs))
+            _time.sleep(settle_secs)
         q.stop()
         q.awaitTermination()
     else:  # pragma: no cover - programmer error

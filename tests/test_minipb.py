@@ -259,3 +259,27 @@ def test_importing_stateful_module_has_no_sys_modules_side_effect():
         timeout=120,
     )
     assert "IMPORT_PURE" in out.stdout, out.stderr
+
+
+def test_submessage_explicit_zero_write_sets_parent_presence():
+    """ADVICE r11: a sub-message whose fields were explicitly WRITTEN
+    but serialize empty (proto3 implicit presence: ``state = 0``) must
+    still be emitted as a zero-length present field — child mutation
+    propagates SetInParent up the auto-attach chain, unlike a bare
+    read, which stays invisible."""
+    sm = _pb2()
+    req = sm.StateRequest()
+    # explicit write of the zero enum through a read-attached chain:
+    # every payload serializes empty, but presence must flip all the
+    # way up — golden wire: field2(len 2){ field1(len 0) }
+    req.statefulProcessorCall.setHandleState.state = sm.PRE_INIT
+    assert req.SerializeToString() == bytes.fromhex("12020a00")
+    # the contrast pin: the same chain READ (no write) stays empty
+    req2 = sm.StateRequest()
+    _ = req2.statefulProcessorCall.setHandleState.state
+    assert req2.SerializeToString() == b""
+    # and a pickled copy keeps resolved presence without the backref
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(req))
+    assert clone.SerializeToString() == bytes.fromhex("12020a00")

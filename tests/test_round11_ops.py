@@ -237,7 +237,11 @@ def test_sfl_stream_writer_exactly_once_on_epoch_replay(spark, tmp_path):
 
     manifest = _read_manifest(sink)
     n_shards = len(manifest["shards"])
-    assert set(manifest["epochs"]) == {"0"}
+    # epochs are keyed by (checkpoint-derived query key, batchId) — one
+    # committed epoch, batchId 0, under this checkpoint's key
+    assert len(manifest["epochs"]) == 1
+    (ekey,) = manifest["epochs"]
+    assert ekey.endswith(":0") and ekey.split(":")[0] != "default"
     assert sum(1 for _ in manifest["shards"]) == n_shards
 
 

@@ -1,0 +1,133 @@
+"""Round-12 operator behaviors: the r11 ADVICE closures on the sfl
+Python Data Source (single-pass codec unescape, append/overwrite
+manifest semantics, per-checkpoint epoch keys), plus (added below as
+the round proceeds) the statestore reader surface, dHash image
+near-dup, SQL scripting, and the train→score→filter composition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _sfl_session(spark):
+    from sparkflow_spark.sources_python import register_sfl
+
+    register_sfl(spark)
+    return spark
+
+
+def test_sfl_codec_backslash_escape_adjacency(spark, tmp_path):
+    """ADVICE r11 (medium): chained str.replace unescaping corrupted a
+    literal backslash followed by 'n', 'r', or 'u001f'. The single-pass
+    decoder must round-trip every adversarial adjacency, both at the
+    codec unit level and through a full Spark write/read."""
+    from sparkflow_spark.sources_python import _decode_field, _encode_field
+
+    cases = [
+        "back\\slash",
+        "\\n",  # literal backslash + n (NOT newline) — the reported bug
+        "\\r",
+        "\\u001f",
+        "\\\\n",  # two backslashes + n
+        "\\" + "\n",  # backslash + real newline
+        "\\N",  # the null sentinel as literal content
+        "a\\nb\\u001fc\x1fd\ne\rf",
+        "trailing backslash\\",
+        "\\",
+    ]
+    for s in cases:
+        assert _decode_field(_encode_field(s, "string"), "string") == s, repr(s)
+
+    spark = _sfl_session(spark)
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    d = str(tmp_path / "sfl")
+    df.write.format("sfl").option("path", d).mode("overwrite").save()
+    back = spark.read.format("sfl").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_sfl_append_mode_merges_manifest(spark, tmp_path):
+    """ADVICE r11 (medium): mode('append') used to rewrite the manifest
+    with only the new write's shards, silently dropping prior data.
+    Append must merge; schema-mismatched append must raise."""
+    spark = _sfl_session(spark)
+    d = str(tmp_path / "sfl")
+    a = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    b = spark.range(10, 15).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    a.write.format("sfl").option("path", d).mode("overwrite").save()
+    b.write.format("sfl").option("path", d).mode("append").save()
+    back = spark.read.format("sfl").option("path", d).load()
+    assert back.count() == 15
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(15))
+    # appending a different schema refuses rather than corrupting
+    c = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS v")
+    with pytest.raises(Exception, match="schema mismatch"):
+        c.write.format("sfl").option("path", d).mode("append").save()
+
+
+def test_sfl_overwrite_deletes_orphaned_shards(spark, tmp_path):
+    """ADVICE r11 (medium, second half): overwrite must not leave the
+    replaced shard files on disk — after an overwrite, the directory
+    holds exactly the manifest's shards."""
+    import os
+
+    from sparkflow_spark.sources_python import _read_manifest
+
+    spark = _sfl_session(spark)
+    d = str(tmp_path / "sfl")
+    big = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    big.repartition(4).write.format("sfl").option("path", d).mode(
+        "overwrite"
+    ).save()
+    assert len(_read_manifest(d)["shards"]) == 4
+    small = spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    small.coalesce(1).write.format("sfl").option("path", d).mode(
+        "overwrite"
+    ).save()
+    manifest = _read_manifest(d)
+    on_disk = {f for f in os.listdir(d) if f.endswith(".sfl")}
+    assert on_disk == {s["file"] for s in manifest["shards"]}
+    assert spark.read.format("sfl").option("path", d).load().count() == 5
+
+
+def test_sfl_fresh_checkpoint_same_path_appends_not_discarded(spark, tmp_path):
+    """ADVICE r11 (low): epoch dedup used to key on batchId alone, so a
+    NEW query with a FRESH checkpoint writing to an existing sfl path
+    restarted at batchId 0, matched the recorded epoch, and silently
+    DISCARDED its real data as a replay. Epochs are now keyed per
+    checkpoint: the second query's rows must land."""
+    spark = _sfl_session(spark)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    df = spark.range(50).selectExpr("id", "CAST(id % 3 AS LONG) AS k")
+    df.repartition(2).write.format("sfl").option("path", src).mode(
+        "overwrite"
+    ).save()
+    schema = spark.read.format("sfl").option("path", src).load().schema
+
+    def run(ck: str):
+        q = (
+            spark.readStream.format("sfl")
+            .option("path", src)
+            .schema(schema)
+            .load()
+            .writeStream.format("sfl")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    assert spark.read.format("sfl").option("path", sink).load().count() == 50
+    # same checkpoint again: no new input → unchanged (replay guard holds)
+    run(str(tmp_path / "ck1"))
+    assert spark.read.format("sfl").option("path", sink).load().count() == 50
+    # FRESH checkpoint, same sink path: batchId restarts at 0 but the
+    # epoch key differs — data must append, not vanish
+    run(str(tmp_path / "ck2"))
+    assert spark.read.format("sfl").option("path", sink).load().count() == 100
