@@ -141,6 +141,113 @@ def sample_frames(
 
 IMAGE_SCHEMA = "doc_id long, width int, height int, mode string, pixels array<float>"
 
+# dHash raster geometry: 9 px wide x 8 px tall grayscale -> 8 adjacent-
+# pixel comparisons per row x 8 rows = 64 bits (the standard perceptual
+# difference-hash layout).
+DHASH_W, DHASH_H = 9, 8
+
+
+def dhash_expr(pixels_col: str = "pixels") -> F.Column:
+    """64-bit perceptual difference hash (dHash) as a '0'/'1' bitstring
+    Column over a decoded ``DHASH_W x DHASH_H`` grayscale pixel array
+    (row-major, [0,1] floats — :func:`decode_image` output).
+
+    Bit ``k`` (k = y*8 + x) is 1 iff pixel(y, x) > pixel(y, x+1): the
+    hash captures the horizontal gradient SIGN pattern, so it is exactly
+    invariant under any strictly-monotone brightness remap (uniform
+    brightness/contrast shifts that don't clip) and flips bits only
+    where the local gradient order changes. Pure Catalyst — 64 codegen'd
+    comparisons, no Python; emitted as a bitstring (not a bigint) so the
+    value is sign-free and engine-portable for cross-engine hashing.
+    """
+    bits = []
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            p = F.element_at(pixels_col, y * DHASH_W + x + 1)
+            q = F.element_at(pixels_col, y * DHASH_W + x + 2)
+            bits.append(F.when(p > q, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def dhash_reference(raster: bytes) -> str:
+    """Python oracle twin of :func:`dhash_expr` over raw raster bytes
+    (for tests)."""
+    assert len(raster) >= DHASH_W * DHASH_H
+    out = []
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            out.append(
+                "1" if raster[y * DHASH_W + x] > raster[y * DHASH_W + x + 1] else "0"
+            )
+    return "".join(out)
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """LOSSLESS banded hamming join over 64-bit dHash bitstrings:
+    (id_a, id_b, hamming) for every pair within ``max_hamming``.
+
+    Pigeonhole: split the 64 bits into ``max_hamming + 1`` bands — two
+    hashes within hamming distance d differ in at most d bands, so at
+    least one band is EQUAL. Candidates come from a (band_idx,
+    band_val) equi-join (never all-pairs — the same shuffle shape as
+    the MinHash-LSH banded join, so at 100 TB candidates scale with
+    band-bucket occupancy, not n^2), then the exact hamming distance is
+    verified via base-2 -> bigint conversion + bit_count(XOR) on two
+    32-bit halves — all JVM-side.
+    """
+    nb = max_hamming + 1
+    base = 64 // nb
+    # band b covers [b*base, ...); the last band absorbs the remainder
+    bands_meta = [
+        (b, b * base + 1, base if b < nb - 1 else 64 - base * (nb - 1))
+        for b in range(nb)
+    ]
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring(hash_col, start, ln).alias("band_val"),
+                    )
+                    for b, start, ln in bands_meta
+                ]
+            )
+        ).alias("bd"),
+    ).select("_id", "_h", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+
+    def _half(col: str, start: int) -> F.Column:
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("bigint")
+
+    ham = (
+        F.bit_count(_half("h_a", 1).bitwiseXOR(_half("h_b", 1)))
+        + F.bit_count(_half("h_a", 33).bitwiseXOR(_half("h_b", 33)))
+    ).alias("hamming")
+    return cand.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+
 
 def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[bytes], int]:
     """Tokenize a PNM header after the 2-byte magic: whitespace-separated

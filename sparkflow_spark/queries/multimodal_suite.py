@@ -307,3 +307,106 @@ def mm_decode_check(spark: SparkSession, sf: str) -> DataFrame:
     return decoded.select(
         "doc_id", "width", "height", "mode", byte_sum.alias("byte_sum")
     ).transform(ordered, "doc_id")
+
+
+_P5_HEADER = b"P5\n9 8\n255\n"  # 9x8 grayscale -> 72 raster bytes
+
+# Per-byte raster construction in pure Catalyst: re-derive byte i from
+# the payload hex, clamp into [0,127] with % 128 (headroom so the
+# brightness twin's +64 can NEVER clip), re-emit as two hex digits.
+_RASTER_SQL = (
+    "unhex(concat_ws('', transform(sequence(0, 71), i -> "
+    "lpad(hex(CAST(conv(substring(hx, CAST(2*i+1 AS INT), 2), 16, 10) "
+    "AS INT) % 128 + {shift}), 2, '0'))))"
+)
+
+_DHX = "ascii(substr(hx, CAST(2 * i + {off} AS INT), 1))"
+_D1 = _HEX_DIGIT.format(d=_DHX.format(off=1))
+_D2 = _HEX_DIGIT.format(d=_DHX.format(off=2))
+
+
+def _dhash_oracle() -> str:
+    """DuckDB replay of the full synthesize→decode→dHash pipeline: the
+    raster bytes are re-derived from the text hex ((hi*16+lo) % 128 —
+    the brightness twin's +64 provably cannot change any gradient sign,
+    so ONE hash per doc stands for both images and n_images = 2*n_docs
+    exactly when the Spark pipeline's invariance holds), then the 64
+    gradient-sign bits are emitted as the same bitstring."""
+    return f"""
+        WITH h AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 144) AS hx
+            FROM documents WHERE octet_length(encode(text)) >= 72),
+        v AS (
+            SELECT doc_id,
+                   list_transform(range(0, 72),
+                       i -> (({_D1}) * 16 + ({_D2})) % 128) AS vs
+            FROM h),
+        b AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 64), k ->
+                       CASE WHEN vs[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                                 > vs[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                            THEN '1' ELSE '0' END), '') AS dhash
+            FROM v)
+        SELECT dhash,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_images,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keeper
+        FROM b GROUP BY dhash ORDER BY dhash
+    """
+
+
+@register(
+    "mm_dhash_dup_groups",
+    oracle=_dhash_oracle(),
+    tags=("multimodal", "dedup", "image"),
+)
+def mm_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup via dHash over the REAL decode path
+    (r11 verdict ask #4): per document with >= 72 payload bytes,
+    synthesize a 9x8 grayscale P5 PPM whose raster is (byte % 128) of
+    the first 72 UTF-8 bytes, PLUS a planted near-identical twin at
+    +64 brightness (no clipping by construction, so every horizontal
+    gradient SIGN — hence the dHash — is provably identical); decode
+    both through multimodal.decode_image's mapInPandas kernel (built-in
+    pure-python P5 codec here, PIL in production, bit-identical);
+    compute the 64-bit difference hash in pure Catalyst over the [0,1]
+    float pixels; group by hash. Every group must carry n_images ==
+    2*n_docs — the hash-checked cross-engine pin that the decode +
+    dHash pipeline is brightness-invariant, not just that it ran.
+
+    100 TB shape: blobs never shuffle — decode and dHash are
+    narrow per-partition stages; only (64-char hash, doc_id) enters the
+    group-by exchange. Near-dup beyond exact-hash equality is
+    multimodal.dhash_near_pairs (banded hamming equi-join, t1-bound).
+    """
+    t = Tables(spark, sf)
+    docs = t.documents.where(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72
+    ).select(
+        "doc_id",
+        F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 144).alias("hx"),
+    )
+    header = F.lit(_P5_HEADER)
+    blobs = None
+    for shift in (0, 64):
+        leg = docs.select(
+            "doc_id",
+            F.concat(header, F.expr(_RASTER_SQL.format(shift=shift))).alias(
+                "content"
+            ),
+        )
+        blobs = leg if blobs is None else blobs.unionByName(leg)
+    decoded = multimodal.decode_image(blobs)
+    hashes = decoded.select(
+        "doc_id", multimodal.dhash_expr("pixels").alias("dhash")
+    )
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .transform(ordered, "dhash")
+    )

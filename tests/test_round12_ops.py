@@ -131,3 +131,91 @@ def test_sfl_fresh_checkpoint_same_path_appends_not_discarded(spark, tmp_path):
     # epoch key differs — data must append, not vanish
     run(str(tmp_path / "ck2"))
     assert spark.read.format("sfl").option("path", sink).load().count() == 100
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual image near-dup (r11 verdict ask #4, X169)
+
+
+def _p5_blob(raster: bytes) -> bytes:
+    assert len(raster) == 72
+    return b"P5\n9 8\n255\n" + raster
+
+
+def test_dhash_brightness_invariance_and_sensitivity(spark):
+    """dHash over the REAL decode path: a uniform brightness shift
+    (strictly monotone, no clipping) must leave all 64 bits unchanged;
+    swapping two adjacent unequal pixels must flip at least one bit."""
+    import random
+
+    from sparkflow_spark import multimodal
+
+    rng = random.Random(12)
+    raster = bytes(rng.randrange(0, 128) for _ in range(72))
+    bright = bytes(v + 64 for v in raster)
+    # build a perturbed raster that provably changes a gradient sign
+    lst = bytearray(raster)
+    for i in range(71):
+        if lst[i] != lst[i + 1] and (i % 9) < 8:
+            lst[i], lst[i + 1] = lst[i + 1], lst[i]
+            break
+    perturbed = bytes(lst)
+    df = spark.createDataFrame(
+        [
+            (0, _p5_blob(raster)),
+            (1, _p5_blob(bright)),
+            (2, _p5_blob(perturbed)),
+        ],
+        "doc_id long, content binary",
+    )
+    decoded = multimodal.decode_image(df)
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in decoded.select(
+            "doc_id", multimodal.dhash_expr("pixels").alias("dhash")
+        ).collect()
+    }
+    # python reference parity on the raw raster
+    assert got[0] == multimodal.dhash_reference(raster)
+    assert got[1] == multimodal.dhash_reference(bright)
+    # invariance + sensitivity
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert len(got[0]) == 64 and set(got[0]) <= {"0", "1"}
+
+
+def test_dhash_near_pairs_equals_brute_force(spark):
+    """The banded hamming join must be LOSSLESS for hamming <= 3
+    (pigeonhole over 4 bands) and report the exact distance — compared
+    against the python brute force over all pairs, including planted
+    near pairs at distances 0..5."""
+    import random
+
+    from sparkflow_spark import multimodal
+
+    rng = random.Random(7)
+    hashes = []
+    base = ["".join(rng.choice("01") for _ in range(64)) for _ in range(20)]
+    hashes.extend(base)
+    for d in (0, 1, 2, 3, 4, 5):  # planted variants at known distances
+        src = list(base[d])
+        for pos in rng.sample(range(64), d):
+            src[pos] = "1" if src[pos] == "0" else "0"
+        hashes.append("".join(src))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, dhash string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_pairs(df, max_hamming=3).collect()
+    }
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = sum(a != b for a, b in zip(hashes[i], hashes[j]))
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+    assert any(d == 0 for d in want.values()) and any(
+        d == 3 for d in want.values()
+    )  # the planted spectrum actually exercises the bound
