@@ -2119,3 +2119,118 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     executor cluster runs as log-depth rounds, never a driver loop."""
     register_views(spark, sf)
     return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+_SCRIPT_BAND_ORACLE = """
+    WITH cand AS (
+        SELECT k, 1000.0 * power(2, k) AS thr FROM range(0, 50) t(k)),
+    counted AS (
+        SELECT k, thr,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_totalprice > cand.thr) AS n
+        FROM cand),
+    pick AS (SELECT thr, n FROM counted WHERE n < 500 ORDER BY k LIMIT 1)
+    SELECT o_orderpriority,
+           CAST(pick.thr AS DOUBLE) + 0.0 AS threshold,
+           pick.n AS n_above,
+           COUNT(*) AS n_band,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS revenue
+    FROM orders, pick
+    WHERE o_totalprice > pick.thr / 2 AND o_totalprice <= pick.thr
+    GROUP BY o_orderpriority, pick.thr, pick.n
+    ORDER BY o_orderpriority
+"""
+
+_SCRIPT_BAND_SQL = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 1000.0;
+  DECLARE n BIGINT DEFAULT 0;
+  SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+  WHILE n >= 500 DO
+    SET thr = thr * 2;
+    SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+  END WHILE;
+  SELECT o_orderpriority,
+         CAST(thr AS DOUBLE) + 0.0 AS threshold,
+         n AS n_above,
+         COUNT(*) AS n_band,
+         CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS revenue
+  FROM orders
+  WHERE o_totalprice > thr / 2 AND o_totalprice <= thr
+  GROUP BY o_orderpriority ORDER BY o_orderpriority;
+END
+"""
+
+
+@register(
+    "q122_sql_scripting_while",
+    oracle=_SCRIPT_BAND_ORACLE,
+    tags=("relational", "sql-scripting"),
+    memo=False,  # the WHILE loop's count probes execute eagerly at sql()
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END, spark.sql.scripting.enabled):
+    a WHILE loop with script-local DECLAREd variables doubles a price
+    threshold until fewer than 500 orders exceed it (the engine executes
+    the control flow — each loop probe is one distributed COUNT scan,
+    log2(max/1000) iterations), then the final SELECT reads the LAST
+    DOUBLING BAND (thr/2, thr] per priority — provably non-empty, since
+    n(thr/2) >= 500 > n(thr) forces >= 500 - n(thr) rows into the band.
+    Thresholds 1000*2^k are exact doubles and every loop decision is an
+    integer count, so the data-dependent fixpoint is bit-reproducible —
+    DuckDB replays it by picking the first k in the doubling series
+    with n < 500 (no scripting needed) and must hash-match the script's
+    result at every scale.
+
+    100 TB shape: the driver holds two scalars; every probe and the
+    final aggregation are ordinary distributed scans — control flow in
+    the script never materializes data on the driver."""
+    register_views(spark, sf)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_SCRIPT_BAND_SQL)
+
+
+_EXEC_IMMEDIATE_ORACLE = """
+    WITH c AS (SELECT MAX(o_totalprice) * 0.5 AS cutoff FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(c.cutoff, 2) AS DOUBLE) + 0.0 AS cutoff,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS revenue
+    FROM orders, c
+    WHERE o_totalprice > c.cutoff
+    GROUP BY o_orderpriority, c.cutoff
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q123_session_variable_binding",
+    oracle=_EXEC_IMMEDIATE_ORACLE,
+    tags=("relational", "sql-scripting"),
+    memo=False,  # DECLARE/SET VARIABLE are eager session mutations
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """Session variables + EXECUTE IMMEDIATE (Spark 4): DECLARE OR
+    REPLACE VARIABLE, SET VARIABLE from a scalar subquery over the data
+    (half the max order price — exact double arithmetic, so the bound
+    value is engine-reproducible), then EXECUTE IMMEDIATE a SQL string
+    with a named :c parameter USING the variable — the administrative
+    binding surface q121's spark.sql(args=...) python binding stops
+    short of: here the parameterization lives entirely in SQL, the way
+    an operations runbook or a stored procedure would drive it. DuckDB
+    replays the same logic with an inline scalar CTE and must
+    hash-match."""
+    register_views(spark, sf)
+    spark.sql("DECLARE OR REPLACE VARIABLE sfl_cutoff DOUBLE")
+    spark.sql(
+        "SET VARIABLE sfl_cutoff = (SELECT MAX(o_totalprice) * 0.5 FROM orders)"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(ROUND(:c, 2) AS DOUBLE) + 0.0 AS cutoff, "
+        "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS revenue "
+        "FROM orders WHERE o_totalprice > :c "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority' "
+        "USING sfl_cutoff AS c"
+    )

@@ -219,3 +219,74 @@ def test_dhash_near_pairs_equals_brute_force(spark):
     assert any(d == 0 for d in want.values()) and any(
         d == 3 for d in want.values()
     )  # the planted spectrum actually exercises the bound
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting + session variables + EXECUTE IMMEDIATE (r11 ask #5, X170)
+
+
+def test_sql_script_variables_are_script_local(spark):
+    """A DECLARE inside BEGIN...END must not leak into the session:
+    referencing it after the script fails, while a session-level
+    variable declared with DECLARE VARIABLE persists until dropped."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    out = spark.sql(
+        """
+        BEGIN
+          DECLARE script_only INT DEFAULT 41;
+          SET script_only = script_only + 1;
+          SELECT script_only AS v;
+        END
+        """
+    ).collect()
+    assert out == [type(out[0])(v=42)]
+    with pytest.raises(Exception, match="(?i)unresolved|cannot.*resolve|not.*found"):
+        spark.sql("SELECT script_only").collect()
+    # session variable: visible across statements, gone after DROP
+    spark.sql("DECLARE OR REPLACE VARIABLE sess_v BIGINT DEFAULT 7")
+    assert spark.sql("SELECT sess_v AS v").collect()[0]["v"] == 7
+    spark.sql("SET VARIABLE sess_v = sess_v * 3")
+    assert spark.sql("SELECT sess_v AS v").collect()[0]["v"] == 21
+    spark.sql("DROP TEMPORARY VARIABLE sess_v")
+    with pytest.raises(Exception, match="(?i)unresolved|cannot.*resolve|not.*found"):
+        spark.sql("SELECT sess_v").collect()
+
+
+def test_execute_immediate_error_legs(spark):
+    """EXECUTE IMMEDIATE must refuse an unbound named parameter and a
+    non-existent variable in USING; INTO assigns a scalar result to a
+    session variable."""
+    with pytest.raises(Exception, match="(?i)parameter|bind|unbound"):
+        spark.sql("EXECUTE IMMEDIATE 'SELECT :missing AS x'").collect()
+    with pytest.raises(Exception, match="(?i)unresolved|variable|not.*found"):
+        spark.sql(
+            "EXECUTE IMMEDIATE 'SELECT :x AS x' USING no_such_variable AS x"
+        ).collect()
+    spark.sql("DECLARE OR REPLACE VARIABLE tgt BIGINT")
+    spark.sql("EXECUTE IMMEDIATE 'SELECT 5 + 6' INTO tgt")
+    assert spark.sql("SELECT tgt AS v").collect()[0]["v"] == 11
+    spark.sql("DROP TEMPORARY VARIABLE tgt")
+
+
+def test_sql_script_control_flow_branches(spark):
+    """IF/ELSE branch selection and WHILE iteration count are executed
+    by the engine — pinned on a deterministic 3-iteration loop."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    rows = spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 1;
+          WHILE i < 3 DO
+            SET acc = acc * 2;
+            SET i = i + 1;
+          END WHILE;
+          IF acc = 8 THEN
+            SELECT acc AS v, 'pow' AS leg;
+          ELSE
+            SELECT acc AS v, 'bug' AS leg;
+          END IF;
+        END
+        """
+    ).collect()
+    assert [(r["v"], r["leg"]) for r in rows] == [(8, "pow")]
