@@ -290,3 +290,83 @@ def test_sql_script_control_flow_branches(spark):
         """
     ).collect()
     assert [(r["v"], r["leg"]) for r in rows] == [(8, "pow")]
+
+
+# ---------------------------------------------------------------------------
+# train -> score -> filter composition (r11 ask #6, X171)
+
+
+def test_trained_classifier_filter_composes(spark, sf_dir):
+    """The TRAINED-weights leg of p_classifier_filter_e2e: fit the
+    DistributedDL logistic head (M01 machinery) on a deterministic
+    synthetic quality label, hand its trained weights to the SAME
+    serving stage (PredictWith affine + sigmoid) and the SAME
+    broadcast-percentile filter — the composition must run end to end,
+    the head must actually have learned the label (accuracy >= 0.8),
+    and the kept set must be enriched in quality-positive docs."""
+    import json
+
+    from sparkflow_spark.functions.text import tokens
+    from sparkflow_spark.ml import DistributedDL, build_network
+    from sparkflow_spark.ml.predict import PredictWith
+    from sparkflow_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    len_sum = F.aggregate(
+        tokens("text"), F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
+    )
+    feats = t.documents.select(
+        "doc_id",
+        F.array(
+            (len_sum / 512.0),
+            (F.length("text") / 512.0),
+        ).alias("features"),
+        len_sum.alias("len_sum"),
+    )
+    med = feats.agg(F.percentile("len_sum", 0.5).alias("m"))
+    labeled = (
+        feats.join(F.broadcast(med))
+        .withColumn("y", (F.col("len_sum") >= F.col("m")).cast("double"))
+        .select("doc_id", "features", "y")
+    )
+    est = DistributedDL(
+        inputCol="features",
+        labelCol="y",
+        predictionCol="p",
+        networkSpec=build_network([2, 1], activations=["sigmoid"], loss="bce"),
+        tfOptimizer="adam",
+        tfLearningRate=0.1,
+        iters=3,
+        localIters=40,
+        partitions=4,
+        seed=7,
+    )
+    model = est.fit(labeled)
+    W_mat, b_vec = json.loads(model.getOrDefault(model.modelWeights))
+    W = [row[0] for row in W_mat]
+    assert len(W) == 2
+    # compose: trained weights -> serving hook -> percentile filter
+    stage = PredictWith(
+        inputCol="features",
+        outputCol="_z",
+        fnFactory="sparkflow_spark.ml.stub_backend:make_affine_predict_fn",
+        fnFactoryArgs=json.dumps({"W": W, "b": b_vec[0]}),
+        returnTypeDDL="double",
+        inputTensorShape=json.dumps([2]),
+    )
+    scored = stage.transform(labeled).withColumn(
+        "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
+    )
+    acc = (
+        scored.select(((F.col("prob") > 0.5).cast("double") == F.col("y")).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc >= 0.8, acc
+    thr = scored.agg(F.percentile("_z", 0.25).alias("t"))
+    kept = scored.join(F.broadcast(thr)).where(F.col("_z") >= F.col("t"))
+    base_rate = scored.agg(F.avg("y")).collect()[0][0]
+    kept_rate = kept.agg(F.avg("y")).collect()[0][0]
+    n_all, n_kept = scored.count(), kept.count()
+    assert n_kept <= n_all and n_kept >= int(0.7 * n_all)
+    assert kept_rate > base_rate  # bottom-quartile drop enriches positives
