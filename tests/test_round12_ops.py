@@ -370,3 +370,82 @@ def test_trained_classifier_filter_composes(spark, sf_dir):
     n_all, n_kept = scored.count(), kept.count()
     assert n_kept <= n_all and n_kept >= int(0.7 * n_all)
     assert kept_rate > base_rate  # bottom-quartile drop enriches positives
+
+
+# ---------------------------------------------------------------------------
+# statestore / state-metadata readers (r11 ask #3, X172)
+
+
+def test_statestore_reader_matches_processor_emissions(spark, sf_dir):
+    """Run a TWS query against a persisted checkpoint; the statestore
+    source's (key, value) rows must equal the processor's own FINAL
+    per-key emissions, and the state-metadata source must describe the
+    operator and its state variable."""
+    import json
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from sparkflow_spark.catalog import warehouse_subdir
+    from sparkflow_spark.streaming.state_reader import (
+        read_state_store,
+        state_metadata,
+    )
+    from sparkflow_spark.streaming.stateful import (
+        _build_user_stats_processor,
+        _TWS_OUT_SCHEMA,
+        _tws_runner_session,
+    )
+    from sparkflow_spark.streaming.windows import stream_events
+
+    ck = warehouse_subdir(spark, "t1_statestore_ck", key=sf_dir)
+    shutil.rmtree(ck, ignore_errors=True)
+    runner = _tws_runner_session(spark)
+    sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
+    stats = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_build_user_stats_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    name = f"t1_ss_{uuid.uuid4().hex[:10]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the processor's final emission per key (highest c wins)
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
+    final = {
+        (r["user_id"], r["c"], r["sum_cents"])
+        for r in runner.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    store = {
+        (r["user_id"], r["c"], r["sum_cents"])
+        for r in read_state_store(runner, ck, state_var="stats")
+        .select("key.user_id", "value.c", "value.sum_cents")
+        .collect()
+    }
+    assert store == final and len(store) > 0
+    # metadata: one TWS operator, the 'stats' ValueState, TTL off
+    md = state_metadata(runner, ck).collect()
+    assert len(md) == 1
+    row = md[0]
+    assert row["operatorName"] == "transformWithStateInPandasExec"
+    props = json.loads(row["operatorProperties"])
+    assert {
+        (v["stateName"], v["stateVariableType"], v["ttlEnabled"])
+        for v in props["stateVariables"]
+    } == {("stats", "ValueState", False)}
+    assert row["numPartitions"] == 4  # the fixture-sized state width
+    # a TWS checkpoint refuses a read without stateVarName
+    with pytest.raises(Exception, match="(?i)state.*var|stateVarName|option"):
+        read_state_store(runner, ck).collect()
