@@ -36,7 +36,13 @@ sys.path.insert(0, "/root/repo")
 from sparkflow_spark.session import build_session  # noqa: E402
 
 
-def tws_state_footprint(spark, sf_dir: str) -> dict:
+def tws_state_footprint(spark, sf_dir: str, width: int | None = None) -> dict:
+    """One TWS run; ``width`` overrides the state width (shuffle
+    partitions at FIRST checkpoint — the r11 verdict's open assertion:
+    the runner pins 4 for fixture-sized state, and 'width ∝ keys
+    restores per-worker constancy' needs a measured row at a wide
+    setting, r12 ask #2)."""
+    import time
     import uuid
 
     import pyspark.sql.functions as F  # noqa: F401
@@ -46,6 +52,8 @@ def tws_state_footprint(spark, sf_dir: str) -> dict:
 
     proc = stateful._build_user_stats_processor()
     runner = stateful._tws_runner_session(spark)
+    if width is not None:
+        runner.conf.set("spark.sql.shuffle.partitions", str(width))
     sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
     stats = sdf.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
@@ -54,6 +62,7 @@ def tws_state_footprint(spark, sf_dir: str) -> dict:
         timeMode="none",
     )
     name = f"probe_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
     q = (
         stats.writeStream.format("memory")
         .queryName(name)
@@ -62,6 +71,7 @@ def tws_state_footprint(spark, sf_dir: str) -> dict:
         .start()
     )
     q.awaitTermination()
+    wall_s = round(time.time() - t0, 2)
     prog = q.lastProgress
     ops = (prog or {}).get("stateOperators") or []
     row = ops[0] if ops else {}
@@ -84,6 +94,8 @@ def tws_state_footprint(spark, sf_dir: str) -> dict:
         if "SizeBytes" in k or k in ("rocksdbFilesCopied", "rocksdbBytesCopied")
     }
     keep["inputRows"] = (prog or {}).get("numInputRows")
+    keep["wall_s"] = wall_s
+    keep["width"] = width if width is not None else 4
     return keep
 
 
@@ -144,6 +156,23 @@ def main() -> int:
     ).config("spark.driver.memory", "20g").getOrCreate()
     spark = build_session(app_name="stream_state_probe")
     assert spark.sparkContext.uiWebUrl, "UI must be on for stage metrics"
+    widths = None
+    if len(sys.argv) > 2 and sys.argv[2].startswith("--tws-widths="):
+        widths = [int(w) for w in sys.argv[2].split("=", 1)[1].split(",")]
+    if widths is not None:
+        # the r12 width A/B: TWS footprint + wall at each state width,
+        # nothing else (the widths are set at FIRST checkpoint — each
+        # run uses a fresh ephemeral checkpoint, so widths don't stick)
+        for w in widths:
+            print(
+                json.dumps(
+                    {
+                        "sf_dir": sf_dir,
+                        "tws_state": tws_state_footprint(spark, sf_dir, width=w),
+                    }
+                )
+            )
+        return 0
     print(json.dumps({"sf_dir": sf_dir, "tws_state": tws_state_footprint(spark, sf_dir)}))
     print(json.dumps({"sf_dir": sf_dir, "substring_shuffle": substring_shuffle_width(spark, sf_dir)}))
     return 0

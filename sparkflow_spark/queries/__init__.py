@@ -137,81 +137,75 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-11 rotation (r10 verdict ask #2: "finish the never-checked
-    # tail" — 86 entries had no driver CORRECTNESS row after r10, 7 of
-    # them new this round). This window is 49 FIRST-TIME entries + the
-    # flagship: every slot except q13 has never had a driver record.
-    # The still-never-checked tail after this window — 37 pre-existing
-    # (21 t2 + 16 rows-only) + the 4 registered after the rotation
-    # (q118-q121, all locally 3-SF green) = 41 entries — fits in ONE
-    # more rotation: r12 retires the tail entirely, completing the plan
-    # the r10 verdict laid out. Rotated-out rows are all
-    # driver-green r10 (see CORRECTNESS_r10.json); rotation history
-    # r5-r10 lives in git on this literal.
+    # Round-12 rotation — the TAIL-RETIRING window (r11 verdict ask #1):
+    # after round 11, exactly 42 registry entries had never had a driver
+    # CORRECTNESS row (25 t2 — incl. q118-q121, registered after the
+    # r11 window froze — + 17 rows-only-by-design). ALL 42 are in this
+    # window, plus the flagship, plus the 5 entries NEW this round
+    # (X169-X172 + the ask-#6 composition), plus 2 steady-state
+    # re-samples of heavy production paths (the lossless prefix-filter
+    # jaccard join and the e2e training-bin pipeline — both last
+    # checked r10). After this window the r01-r12 union covers the
+    # ENTIRE registry and rotation switches to steady-state
+    # re-sampling. Rotation history r5-r11 lives in git on this
+    # literal.
     #
     # flagship (stays every round; entry() smoke-check target)
     "q13_hash_agg_tpch_q1",
-    # relational / sketch tail
-    "q61_approx_percentile_within_5pct",
-    "q76_winsorize",
-    "q82_approx_distinct_hourly",
-    # TPC-H suite — the 12 adapted shapes never driver-checked
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_line_counts",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity",
-    # python-eval surface
-    "q40_map_in_arrow",
-    "q40_cogroup_applyinpandas",
-    "q40_grouped_agg_pandas_udf",
-    # VARIANT (new this round, r10 ask #5)
-    "q116_variant_extract",
-    "q117_variant_nested_roundtrip",
-    # python data source (new this round, r10 ask #6)
-    "src_sfl_roundtrip",
-    # text / quality
-    "t_quality_components",
-    "p_quality_percentile_filter",
-    "t_skipgram_pairs",
-    "t_bpe_encode",
-    "t_unigram_logprob",
-    # dedup families — incl. the full exact-substring quartet and the
-    # hashed-gram scale twin (new this round, r10 ask #1)
-    "d_exact_dedup_rows",
-    "d_embedding_near_dup",
-    "d_edit_distance_join",
-    "d_near_dedup_keep_longest",
-    "d_exact_substring_spans",
-    "d_exact_substring_spans_hashed",
-    "d_exact_substring_strip",
-    "d_exact_substring_clean",
-    "d_semantic_dedup_pairs",
-    # streaming — the entire never-checked streaming/TWS tail, incl.
-    # the outer-join family (r10 ask #3) and TTL/pt-timers (ask #4)
-    "st_stream_static_join",
-    "st_stream_stream_left_join",
-    "st_stream_stream_full_join",
-    "st_stream_stream_right_join",
-    "st_tws_user_stats",
-    "st_tws_list_state",
-    "st_tws_map_state",
-    "st_tws_session_timers",
-    "st_tws_seeded_counts",
-    "st_tws_ttl_counts",
-    "st_tws_pt_timer_fired_keys",
-    # multimodal
-    "mm_binary_dup_groups",
-    "mm_decode_check",
-    # ML
-    "m05_logistic_inference",
+    # --- the 25 never-checked t2 entries ---
+    "q118_recursive_cte_hierarchy",
+    "q119_arrow_udf_scalar",
+    "q120_collation_lcase_group",
+    "q121_parameterized_sql",
+    "q31_array_size_invariants",
+    "t_punct_count",
+    "t_fingerprint",
+    "t_top_bigram_stats",
+    "t_term_drift",
+    "t_repetition_score",
+    "t_bpe_pair_counts",
+    "s_quantize_int8",
+    "p_profile_lineitem",
+    "q61_sessionize",
+    "q62_gap_fill_ffill",
+    "q63_incremental_rollup",
+    "q66_outlier_mad",
+    "q73_journey_paths",
+    "q75_attribution_daily",
+    "q78_md5_sample_per_group",
+    "q85_k_anonymity_audit",
+    "q86_dp_noisy_counts",
+    "q87_ab_test_readout",
+    "q88_session_conversion",
+    "d_event_debounce",
+    # --- the 17 never-checked rows-only entries (weaker driver check
+    # by design; each carries a t1 or a same-family t2 twin) ---
+    "q33_stratified_sampling",
+    "t_quality_langid",
+    "p_pack_sequences_ffd",
+    "d_minhash_pairs",
+    "d_simhash_pairs",
+    "d_lsh_index_query",
+    "s_ivf_ann_top1",
+    "s_lsh_ann_top1",
+    "s_pq_ann_top1",
+    "g_pagerank_suppliers",
+    "q68_reservoir_per_group",
+    "q69_weighted_sample",
+    "g_label_prop_communities",
+    "s_mmr_rerank",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "m01_train_predict",
+    # --- new this round ---
+    "mm_dhash_dup_groups",  # X169 perceptual image near-dup
+    "q122_sql_scripting_while",  # X170 SQL scripting
+    "q123_session_variable_binding",  # X170 session vars + EXECUTE IMMEDIATE
+    "p_classifier_filter_e2e",  # X171 train->score->filter
+    "st_statestore_audit",  # X172 statestore reader
+    # --- steady-state re-samples ---
+    "d_prefix_jaccard_pairs",
+    "p_training_bins_e2e",
 )
 
 
