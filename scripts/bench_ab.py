@@ -64,7 +64,14 @@ def main() -> int:
         )
     rows = []
     for i in range(passes):
-        for side, cwd in (("base", WT), ("head", REPO)):
+        # alternate STARTING SIDE between pairs (round-11 protocol note:
+        # the order effect follows run order, not checkout — alternating
+        # the leader cancels it in the medians)
+        order = (("base", WT), ("head", REPO)) if i % 2 == 0 else (
+            ("head", REPO),
+            ("base", WT),
+        )
+        for side, cwd in order:
             r = pick(run_bench(cwd))
             r["side"], r["pass"] = side, i
             rows.append(r)
