@@ -410,3 +410,112 @@ def mm_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "dhash")
     )
+
+
+# Perturbed-variant raster: ONE pixel (position doc_id % 60) shifted by
+# +37 mod 128 — flips at most the 2 gradient-sign bits that pixel
+# participates in, so every (original, variant) pair sits at hamming
+# distance <= 2 BY CONSTRUCTION and the <=3 banded join must find it.
+_RASTER_VARIANT_SQL = (
+    "unhex(concat_ws('', transform(sequence(0, 71), i -> "
+    "lpad(hex(CASE WHEN i = CAST(doc_id % 60 AS BIGINT) THEN "
+    "(CAST(conv(substring(hx, CAST(2*i+1 AS INT), 2), 16, 10) AS INT) % 128 "
+    "+ 37) % 128 ELSE "
+    "CAST(conv(substring(hx, CAST(2*i+1 AS INT), 2), 16, 10) AS INT) % 128 "
+    "END), 2, '0'))))"
+)
+
+
+def _dhash_pairs_oracle() -> str:
+    """Brute-force DuckDB replay: derive both legs' rasters from the
+    text hex (original = byte % 128 for doc_id % 3 == 0; variant = one
+    pixel +37 mod 128 for doc_id % 21 == 0, id + 100000000), compute
+    the 64-bit dHash per image, and emit EVERY pair within hamming
+    distance 3 by exhaustive comparison — independent of the banded
+    pigeonhole the Spark side uses, so the t2 doubles as a
+    losslessness check at fixture scale."""
+    v_orig = f"(({_D1}) * 16 + ({_D2})) % 128"
+    return f"""
+        WITH h AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 144) AS hx
+            FROM documents
+            WHERE octet_length(encode(text)) >= 72 AND doc_id % 3 = 0),
+        legs AS (
+            SELECT doc_id AS img_id,
+                   list_transform(range(0, 72), i -> {v_orig}) AS vs
+            FROM h
+            UNION ALL
+            SELECT doc_id + 100000000 AS img_id,
+                   list_transform(range(0, 72),
+                       i -> CASE WHEN i = doc_id % 60
+                                 THEN (({v_orig}) + 37) % 128
+                                 ELSE {v_orig} END) AS vs
+            FROM h WHERE doc_id % 21 = 0),
+        b AS (
+            SELECT img_id,
+                   list_transform(range(0, 64), k ->
+                       CASE WHEN vs[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                                 > vs[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                            THEN 1 ELSE 0 END) AS bits
+            FROM legs)
+        SELECT a.img_id AS id_a, c.img_id AS id_b,
+               CAST(len(list_filter(range(1, 65),
+                    k -> a.bits[CAST(k AS INT)] != c.bits[CAST(k AS INT)]))
+                    AS BIGINT) AS hamming
+        FROM b a JOIN b c ON a.img_id < c.img_id
+        WHERE len(list_filter(range(1, 65),
+                  k -> a.bits[CAST(k AS INT)] != c.bits[CAST(k AS INT)])) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "d_dhash_hamming_pairs",
+    oracle=_dhash_pairs_oracle(),
+    tags=("multimodal", "dedup", "image", "similarity"),
+)
+def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup PAIRS through the banded hamming join (X169's
+    production path, made t2): originals (doc_id % 3 == 0) plus planted
+    one-pixel perturbed variants (doc_id % 21 == 0, +37 mod 128 at
+    position doc_id % 60 — at most the 2 adjacent gradient signs flip,
+    so every planted pair sits at hamming <= 2 by construction), all
+    synthesized, DECODED through the real mapInPandas kernel, hashed in
+    Catalyst, and paired by multimodal.dhash_near_pairs (pigeonhole
+    bands -> equi-join -> bit_count exact verify). The DuckDB oracle
+    brute-forces ALL pairs exhaustively, so the hash match proves the
+    banded join lossless on real planted data at every scale — not just
+    on the synthetic t1 hashes."""
+    t = Tables(spark, sf)
+    docs = (
+        t.documents.where(
+            (F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72)
+            & (F.col("doc_id") % 3 == 0)
+        )
+        .select(
+            "doc_id",
+            F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 144).alias(
+                "hx"
+            ),
+        )
+    )
+    header = F.lit(_P5_HEADER)
+    orig = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.concat(header, F.expr(_RASTER_SQL.format(shift=0))).alias("content"),
+    )
+    variant = docs.where(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 100000000).alias("img_id"),
+        F.concat(header, F.expr(_RASTER_VARIANT_SQL)).alias("content"),
+    )
+    blobs = orig.unionByName(variant)
+    decoded = multimodal.decode_image(blobs, id_col="img_id")
+    hashes = decoded.select(
+        F.col("doc_id").alias("img_id"),
+        multimodal.dhash_expr("pixels").alias("dhash"),
+    )
+    return (
+        multimodal.dhash_near_pairs(hashes, id_col="img_id", max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("bigint"))
+        .transform(ordered, "id_a", "id_b")
+    )

@@ -2234,3 +2234,59 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         "GROUP BY o_orderpriority ORDER BY o_orderpriority' "
         "USING sfl_cutoff AS c"
     )
+
+
+_PIPE_ORACLE = """
+    WITH agg AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) + 0.0 AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                    AS DOUBLE) + 0.0 AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, sum_qty, revenue, n,
+           CAST(ROUND(revenue / n, 2) AS DOUBLE) + 0.0 AS rev_per_item
+    FROM agg
+    WHERE n > 10
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+# SQL pipe syntax (Spark 4): the same logic as a left-to-right pipeline.
+# |> WHERE before the aggregate, |> AGGREGATE ... GROUP BY ..., a piped
+# post-aggregate filter, |> EXTEND computing a derived column from the
+# aggregate outputs, |> ORDER BY. DuckDB has no pipe syntax, so the
+# oracle is the plain-SQL equivalent above — same math, same rounding.
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    |> AGGREGATE
+         CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) + 0.0 AS sum_qty,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+              AS DOUBLE) + 0.0 AS revenue,
+         COUNT(*) AS n
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n > 10
+    |> EXTEND CAST(ROUND(revenue / n, 2) AS DOUBLE) + 0.0 AS rev_per_item
+    |> SELECT l_returnflag, l_linestatus, sum_qty, revenue, n, rev_per_item
+    |> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q124_sql_pipe_syntax",
+    oracle=_PIPE_ORACLE,
+    tags=("relational", "sql-pipe"),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators — the last Spark-4 SQL
+    surface the r11 verdict named): the TPC-H Q1 shape written as a
+    left-to-right pipeline — FROM |> WHERE |> AGGREGATE..GROUP BY |>
+    WHERE (post-aggregate, no HAVING keyword needed) |> EXTEND (derived
+    column over the aggregate outputs) |> SELECT |> ORDER BY. Catalyst
+    plans it identically to the nested form (same scan/partial-agg/
+    exchange pipeline — pipe syntax is parse-level sugar, zero plan
+    cost), and DuckDB hash-matches via the plain-SQL equivalent."""
+    register_views(spark, sf)
+    return spark.sql(_PIPE_SQL)
