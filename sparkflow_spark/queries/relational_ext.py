@@ -2290,3 +2290,111 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     cost), and DuckDB hash-matches via the plain-SQL equivalent."""
     register_views(spark, sf)
     return spark.sql(_PIPE_SQL)
+
+
+_CMS_D, _CMS_W = 4, 64
+
+_CMS_ORACLE = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+    cells AS (
+        SELECT ev.d, j,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms' ||
+                    CAST(j AS VARCHAR)), 1, 8))::UBIGINT % {_CMS_W} AS col,
+               COUNT(*) AS cnt
+        FROM ev, range(0, {_CMS_D}) t(j)
+        GROUP BY 1, 2, 3),
+    merged AS (
+        SELECT j, col, SUM(cnt) AS cnt FROM cells GROUP BY j, col),
+    probes AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+    pc AS (
+        SELECT p.user_id, t.j,
+               ('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':cms' ||
+                    CAST(t.j AS VARCHAR)), 1, 8))::UBIGINT % {_CMS_W} AS col
+        FROM probes p, range(0, {_CMS_D}) t(j)),
+    est AS (
+        SELECT pc.user_id, MIN(m.cnt) AS cms_est
+        FROM pc JOIN merged m ON m.j = pc.j AND m.col = pc.col
+        GROUP BY pc.user_id),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        WHERE user_id % 13 = 0 GROUP BY user_id)
+    SELECT e.user_id, x.exact_cnt, CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= x.exact_cnt AS never_undercounts
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.user_id
+"""
+
+
+@register(
+    "q125_count_min_rollup",
+    oracle=_CMS_ORACLE,
+    tags=("relational", "sketch", "mergeable"),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketch rollup — the frequency-estimation
+    member of the persisted-sketch family (X128 HLL = distinct, X133
+    histogram = quantiles, this = point counts): per day, a d=4 x w=64
+    integer sketch of user event counts (cell = md5-derived column per
+    hash row — engine-portable, so unlike HLL the sketch VALUES
+    themselves hash-check cross-engine); daily sketches merge by plain
+    cell addition (CMS linearity — the 100 TB shape: the retained state
+    is d*w integers per day, point queries touch d cells, the event
+    stream is scanned once); estimates = min over hash rows, probed for
+    the user_id % 13 cohort with the exact counts joined alongside and
+    the CMS never-undercounts invariant emitted in-band."""
+    t = Tables(spark, sf)
+    ev = t.events.select(F.to_date("ts").alias("d"), "user_id")
+
+    def cms_col(user: F.Column, j: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            user.cast("string"), F.lit(":cms"), j.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    cells = (
+        ev.select("d", "user_id", j)
+        .groupBy("d", "j", cms_col(F.col("user_id"), F.col("j")).alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = cells.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+    probes = (
+        t.events.where(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    )
+    probe_cells = probes.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    ).withColumn("col", cms_col(F.col("user_id"), F.col("j")))
+    est = (
+        probe_cells.join(F.broadcast(merged), ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = (
+        t.events.where(F.col("user_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .transform(ordered, "user_id")
+    )

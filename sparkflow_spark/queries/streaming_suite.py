@@ -793,3 +793,71 @@ def st_statestore_audit(spark: SparkSession, sf: str) -> DataFrame:
     from sparkflow_spark.streaming.state_reader import tws_user_stats_state_audit
 
     return tws_user_stats_state_audit(spark, sf).transform(ordered, "user_id")
+
+
+@register(
+    "st_session_dynamic_gap",
+    # Islands replay with a RUNNING-MAX horizon: with per-event gaps,
+    # ts+gap is no longer monotone in ts (a long-gap event can cover a
+    # later short-gap one), so the fixed-gap oracle's prev-row LAG test
+    # is wrong here — the correct break test compares against
+    # MAX(ts+gap) over ALL prior session events. Tie rule pinned by
+    # probe: an event at EXACTLY the horizon MERGES (windows behave as
+    # [start, end] for merging; break iff ts > horizon), matching the
+    # fixed-gap entry's `diff > gap` convention.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 2 HOUR END AS gap
+            FROM events),
+        g AS (
+            SELECT user_id, ts, gap,
+                   MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS horizon
+            FROM e),
+        s AS (
+            SELECT user_id, ts, gap,
+                   SUM(CASE WHEN horizon IS NULL OR ts > horizon
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts + gap) AS TIMESTAMP) AS session_end,
+               COUNT(*) AS c
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_session_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC-gap session windows — session_window with a per-event
+    gap Column (purchases close a session after 30 minutes, everything
+    else after 2 hours: the engagement-dependent timeout real
+    sessionization uses). Same operator Catalyst runs in streaming
+    (st_session_counts' fixed-gap docstring applies); the dynamic gap
+    makes ts+gap non-monotone, so the oracle needs the running-max
+    islands form — and the session END (max(ts+gap) over the merged
+    set) is emitted and hash-checked too, which the fixed-gap entry
+    never pinned."""
+    from sparkflow_spark.catalog import cached_table
+
+    ev = cached_table(spark, sf, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("2 hours")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "c",
+        )
+        .transform(ordered, "user_id", "session_start")
+    )
