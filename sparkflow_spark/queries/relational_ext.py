@@ -2398,3 +2398,97 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "user_id")
     )
+
+
+@register(
+    "q126_approx_top_k",
+    # The oracle is the EXACT top-3 (this DuckDB build has no
+    # approx_top_k): at fixture cardinality (5 event types, minimum
+    # rank-3/rank-4 margin 2 at sf0.001, no ties at any SF) the Spark
+    # sketch tracks every item exactly, so its top-3 set must equal
+    # the exact top-3 — the sketch is checked against ground truth,
+    # not against another sketch.
+    oracle="""
+        WITH cnt AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        top3 AS (
+            SELECT event_type, n FROM cnt
+            ORDER BY n DESC, event_type LIMIT 3)
+        SELECT event_type, n FROM top3 ORDER BY event_type
+    """,
+    tags=("relational", "sketch"),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_top_k (Spark 4.1's Datasketches frequent-items aggregate)
+    — bounded-memory heavy hitters as ONE SQL aggregate, the built-in
+    sibling of the hand-rolled X110 Misra-Gries operator: sketch the
+    top-3 event types, then join exact counts for the sketched set.
+    100 TB shape: the sketch is a fixed-size partial aggregate (no
+    per-key state), merged map-side like any datasketch."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH tk AS (
+            SELECT approx_top_k(event_type, 3) AS arr FROM events),
+        items AS (
+            SELECT DISTINCT s.item AS event_type
+            FROM tk LATERAL VIEW explode(arr) AS s)
+        SELECT e.event_type, COUNT(*) AS n
+        FROM events e JOIN items i USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+        """
+    )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(ROUND(t.o_totalprice, 2) AS DOUBLE) + 0.0 AS o_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey, o_price DESC, t.o_orderkey
+"""
+
+
+@register(
+    "q127_lateral_topk",
+    oracle=_LATERAL_SQL,
+    tags=("relational", "sql", "lateral"),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.2+ lateral join): top-2
+    orders per sampled customer via a correlated ORDER BY ... LIMIT
+    subquery in FROM — the per-row-subquery surface q19's window
+    formulation expresses differently; IDENTICAL SQL text runs on both
+    engines (DuckDB executes LATERAL natively). Catalyst decorrelates
+    to a ranked join, not a per-row loop — the same plan family as the
+    TPC-H decorrelation guards."""
+    register_views(spark, sf)
+    return spark.sql(_LATERAL_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) + 0.0 AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "q128_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("relational", "sql"),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (Spark 4 adopted DuckDB's shorthand:
+    group on every non-aggregate select item, order on every output
+    column) — IDENTICAL SQL text on both engines, pinning that the two
+    engines resolve the implicit grouping/ordering lists the same
+    way."""
+    register_views(spark, sf)
+    return spark.sql(_GROUP_BY_ALL_SQL)
