@@ -399,3 +399,81 @@ def decode_image(
             yield pd.DataFrame(out)
 
     return flat.mapInPandas(decode, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_frames long, "
+    "sum_sq long, peak int"
+)
+
+
+def decode_wav_bytes(b: bytes):
+    """Pure-stdlib WAV (RIFF PCM) decoder: returns (n_channels,
+    sample_rate, n_frames, samples) with samples as signed int16
+    host-order tuples, or None if the blob is not a decodable 16-bit
+    PCM WAV. Uses the stdlib ``wave`` module — audio decode runs FOR
+    REAL in this sandbox (the image twin of this policy is
+    decode_ppm_bytes/decode_bmp_bytes), no external audio libs."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            sr = w.getframerate()
+            nf = w.getnframes()
+            if sw != 2:  # only 16-bit PCM; other widths yield NULL rows
+                return None
+            raw = w.readframes(nf)
+    except Exception:
+        return None
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    return nch, sr, nf, samples
+
+
+def decode_audio(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio decode + integer-exact feature extract over binary WAV
+    payloads: (channels, rate, frames, sum-of-squared-samples, peak
+    |amplitude|) per blob. sum_sq and peak are INTEGER functions of the
+    PCM words, so downstream filters (silence detection, clipping
+    audits, energy thresholds) are bit-reproducible — the audio
+    analogue of the byte-exact image features. Undecodable or
+    non-16-bit blobs yield NULL stats rows (pipeline keeps flowing).
+
+    Spark shape: one Arrow-batched mapInPandas stage, no shuffle —
+    identical plumbing to decode_image.
+    """
+    flat = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(content_col).alias("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_channels": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                out["doc_id"].append(doc_id)
+                got = decode_wav_bytes(bytes(blob)) if blob is not None else None
+                if got is None:
+                    for k in ("n_channels", "sample_rate", "n_frames", "sum_sq", "peak"):
+                        out[k].append(None)
+                else:
+                    nch, sr, nf, samples = got
+                    out["n_channels"].append(nch)
+                    out["sample_rate"].append(sr)
+                    out["n_frames"].append(nf)
+                    out["sum_sq"].append(sum(s * s for s in samples))
+                    out["peak"].append(max((abs(s) for s in samples), default=0))
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(decode, schema=AUDIO_SCHEMA)

@@ -519,3 +519,69 @@ def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("hamming", F.col("hamming").cast("bigint"))
         .transform(ordered, "id_a", "id_b")
     )
+
+
+# Constant 44-byte RIFF/WAVE header for 1 channel / 8000 Hz / 16-bit
+# PCM / 36 frames (72 data bytes) — derived once from the stdlib wave
+# writer, byte-for-byte.
+_WAV_HEADER = bytes.fromhex(
+    "524946466c00000057415645666d7420100000000100010040"
+    "1f0000803e0000020010006461746148000000"
+)
+
+
+def _wav_oracle() -> str:
+    """DuckDB replay of the WAV decode: re-derive the 36 little-endian
+    int16 samples from the text hex (byte 2i = chars 4i+1..4i+2, byte
+    2i+1 = chars 4i+3..4i+4; two's complement at >= 32768) and compute
+    the SAME integer-exact features the Arrow kernel emits."""
+    lo = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(4 * i + 1 AS INT), 1))")
+    lo2 = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(4 * i + 2 AS INT), 1))")
+    hi = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(4 * i + 3 AS INT), 1))")
+    hi2 = _HEX_DIGIT.format(d="ascii(substr(hx, CAST(4 * i + 4 AS INT), 1))")
+    u = f"((({lo}) * 16 + ({lo2})) + 256 * (({hi}) * 16 + ({hi2})))"
+    return f"""
+        WITH h AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 144) AS hx
+            FROM documents WHERE octet_length(encode(text)) >= 72),
+        s AS (
+            SELECT doc_id,
+                   list_transform(range(0, 36), i ->
+                       CASE WHEN {u} >= 32768 THEN {u} - 65536
+                            ELSE {u} END) AS smp
+            FROM h)
+        SELECT doc_id,
+               CAST(1 AS INT) AS n_channels,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(36 AS BIGINT) AS n_frames,
+               CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT)
+                 AS sum_sq,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+        FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "mm_wav_decode_check",
+    oracle=_wav_oracle(),
+    tags=("multimodal", "udf", "decode", "audio"),
+)
+def mm_wav_decode_check(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL in-sandbox AUDIO decode (the audio twin of X159's image
+    decode): per document, synthesize a valid 16-bit PCM WAV — constant
+    RIFF header + the first 72 UTF-8 bytes as 36 little-endian int16
+    samples — decode it through multimodal.decode_audio's mapInPandas
+    kernel (stdlib wave module, no external audio libs), and emit the
+    PARSED header fields plus integer-exact signal features (sum of
+    squared samples, peak |amplitude|). Hash-checking against the
+    hex-digit DuckDB replay pins RIFF parsing, PCM word decoding,
+    two's-complement handling and the feature arithmetic cross-engine.
+
+    100 TB shape: blobs never shuffle — decode is a narrow Arrow stage;
+    only (doc_id, 5 integers) leaves it."""
+    t = Tables(spark, sf)
+    payload = F.substring(F.encode(F.col("text"), "utf-8"), 1, 72)
+    blobs = t.documents.where(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72
+    ).select("doc_id", F.concat(F.lit(_WAV_HEADER), payload).alias("content"))
+    return multimodal.decode_audio(blobs).transform(ordered, "doc_id")

@@ -449,3 +449,55 @@ def test_statestore_reader_matches_processor_emissions(spark, sf_dir):
     # a TWS checkpoint refuses a read without stateVarName
     with pytest.raises(Exception, match="(?i)state.*var|stateVarName|option"):
         read_state_store(runner, ck).collect()
+
+
+# ---------------------------------------------------------------------------
+# real audio decode (X177)
+
+
+def _wav_bytes(samples, nch=1, rate=8000, width=2):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(nch)
+    w.setsampwidth(width)
+    w.setframerate(rate)
+    if width == 2:
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    else:
+        w.writeframes(bytes((s + 128) % 256 for s in samples))
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_decode_features_and_error_legs(spark):
+    """The stdlib-wave decode kernel: exact integer features on known
+    samples (incl. the int16 extremes), stereo header fields parsed,
+    8-bit and corrupt blobs yield NULL rows instead of failing."""
+    from sparkflow_spark import multimodal
+
+    mono = [-32768, 32767, 0, 1000, -1000]
+    stereo = [5, -5, 10, -10]  # 2 frames x 2 channels
+    rows = [
+        (0, _wav_bytes(mono)),
+        (1, _wav_bytes(stereo, nch=2, rate=44100)),
+        (2, _wav_bytes([1, 2, 3], width=1)),  # 8-bit -> NULL row
+        (3, b"not a wav at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+    m = got[0]
+    assert (m["n_channels"], m["sample_rate"], m["n_frames"]) == (1, 8000, 5)
+    assert m["sum_sq"] == sum(s * s for s in mono)
+    assert m["peak"] == 32768  # |−32768| — the asymmetric int16 extreme
+    s = got[1]
+    assert (s["n_channels"], s["sample_rate"], s["n_frames"]) == (2, 44100, 2)
+    assert s["sum_sq"] == sum(x * x for x in stereo)
+    for bad in (2, 3):
+        assert got[bad]["n_channels"] is None and got[bad]["sum_sq"] is None
+    # python-level round trip pins the sample decode exactly
+    nch, rate, nf, samples = multimodal.decode_wav_bytes(_wav_bytes(mono))
+    assert list(samples) == mono
