@@ -2630,3 +2630,188 @@ def p_classifier_filter_e2e(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "z256", "prob")
         .transform(ordered, "doc_id")
     )
+
+
+# Shared by the classifier-evaluation entries: the X171 logit recomputed
+# as its exact integer form, plus a deterministic binary label (token
+# mass >= 200 — a fixed constant, so no percentile dependence).
+_CLF_FEAT_CTES = """
+    feats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                        'are','was','it','that','this','with','for',
+                                        'as','on','at','by','be'], x))) AS BIGINT)
+                 AS stop_hits,
+               CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                    x -> len(x))) AS BIGINT) AS len_sum,
+               CAST(len(list_filter(string_split_regex(trim(regexp_replace(text,
+                    '([.,;:!?()\\[\\]{}"''])', ' \\1 ', 'g')), '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_bpe,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents),
+    z AS (
+        SELECT doc_id,
+               64 * stop_hits - len_sum + 4 * n_bpe + n_chars - 256 AS z256,
+               CASE WHEN len_sum >= 200 THEN 1 ELSE 0 END AS y
+        FROM feats)
+"""
+
+
+def _clf_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, z256, y) — the X171 integer-exact logit and the fixed
+    deterministic label, Spark side."""
+    from sparkflow_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        bpe_ish_token_count,
+        lower_tokens,
+        tokens,
+    )
+
+    t = Tables(spark, sf)
+    stop_hits = F.size(
+        F.filter(lower_tokens("text"), lambda tok: tok.isin(*ENGLISH_STOPWORDS))
+    ).cast("bigint")
+    len_sum = F.aggregate(
+        tokens("text"), F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
+    )
+    return t.documents.select(
+        "doc_id",
+        (
+            64 * stop_hits
+            - len_sum
+            + 4 * bpe_ish_token_count("text").cast("bigint")
+            + F.length("text").cast("bigint")
+            - 256
+        ).alias("z256"),
+        (len_sum >= 200).cast("int").alias("y"),
+    )
+
+
+@register(
+    "q129_calibration_bins",
+    oracle=f"""
+        WITH {_CLF_FEAT_CTES},
+        bounds AS (SELECT MIN(z256) AS lo, MAX(z256) AS hi FROM z),
+        binned AS (
+            SELECT z.doc_id, z.y,
+                   CAST(floor(((z.z256 - b.lo) * 10.0) / (b.hi - b.lo + 1))
+                        AS BIGINT) AS bin
+            FROM z, bounds b)
+        SELECT bin, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+                 + 0.0 AS pos_rate
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    tags=("pipeline", "ml", "evaluation"),
+)
+def q129_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier CALIBRATION report over the X171 quality scorer: ten
+    equi-width score bins (X35's broadcast-bounds integer binning over
+    the exact z256 logit — no global sort), each with observed
+    positive rate for the deterministic token-mass label. The ML-eval
+    table every scored-corpus pipeline reads before trusting a
+    percentile cut — integer-exact except the one final division."""
+    s = _clf_scored(spark, sf)
+    bounds = s.agg(F.min("z256").alias("lo"), F.max("z256").alias("hi"))
+    binned = s.join(F.broadcast(bounds)).select(
+        "y",
+        F.floor(
+            (F.col("z256") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            (F.round(F.sum("y") / F.count(F.lit(1)), 4).cast("double") + F.lit(0.0)).alias(
+                "pos_rate"
+            ),
+        )
+        .transform(ordered, "bin")
+    )
+
+
+@register(
+    "q130_pr_curve",
+    oracle=f"""
+        WITH {_CLF_FEAT_CTES},
+        thr AS (
+            {" UNION ALL ".join(
+                f"SELECT CAST({d} AS BIGINT) AS decile, "
+                f"quantile_cont(z256, {d / 10}) AS cut FROM z"
+                for d in range(1, 10)
+            )}),
+        m AS (
+            SELECT thr.decile,
+                   SUM(CASE WHEN z.z256 >= thr.cut AND z.y = 1 THEN 1 ELSE 0 END) AS tp,
+                   SUM(CASE WHEN z.z256 >= thr.cut AND z.y = 0 THEN 1 ELSE 0 END) AS fp,
+                   SUM(CASE WHEN z.z256 < thr.cut AND z.y = 1 THEN 1 ELSE 0 END) AS fn
+            FROM z, thr GROUP BY thr.decile)
+        SELECT decile, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               CAST(ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 4) AS DOUBLE)
+                 + 0.0 AS precision_,
+               CAST(ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 4) AS DOUBLE)
+                 + 0.0 AS recall_
+        FROM m ORDER BY decile
+    """,
+    tags=("pipeline", "ml", "evaluation"),
+)
+def q130_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall sweep over the X171 scorer at its nine decile
+    thresholds: integer TP/FP/FN per threshold (exact interpolated
+    percentiles over the integer logit are engine-identical), rounded
+    P/R alongside. With q129 this is the evaluation loop for
+    model-based corpus filtering — choose the percentile cut from the
+    PR trade-off, then apply it with X43/X171 machinery. One scan
+    builds the counts per threshold (a 9-row broadcast join), no
+    per-threshold rescans."""
+    s = _clf_scored(spark, sf)
+    qs = [i / 10 for i in range(1, 10)]
+    thr = s.agg(
+        F.percentile("z256", qs).alias("cuts")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(1, 10)]).alias("decile"),
+                F.col("cuts").alias("cut"),
+            )
+        ).alias("tc")
+    ).select(F.col("tc.decile").cast("bigint").alias("decile"), F.col("tc.cut").alias("cut"))
+    m = (
+        s.join(F.broadcast(thr))
+        .groupBy("decile")
+        .agg(
+            F.sum(((F.col("z256") >= F.col("cut")) & (F.col("y") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(((F.col("z256") >= F.col("cut")) & (F.col("y") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(((F.col("z256") < F.col("cut")) & (F.col("y") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    pr = m.select(
+        "decile",
+        "tp",
+        "fp",
+        "fn",
+        (
+            F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4)
+            .cast("double")
+            + F.lit(0.0)
+        ).alias("precision_"),
+        (
+            F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4)
+            .cast("double")
+            + F.lit(0.0)
+        ).alias("recall_"),
+    )
+    return pr.transform(ordered, "decile")
