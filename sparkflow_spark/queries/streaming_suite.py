@@ -861,3 +861,44 @@ def st_session_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(ordered, "user_id", "session_start")
     )
+
+
+@register(
+    "st_scd2_enrich",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                             AND row_number() OVER w > 1
+                        THEN 0 ELSE 1 END AS is_change
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        dim AS (
+            SELECT user_id AS d_user, event_type AS attr, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to
+            FROM marked WHERE is_change = 1
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        enriched AS (
+            SELECT d.attr, e.event_type
+            FROM events e JOIN dim d
+              ON e.user_id = d.d_user
+             AND e.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+        SELECT attr, event_type, COUNT(*) AS c
+        FROM enriched GROUP BY attr, event_type
+        ORDER BY attr, event_type
+    """,
+    tags=("streaming", "join", "scd2"),
+    memo=False,  # fn runs eager work per call — do not reuse results
+)
+def st_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-vs-versioned-dimension enrich (SCD2 as-of attribute): the
+    event stream joins the X33 validity-interval dimension built from
+    the same events, so every fact sees the attribute AS OF its event
+    time — stateless stream-static equi join + containment filter,
+    replayed exactly in DuckDB through the q65 dimension CTEs."""
+    from sparkflow_spark.streaming.windows import stream_scd2_enrich_counts
+
+    return stream_scd2_enrich_counts(spark, sf).transform(
+        ordered, "attr", "event_type"
+    )

@@ -494,3 +494,48 @@ def stream_stream_right_join(
     joined = left.join(right, cond, "right_outer").select("l_id", "r_id")
     out = run_stream_to_memory(joined, "append")
     return out.orderBy("l_id", "r_id")
+
+
+def stream_scd2_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against a VERSIONED (SCD type-2) dimension: each
+    streamed event joins the dimension row whose validity interval
+    contains its event time — the as-of-attribute enrich every CDC-fed
+    warehouse needs when facts must see the dimension AS IT WAS, not as
+    it is. The dimension is the X33 scd2_from_changes build (per-user
+    event_type attribute intervals from the same events table, so the
+    enrich is exactly replayable); the join is a stream-static EQUI
+    join on user_id (broadcast dim — at 100 TB a sort-merge on the
+    same key) plus the interval containment filter, which keeps the
+    stream side completely STATELESS: only the final aggregate holds
+    state. Boundary semantics: intervals are [valid_from, valid_to),
+    so an event at exactly a change instant belongs to the NEW version;
+    same-microsecond ties inherit the dimension's (ts, event_id)
+    tiebreak. Emitted: counts by (dimension attribute at event time,
+    actual event type) — the attribute-transition census."""
+    from pyspark.sql.functions import broadcast
+
+    from sparkflow_spark.operators import scd2_from_changes
+
+    sdf = stream_events(spark, sf_dir, watermark=None)
+    runner = sdf.sparkSession
+    from sparkflow_spark.catalog import cached_table
+
+    ev = cached_table(runner, sf_dir, "events")
+    dim = scd2_from_changes(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("attr"),
+        "valid_from",
+        "valid_to",
+    )
+    joined = sdf.join(
+        broadcast(dim),
+        (sdf["user_id"] == dim["d_user"])
+        & (sdf["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (sdf["ts"] < dim["valid_to"])),
+        "inner",
+    )
+    agg = joined.groupBy("attr", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    out = run_stream_to_memory(agg, "complete")
+    return out
