@@ -501,3 +501,134 @@ def test_wav_decode_features_and_error_legs(spark):
     # python-level round trip pins the sample decode exactly
     nch, rate, nf, samples = multimodal.decode_wav_bytes(_wav_bytes(mono))
     assert list(samples) == mono
+
+
+# ---------------------------------------------------------------------------
+# TWS state schema EVOLUTION (X180): avro encoding, restart with a
+# wider state schema on the same checkpoint
+
+
+def test_tws_state_schema_evolution_carries_state(spark, sf_dir, tmp_path):
+    """Run a TWS query with ValueState 'c LONG' to a checkpoint; stop;
+    restart the SAME checkpoint with the state schema WIDENED to
+    'c LONG, extra LONG' (spark.sql.streaming.stateStore.encodingFormat
+    = avro — the evolution-capable encoding). The old state must decode
+    under the new schema (new field arrives NULL), and the carried
+    counts must continue exactly (second-pass c == 2x first-pass c when
+    the same file is replayed as new data)."""
+    import os
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sparkflow_spark.catalog import table_path
+    from sparkflow_spark.streaming.stateful import (
+        _ensure_protobuf,
+        _minipb_bootstrap_closure,
+        _tws_runner_session,
+    )
+    from sparkflow_spark.streaming.windows import _as_stream_dir, stream_events
+
+    _ensure_protobuf()
+    runner = _tws_runner_session(spark)
+    runner.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _boot = _minipb_bootstrap_closure()
+
+    def make_proc(v2: bool):
+        class P(StatefulProcessor):
+            def __init__(self):
+                self._b = True
+                self._v2 = v2
+
+            def __setstate__(self, state):
+                _boot()
+                self.__dict__.update(state or {})
+
+            def init(self, handle):
+                ddl = "c LONG, extra LONG" if self._v2 else "c LONG"
+                self._s = handle.getValueState("agg", ddl)
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                if self._v2:
+                    got = self._s.get() if self._s.exists() else (0, None)
+                    c = got[0] or 0
+                    # evolved field: NULL for pre-evolution state rows
+                    extra = got[1] if got[1] is not None else 100
+                else:
+                    got = self._s.get() if self._s.exists() else (0,)
+                    c = got[0] or 0
+                c += sum(len(p) for p in rows)
+                if self._v2:
+                    self._s.update((c, extra + 1))
+                    yield pd.DataFrame(
+                        {"user_id": [key[0]], "c": [c], "extra": [extra + 1]}
+                    )
+                else:
+                    self._s.update((c,))
+                    yield pd.DataFrame(
+                        {"user_id": [key[0]], "c": [c], "extra": [None]}
+                    )
+
+            def handleExpiredTimer(self, *a):
+                return iter(())
+
+            def handleInitialState(self, *a):
+                pass
+
+            def close(self):
+                pass
+
+        return P()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("extra", T.LongType()),
+        ]
+    )
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def run(v2: bool):
+        sdf = stream_events(runner, sf_dir, watermark=None, state_partitions=None)
+        st = sdf.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=make_proc(v2),
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+        q = (
+            st.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(False)
+    first = runner.read.parquet(sink).groupBy("user_id").agg(F.max("c").alias("c1"))
+    n_keys = first.count()
+    assert n_keys > 0
+    # replay the same file as NEW data so the evolved restart processes rows
+    d = _as_stream_dir(table_path(sf_dir, "events"))
+    extra_file = os.path.join(d, "events_evolve_copy.parquet")
+    shutil.copy(os.path.realpath(os.path.join(d, "events.parquet")), extra_file)
+    try:
+        run(True)
+    finally:
+        os.remove(extra_file)
+    second = runner.read.parquet(sink).where(F.col("extra").isNotNull())
+    assert second.count() == n_keys
+    # evolved field initialized from the NULL-decoded old state exactly once
+    assert second.where(F.col("extra") != 101).count() == 0
+    # counts carried across the schema change: c == 2 * first-pass c
+    bad = second.join(first, "user_id").where(F.col("c") != 2 * F.col("c1"))
+    assert bad.count() == 0
