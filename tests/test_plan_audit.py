@@ -61,6 +61,13 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
         "sp_sort": "window over per-event_type counts — input bounded "
         "by the event-type enum's cardinality, not the row count",
     },
+    "q130_pr_curve": {
+        "bnlj": "the broadcast build side is explode() of a KEYS-EMPTY "
+        "global aggregate's percentile array whose length is the "
+        "literal 9 (the decile grid) — 9 rows by construction at any "
+        "data scale; the classifier's bounded-build walk stops at the "
+        "Generate node and cannot see the 1-row aggregate beneath it",
+    },
     "q81_customer_deciles": {"sp_sort": _GLOBAL_RANK_OFFSETS},
     "q102_equiheight_histogram": {"sp_sort": _GLOBAL_RANK_OFFSETS},
     "p_negative_pairs": {"sp_sort": _GLOBAL_RANK_OFFSETS},
