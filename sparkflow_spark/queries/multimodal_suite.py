@@ -388,19 +388,26 @@ def mm_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 144).alias("hx"),
     )
     header = F.lit(_P5_HEADER)
-    blobs = None
+    # Decode + hash PER LEG, then union the tiny (doc_id, dhash) frames
+    # — NOT a union of the content-building selects: Spark's Union
+    # constraint rewrite (UnionBase.rewriteConstraints) can throw
+    # "key not found: <attr>" on unions of two differently-derived
+    # selects over one source (expression-id-dependent, so it surfaces
+    # only in some sessions — caught by the r12 ×N probe, not the
+    # sweeps); unioning after the mapInPandas stage keeps each leg's
+    # constraint map self-contained.
+    hashes = None
     for shift in (0, 64):
-        leg = docs.select(
+        leg_blobs = docs.select(
             "doc_id",
             F.concat(header, F.expr(_RASTER_SQL.format(shift=shift))).alias(
                 "content"
             ),
         )
-        blobs = leg if blobs is None else blobs.unionByName(leg)
-    decoded = multimodal.decode_image(blobs)
-    hashes = decoded.select(
-        "doc_id", multimodal.dhash_expr("pixels").alias("dhash")
-    )
+        leg_hashes = multimodal.decode_image(leg_blobs).select(
+            "doc_id", multimodal.dhash_expr("pixels").alias("dhash")
+        )
+        hashes = leg_hashes if hashes is None else hashes.unionByName(leg_hashes)
     return (
         hashes.groupBy("dhash")
         .agg(
@@ -508,12 +515,17 @@ def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 100000000).alias("img_id"),
         F.concat(header, F.expr(_RASTER_VARIANT_SQL)).alias("content"),
     )
-    blobs = orig.unionByName(variant)
-    decoded = multimodal.decode_image(blobs, id_col="img_id")
-    hashes = decoded.select(
-        F.col("doc_id").alias("img_id"),
-        multimodal.dhash_expr("pixels").alias("dhash"),
-    )
+    # per-leg decode+hash, union AFTER the python stage — the pre-union
+    # content selects trip Spark's Union constraint rewrite
+    # ("key not found: text#N", expression-id-dependent; see
+    # mm_dhash_dup_groups for the full note)
+    def _leg_hashes(leg):
+        return multimodal.decode_image(leg, id_col="img_id").select(
+            F.col("doc_id").alias("img_id"),
+            multimodal.dhash_expr("pixels").alias("dhash"),
+        )
+
+    hashes = _leg_hashes(orig).unionByName(_leg_hashes(variant))
     return (
         multimodal.dhash_near_pairs(hashes, id_col="img_id", max_hamming=3)
         .withColumn("hamming", F.col("hamming").cast("bigint"))
