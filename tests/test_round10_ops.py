@@ -64,9 +64,12 @@ def test_every_registry_entry_documented_in_survey_or_status():
     assert not missing, f"registry entries undocumented in SURVEY/STATUS: {missing}"
 
 
-def test_survey_extension_rows_sorted():
+def test_survey_extension_rows_sorted_and_contiguous():
     """X-rows in SURVEY §2c must be in ascending id order, one id per
-    row (r9 verdict ask #10 — audit-by-eye depends on ordering)."""
+    row (r9 verdict ask #10 — audit-by-eye depends on ordering) AND
+    contiguous 1..max (r12 verdict ask #1: an interrupted SURVEY write
+    dropped rows X175–X178 while the ordering check stayed green — a
+    four-id HOLE is exactly what contiguity catches)."""
     import os
     import re
 
@@ -77,6 +80,50 @@ def test_survey_extension_rows_sorted():
         ]
     assert ids == sorted(ids), "SURVEY X-rows out of order"
     assert len(ids) == len(set(ids)), "duplicate SURVEY X-row ids"
+    holes = sorted(set(range(1, max(ids) + 1)) - set(ids))
+    assert not holes, f"SURVEY X-row id holes (lost contract rows): {holes}"
+
+
+def test_new_registry_entries_named_in_survey_contract():
+    """r12 verdict ask #1 (second half): a registry entry's contract
+    membership must not be satisfiable by STATUS.md alone. The pre-r13
+    families are documented through SURVEY's id-based Q/M/X rows without
+    literal entry names — those are FROZEN in
+    tests/data/legacy_survey_names.txt (never grows). Every entry NOT on
+    that frozen list must be named in SURVEY.md itself (an X-row or a
+    folded-ids note), so a lost SURVEY row fails this test even while
+    STATUS still documents the entry."""
+    import os
+
+    from sparkflow_spark.queries import load_all
+
+    with open(os.path.join(REPO, "tests", "data", "legacy_survey_names.txt")) as fh:
+        legacy = {ln.strip() for ln in fh if ln.strip()}
+    with open(os.path.join(REPO, "SURVEY.md")) as fh:
+        survey = fh.read()
+    reg = load_all()
+    stale = sorted(legacy - set(reg))
+    assert not stale, f"frozen legacy list names unknown entries: {stale}"
+    missing = sorted(n for n in reg if n not in legacy and n not in survey)
+    assert not missing, (
+        f"registry entries not named in SURVEY.md (STATUS alone does not "
+        f"satisfy the contract): {missing}"
+    )
+
+
+def test_no_tracked_tmp_files():
+    """r12 verdict: an empty SURVEY.md.tmp (interrupted atomic write)
+    was committed. Temp artifacts must never be tracked."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "ls-files", "*.tmp", "*.orig", "*.rej"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    tracked = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert not tracked, f"temp files tracked in git: {tracked}"
 
 
 def test_query_reference_doc_matches_registry():
