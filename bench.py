@@ -164,6 +164,27 @@ def main() -> int:
     duck_v1 = round(sum(duck.get(n, 0.0) for n in HEADLINE), 3)
     duck_v2 = round(sum(duck.get(n, 0.0) for n in HEADLINE_V2), 3)
 
+    # Work-bound floor for the AGGREGATE ratios (r12 verdict ask #4 —
+    # BASELINE.md round-13 contract amendment): a sub-0.1 s DuckDB
+    # median is session-overhead-bound, not work-bound; the round-10
+    # floor rule already voids per-ROW ratio verdicts below it, but the
+    # v2 aggregate kept floor-bound members in its denominator, so the
+    # headline drifted with box weather (driver 1.09 vs judge-box 1.25
+    # on identical code). The *_workbound ratios divide only over
+    # members whose DuckDB median clears the floor; raw compositions
+    # stay reported for cross-round continuity.
+    FLOOR = 0.1
+
+    def workbound_ratio(names: list[str], spark_side: dict[str, float]):
+        wb = [n for n in names if duck.get(n, 0.0) >= FLOOR]
+        excluded = [n for n in names if n not in wb]
+        denom = sum(duck[n] for n in wb)
+        ratio = round(sum(spark_side[n] for n in wb) / denom, 2) if denom else None
+        return ratio, wb, excluded
+
+    ratio_v1_wb, v1_wb, v1_floored = workbound_ratio(HEADLINE, steady)
+    ratio_v2_wb, v2_wb, v2_floored = workbound_ratio(HEADLINE_V2, v2_steady)
+
     timings = cold
     total = round(sum(cold.values()), 3)
     print(
@@ -194,6 +215,14 @@ def main() -> int:
                     "ratio_v2_steady": round(sum(v2_steady.values()) / duck_v2, 2)
                     if duck_v2
                     else None,
+                    # the CONTRACT ratios since round 13 (BASELINE.md
+                    # amendment): floor-bound members excluded from the
+                    # aggregate so the bar can't drift with box weather
+                    "workbound_floor_sec": FLOOR,
+                    "ratio_v1_steady_workbound": ratio_v1_wb,
+                    "v1_floor_excluded": v1_floored,
+                    "ratio_v2_steady_workbound": ratio_v2_wb,
+                    "v2_floor_excluded": v2_floored,
                 },
             }
         )

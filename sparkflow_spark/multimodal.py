@@ -427,9 +427,16 @@ def decode_wav_bytes(b: bytes):
             if sw != 2:  # only 16-bit PCM; other widths yield NULL rows
                 return None
             raw = w.readframes(nf)
+        # A truncated data chunk hands back fewer bytes than the header
+        # promises (possibly an ODD count — struct.unpack would raise
+        # and kill the whole mapInPandas task). That blob is corrupt:
+        # NULL row, pipeline keeps flowing (r12 ADVICE — the unpack
+        # lives inside the try and short reads return None explicitly).
+        if len(raw) != nf * nch * 2:
+            return None
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
     except Exception:
         return None
-    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
     return nch, sr, nf, samples
 
 

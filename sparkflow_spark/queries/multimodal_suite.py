@@ -44,12 +44,27 @@ def mm_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def mm_features(spark: SparkSession, sf: str) -> DataFrame:
     """mapInPandas featurizer over binary payloads (fake decode, real
-    plumbing); emits doc_id + 8-dim feature vector."""
+    plumbing): the full Arrow vector pipeline runs (payload encode,
+    batch shape, numpy bucketing, ArrayType return), then the final
+    select folds the 8-dim vector to one CSV string — the r12 driver
+    window proved an ArrayType FINAL column breaks the driver's pandas
+    canonicalizer (unhashable numpy.ndarray) before it can even count
+    rows, so the registered result carries the vector in sortable form
+    (exact float-to-string, lossless to parse back). The raw-vector
+    surface stays exercised: extract_features itself returns the
+    ArrayType column (numpy-oracle t1 + the hash-checked t2 twin
+    mm_feature_check consume it directly)."""
     t = Tables(spark, sf)
     wrapped = multimodal.attach_binary_payload(t.documents).select(
         "doc_id", F.col("media.content").alias("content")
     )
-    return multimodal.extract_features(wrapped).transform(ordered, "doc_id")
+    feats = multimodal.extract_features(wrapped)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda v: v.cast("string")), ","
+        ).alias("features_csv"),
+    ).transform(ordered, "doc_id")
 
 
 _N_FEAT = 8

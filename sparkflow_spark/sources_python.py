@@ -483,7 +483,14 @@ class SflStreamWriter(DataSourceStreamWriter):
             manifest = {"schema": schema_ddl, "shards": [], "epochs": {}}
         epochs = manifest.setdefault("epochs", {})
         ekey = f"{self.query_key}:{batchId}"
-        if ekey in epochs:
+        # Manifests written BEFORE epochs were keyed per checkpoint hold
+        # bare str(batchId) keys. A bare key matches ANY query_key: those
+        # epochs' checkpoint identity is unknowable, and treating a
+        # post-upgrade replay of an already-committed epoch as new would
+        # double-append — the exactly-once gap this dedup closes (r12
+        # ADVICE). The legacy keys stay bare (migrating them would bind
+        # them to whichever query commits first, possibly wrongly).
+        if ekey in epochs or str(batchId) in epochs:
             # replayed epoch: the sink already holds this batch — drop
             # the duplicate task outputs
             for m in messages:

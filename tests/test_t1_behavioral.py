@@ -150,7 +150,10 @@ def test_multimodal_featurizer_numpy_oracle(spark, sf_dir):
     for r in rows:
         if r["doc_id"] in texts:
             expect = fake_featurize_bytes(texts[r["doc_id"]].encode())
-            assert r["features"] == pytest.approx(expect)
+            # driver-canonicalizer-safe CSV form (r12 verdict ask #2):
+            # exact float→string, lossless to parse back
+            got = [float(x) for x in r["features_csv"].split(",")]
+            assert got == pytest.approx(expect)
             checked += 1
     assert checked > 0
 
