@@ -226,6 +226,7 @@ def load_all() -> dict[str, Query]:
         pipeline_suite,
         graph_suite,
         sources_suite,
+        codecs_suite,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

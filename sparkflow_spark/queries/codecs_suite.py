@@ -1,0 +1,174 @@
+"""Avro / Protobuf column-codec entries (SURVEY §2c X181/X182) — the
+event-bus payload surface.
+
+Both entries run the FULL wire codec both directions inside Spark
+(encode → hex + decode-back in one plan) and hash-check against a
+DuckDB replay that recomputes the wire bytes from the source columns
+with pure SQL hex algebra (zigzag/varint/length-prefix legs unrolled —
+the same engine-portability device as the dHash and WAV replays). A
+decode bug can't hide behind an encode bug: the hex pins the encoder
+against the SPEC (the oracle never runs the python codec), and the
+decoded-back columns pin decoder∘encoder == identity on real data.
+
+Scale shape: one Arrow-batched projection stage per direction, zero
+shuffle, zero driver state — codec cost is embarrassingly parallel
+per-row CPU and the enclosing plan's pushdown/partitioning is
+untouched (plan-audited like every registry entry).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkflow_spark import codecs
+from sparkflow_spark.catalog import Tables
+from sparkflow_spark.queries import ordered, register
+
+# ---------------------------------------------------------------------------
+# shared source shape: customer with a signed-cents column (zigzag's
+# negative leg is live — acctbal < 0 exists in the fixtures), a text
+# column, and a NULLable column (avro union leg) / an often-zero column
+# (proto3 default-skip leg)
+
+_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Cust",
+        "fields": [
+            {"name": "key", "type": "long"},
+            {"name": "cents", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "seg", "type": ["null", "string"]},
+        ],
+    }
+)
+
+_PB_FIELDS = [
+    ("key", 1, "sint64"),
+    ("cents", 2, "sint64"),
+    ("name", 3, "string"),
+    ("nation", 4, "int64"),
+]
+_PB_DESC = codecs.build_file_descriptor_set("CustMsg", _PB_FIELDS)
+
+
+def _source(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.customer.select(
+        F.col("c_custkey").cast("long").alias("key"),
+        # floor, not round: both engines floor the same IEEE double
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_name").alias("name"),
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+
+
+_SOURCE_SQL = """
+    SELECT c_custkey AS key,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           c_name AS name,
+           nullif(c_mktsegment, 'BUILDING') AS seg,
+           CAST(c_nationkey AS BIGINT) AS nation
+    FROM customer
+"""
+
+
+def _avro_oracle() -> str:
+    key_hex = codecs.avro_long_hex_sql("key")
+    cents_hex = codecs.avro_long_hex_sql("cents")
+    name_hex = codecs.avro_string_hex_sql("name")
+    seg_hex = codecs.avro_string_hex_sql("seg")
+    return f"""
+        SELECT key,
+               ({key_hex} || {cents_hex} || {name_hex} ||
+                CASE WHEN seg IS NULL THEN '00'
+                     ELSE '02' || {seg_hex} END) AS avro_hex,
+               cents AS back_cents, name AS back_name, seg AS back_seg
+        FROM ({_SOURCE_SQL})
+        ORDER BY key
+    """
+
+
+@register(
+    "q131_avro_column_codec",
+    oracle=_avro_oracle(),
+    tags=("codec", "udf"),
+)
+def q131_avro_column_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """X181: to_avro/from_avro column codec (from-scratch Avro binary
+    encoding — the spark-avro module is absent from this sandbox, probed:
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE). Wire pins riding in-band:
+    zigzag varints for both longs (cents < 0 exercises the negative
+    leg), zigzag-varint LENGTH prefixes on strings, and the ["null",T]
+    union index byte (00 null / 02 value). The oracle recomputes the
+    bytes from the SPEC in SQL; back_* pins decode∘encode == id."""
+    src = _source(spark, sf)
+    enc = src.withColumn(
+        "payload", codecs.to_avro(F.struct("key", "cents", "name", "seg"), _AVRO_SCHEMA)
+    )
+    dec = enc.withColumn("dec", codecs.from_avro("payload", _AVRO_SCHEMA))
+    return dec.select(
+        "key",
+        F.hex("payload").alias("avro_hex"),
+        F.col("dec.cents").alias("back_cents"),
+        F.col("dec.name").alias("back_name"),
+        F.col("dec.seg").alias("back_seg"),
+    ).transform(ordered, "key")
+
+
+def _pb_oracle() -> str:
+    zz = codecs.zigzag_sql
+    vh = codecs.varint_hex_sql
+    key_leg = f"CASE WHEN key = 0 THEN '' ELSE '08' || {vh(zz('key'))} END"
+    cents_leg = f"CASE WHEN cents = 0 THEN '' ELSE '10' || {vh(zz('cents'))} END"
+    name_leg = (
+        "CASE WHEN name = '' THEN '' ELSE '1A' || "
+        f"{vh('octet_length(encode(name))')} || hex(encode(name)) END"
+    )
+    nation_leg = f"CASE WHEN nation = 0 THEN '' ELSE '20' || {vh('nation')} END"
+    return f"""
+        SELECT key,
+               ({key_leg} || {cents_leg} || {name_leg} || {nation_leg}) AS pb_hex,
+               cents AS back_cents, name AS back_name, nation AS back_nation
+        FROM ({_SOURCE_SQL})
+        ORDER BY key
+    """
+
+
+@register(
+    "q132_protobuf_column_codec",
+    oracle=_pb_oracle(),
+    tags=("codec", "udf"),
+)
+def q132_protobuf_column_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """X182: to_protobuf/from_protobuf column codec over the minipb wire
+    runtime, driven by a REAL serialized FileDescriptorSet (the protoc
+    artifact shape; spark-protobuf is absent from this sandbox, probed:
+    PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE). Wire pins in-band:
+    single-byte tags in field-number order, sint64 zigzag vs int64
+    plain varints (the avro/pb length-vs-zigzag distinction is a
+    cross-format discriminator), PLAIN-varint length prefixes, and
+    proto3 implicit presence — c_nationkey = 0 rows carry NO field-4
+    bytes and decode back to 0 (default), which the oracle replays with
+    the same CASE legs. back_* pins decode∘encode == id including the
+    default round-trip."""
+    src = _source(spark, sf)
+    enc = src.withColumn(
+        "payload",
+        codecs.to_protobuf(
+            F.struct("key", "cents", "name", "nation"), "CustMsg", _PB_DESC
+        ),
+    )
+    dec = enc.withColumn("dec", codecs.from_protobuf("payload", "CustMsg", _PB_DESC))
+    return dec.select(
+        "key",
+        F.hex("payload").alias("pb_hex"),
+        F.col("dec.cents").alias("back_cents"),
+        F.col("dec.name").alias("back_name"),
+        F.col("dec.nation").alias("back_nation"),
+    ).transform(ordered, "key")

@@ -134,3 +134,194 @@ def test_mm_feature_extract_output_is_canonicalizer_safe(spark, sf_dir):
     # and the CSV form is lossless back to the 8-dim vector
     vec = [float(x) for x in pdf["features_csv"].iloc[0].split(",")]
     assert len(vec) == 8 and abs(sum(vec) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# X181/X182: Avro + Protobuf column codecs — golden wire pins (spec
+# values, python level) and malformed-payload mode legs (Spark level)
+
+
+def _avro_fields(schema):
+    from sparkflow_spark.codecs import _parse_avro_schema
+
+    return _parse_avro_schema(schema)
+
+
+def test_avro_golden_wire_pins():
+    """Byte-exact pins from the public Avro spec's binary-encoding
+    section: zigzag varints (longs AND length prefixes AND union
+    indexes), little-endian doubles, block-encoded arrays."""
+    import json
+
+    from sparkflow_spark.codecs import decode_avro_record, encode_avro_record
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "G",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "c", "type": ["null", "string"]},
+                {"name": "d", "type": "double"},
+                {"name": "e", "type": "boolean"},
+                {"name": "f", "type": "bytes"},
+                {"name": "g", "type": {"type": "array", "items": "long"}},
+            ],
+        }
+    )
+    flds = _avro_fields(sch)
+    enc = encode_avro_record(
+        {"a": 1, "b": "foo", "c": None, "d": 1.0, "e": True, "f": b"\x00\xff", "g": [3, 27]},
+        flds,
+    )
+    assert enc == bytes.fromhex(
+        "02"          # a: zigzag(1)=2
+        "06666f6f"    # b: len 3 -> zigzag 6, 'foo'
+        "00"          # c: union branch 0 = null
+        "000000000000f03f"  # d: 1.0 little-endian IEEE754
+        "01"          # e: true
+        "0400ff"      # f: len 2 -> zigzag 4
+        "040636 00".replace(" ", "")  # g: count 2, items 3->06 27->36, end 00
+    )
+    assert decode_avro_record(enc, flds) == {
+        "a": 1, "b": "foo", "c": None, "d": 1.0, "e": True,
+        "f": b"\x00\xff", "g": [3, 27],
+    }
+    # negative / multi-byte varint legs + int64 extremes round-trip
+    enc2 = encode_avro_record(
+        {"a": -1, "b": "", "c": "a", "d": -0.0, "e": False, "f": b"", "g": []},
+        flds,
+    )
+    assert enc2.startswith(bytes.fromhex("01" "00" "02" "02" "61"))
+    assert enc2.endswith(bytes.fromhex("00"))  # empty array = end marker only
+    for extreme in (2**63 - 1, -(2**63), 64, -64, 8192):
+        e = encode_avro_record(
+            {"a": extreme, "b": "x", "c": None, "d": 0.0, "e": False, "f": b"", "g": []},
+            flds,
+        )
+        assert decode_avro_record(e, flds)["a"] == extreme
+    # zigzag(64) = 128 -> two-byte varint 80 01
+    e64 = encode_avro_record(
+        {"a": 64, "b": "", "c": None, "d": 0.0, "e": False, "f": b"", "g": []}, flds
+    )
+    assert e64.startswith(bytes.fromhex("8001"))
+
+
+def test_avro_malformed_payload_detection():
+    import json
+
+    from sparkflow_spark.codecs import (
+        MalformedPayload,
+        decode_avro_record,
+        encode_avro_record,
+    )
+
+    sch = json.dumps(
+        {"type": "record", "name": "G",
+         "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    )
+    flds = _avro_fields(sch)
+    good = encode_avro_record({"a": 7, "b": "hi"}, flds)
+    for bad in (
+        good[:-1],            # truncated string body
+        good + b"\x00",       # trailing bytes
+        b"\x80",              # varint runs past end
+        b"\x02\x07zzzzzzz"[:3],  # truncated length-prefixed body
+    ):
+        with pytest.raises(MalformedPayload):
+            decode_avro_record(bad, flds)
+    with pytest.raises(MalformedPayload, match="non-nullable"):
+        encode_avro_record({"a": None, "b": "x"}, flds)
+
+
+def test_protobuf_golden_wire_and_descriptor_set():
+    """The spec's canonical examples through a REAL FileDescriptorSet:
+    int64 150 -> 08 96 01; sint64 -2 -> zigzag 3; proto3 default skip;
+    unknown fields skipped on decode."""
+    from sparkflow_spark import minipb
+    from sparkflow_spark.codecs import _resolve_message, build_file_descriptor_set
+
+    desc = build_file_descriptor_set(
+        "T",
+        [("i", 1, "int64"), ("s", 2, "string"), ("z", 3, "sint64")],
+    )
+    # the descriptor set itself parses with the repo's own runtime
+    cls, flds = _resolve_message(desc, "T")
+    assert [n for n, _ in flds] == ["i", "s", "z"]
+
+    m = cls()
+    m.i = 150
+    assert m.SerializeToString() == bytes.fromhex("089601")
+    m2 = cls()
+    m2.s = "testing"
+    assert m2.SerializeToString() == bytes.fromhex("120774657374696e67")
+    m3 = cls()
+    m3.z = -2
+    assert m3.SerializeToString() == bytes.fromhex("1803")
+    # proto3 implicit presence: defaults emit nothing
+    m4 = cls()
+    m4.i = 0
+    m4.s = ""
+    assert m4.SerializeToString() == b""
+    # unknown field (99, varint) skipped on decode
+    buf = bytearray()
+    minipb.write_tag(buf, 99, 0)
+    minipb.write_varint(buf, 5)
+    m5 = cls()
+    m5.ParseFromString(bytes(buf) + bytes.fromhex("089601"))
+    assert m5.i == 150
+    # unknown message name is a plan-time error
+    with pytest.raises(ValueError, match="not found"):
+        _resolve_message(desc, "Nope")
+
+
+def test_codec_columns_permissive_and_failfast(spark):
+    """The Spark column API end to end: encode -> corrupt some payloads
+    -> PERMISSIVE yields NULL rows while good rows decode; FAILFAST
+    raises. Covers both codecs through the Arrow pandas_udf lane."""
+    import json
+
+    from sparkflow_spark import codecs
+
+    sch = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "k", "type": "long"}, {"name": "t", "type": "string"}]}
+    )
+    desc = codecs.build_file_descriptor_set("R", [("k", 1, "sint64"), ("t", 2, "string")])
+    df = spark.range(6).selectExpr(
+        "id AS k", "concat('v', CAST(id AS STRING)) AS t"
+    )
+    enc = df.select(
+        "k",
+        codecs.to_avro(F.struct("k", "t"), sch).alias("a"),
+        codecs.to_protobuf(F.struct("k", "t"), "R", desc).alias("p"),
+    )
+    # corrupt payloads on odd keys (chop to 1 byte — truncated for avro,
+    # a dangling tag for protobuf)
+    corrupt = enc.select(
+        "k",
+        F.when(F.col("k") % 2 == 1, F.expr("substring(a, 1, 1)")).otherwise(F.col("a")).alias("a"),
+        F.when(F.col("k") % 2 == 1, F.expr("X'08'")).otherwise(F.col("p")).alias("p"),
+    )
+    got = corrupt.select(
+        "k",
+        codecs.from_avro("a", sch).alias("da"),
+        codecs.from_protobuf("p", "R", desc).alias("dp"),
+    ).collect()
+    for r in sorted(got, key=lambda r: r["k"]):
+        if r["k"] % 2 == 1:
+            assert r["da"]["k"] is None and r["da"]["t"] is None
+            assert r["dp"]["k"] is None and r["dp"]["t"] is None
+        else:
+            assert r["da"]["k"] == r["k"] and r["da"]["t"] == f"v{r['k']}"
+            assert r["dp"]["k"] == r["k"] and r["dp"]["t"] == f"v{r['k']}"
+    # FAILFAST raises through the task
+    with pytest.raises(Exception, match="(?i)malformed|trailing|past end|undecodable"):
+        corrupt.select(
+            codecs.from_avro("a", sch, {"mode": "FAILFAST"}).alias("d")
+        ).collect()
+    with pytest.raises(Exception, match="(?i)malformed|undecodable"):
+        corrupt.select(
+            codecs.from_protobuf("p", "R", desc, {"mode": "FAILFAST"}).alias("d")
+        ).collect()
