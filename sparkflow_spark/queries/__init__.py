@@ -137,75 +137,75 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-12 rotation — the TAIL-RETIRING window (r11 verdict ask #1):
-    # after round 11, exactly 42 registry entries had never had a driver
-    # CORRECTNESS row (25 t2 — incl. q118-q121, registered after the
-    # r11 window froze — + 17 rows-only-by-design). ALL 42 are in this
-    # window, plus the flagship, plus the 5 entries NEW this round
-    # (X169-X172 + the ask-#6 composition), plus 2 steady-state
-    # re-samples of heavy production paths (the lossless prefix-filter
-    # jaccard join and the e2e training-bin pipeline — both last
-    # checked r10). After this window the r01-r12 union covers the
-    # ENTIRE registry and rotation switches to steady-state
-    # re-sampling. Rotation history r5-r11 lives in git on this
-    # literal.
+    # Round-13 rotation (r12 verdict ask #3): the 11 entries registered
+    # after the r12 window froze (q124-q130, the dHash pairs t2, WAV
+    # decode, dynamic-gap sessions, SCD2 enrich) get their FIRST driver
+    # rows; mm_feature_extract returns post-fix (its only prior row,
+    # r12, ERRORED in the driver canonicalizer — first-ever green
+    # expected); the 3 codec entries NEW this round (X181-X183); and
+    # the window fills with steady-state re-samples of the OLDEST
+    # driver-green entries (the 20 r02-vintage + 14 r04-vintage rows —
+    # picked by `scripts/round_record.py`-style union age, oldest
+    # first). After this window the r01-r13 union covers all 294
+    # entries with zero error rows. Rotation history r5-r12 lives in
+    # git on this literal.
     #
     # flagship (stays every round; entry() smoke-check target)
     "q13_hash_agg_tpch_q1",
-    # --- the 25 never-checked t2 entries ---
-    "q118_recursive_cte_hierarchy",
-    "q119_arrow_udf_scalar",
-    "q120_collation_lcase_group",
-    "q121_parameterized_sql",
-    "q31_array_size_invariants",
-    "t_punct_count",
-    "t_fingerprint",
-    "t_top_bigram_stats",
-    "t_term_drift",
-    "t_repetition_score",
-    "t_bpe_pair_counts",
-    "s_quantize_int8",
-    "p_profile_lineitem",
-    "q61_sessionize",
-    "q62_gap_fill_ffill",
-    "q63_incremental_rollup",
-    "q66_outlier_mad",
-    "q73_journey_paths",
-    "q75_attribution_daily",
-    "q78_md5_sample_per_group",
-    "q85_k_anonymity_audit",
-    "q86_dp_noisy_counts",
-    "q87_ab_test_readout",
-    "q88_session_conversion",
-    "d_event_debounce",
-    # --- the 17 never-checked rows-only entries (weaker driver check
-    # by design; each carries a t1 or a same-family t2 twin) ---
-    "q33_stratified_sampling",
-    "t_quality_langid",
-    "p_pack_sequences_ffd",
-    "d_minhash_pairs",
-    "d_simhash_pairs",
-    "d_lsh_index_query",
-    "s_ivf_ann_top1",
-    "s_lsh_ann_top1",
-    "s_pq_ann_top1",
-    "g_pagerank_suppliers",
-    "q68_reservoir_per_group",
-    "q69_weighted_sample",
-    "g_label_prop_communities",
-    "s_mmr_rerank",
+    # --- the 11 post-r12-freeze entries, first driver rows ---
+    "q124_sql_pipe_syntax",
+    "q125_count_min_rollup",
+    "q126_approx_top_k",
+    "q127_lateral_topk",
+    "q128_group_by_all",
+    "q129_calibration_bins",
+    "q130_pr_curve",
+    "st_session_dynamic_gap",
+    "st_scd2_enrich",
+    "d_dhash_hamming_pairs",
+    "mm_wav_decode_check",
+    # --- post-fix: first-ever green expected (r12 ask #2) ---
     "mm_feature_extract",
-    "mm_frame_sample",
-    "m01_train_predict",
-    # --- new this round ---
-    "mm_dhash_dup_groups",  # X169 perceptual image near-dup
-    "q122_sql_scripting_while",  # X170 SQL scripting
-    "q123_session_variable_binding",  # X170 session vars + EXECUTE IMMEDIATE
-    "p_classifier_filter_e2e",  # X171 train->score->filter
-    "st_statestore_audit",  # X172 statestore reader
-    # --- steady-state re-samples ---
-    "d_prefix_jaccard_pairs",
-    "p_training_bins_e2e",
+    # --- new this round (X181-X183 codecs) ---
+    "q131_avro_column_codec",
+    "q132_protobuf_column_codec",
+    "q133_xml_column_codec",
+    # --- steady-state re-samples: oldest driver-green first (r02) ---
+    "q15_approx_count_distinct",
+    "q24_except",
+    "q33_sampling",
+    "q41_union_all_agg",
+    "q42_pivot",
+    "q43_rank_family",
+    "q44_string_functions2",
+    "q45_date_functions2",
+    "q46_stats_agg",
+    "q47_median_percentile",
+    "q48_string_agg",
+    "q49_explode_top_shingles",
+    "q50_array_ops",
+    "q51_sql_facade_cte",
+    "q52_asof_join",
+    "q53_offset_fetch",
+    "q54_from_json",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    # --- steady-state re-samples: r04 vintage ---
+    "q03_filter_in_between_like",
+    "q04_filter_null_coalesce",
+    "q05_broadcast_inner_join",
+    "q08_full_outer_join",
+    "q09_left_semi_join",
+    "q12_cross_join",
+    "q14_count_distinct",
+    "q20_window_lag",
+    "q21_window_running_sum",
+    "q24_intersect",
+    "q26_date_extract",
+    "q29_case_when",
+    "q34_exact_dedup_count",
+    "q40_pandas_udf_scalar",
 )
 
 

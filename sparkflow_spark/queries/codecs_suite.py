@@ -172,3 +172,79 @@ def q132_protobuf_column_codec(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dec.name").alias("back_name"),
         F.col("dec.nation").alias("back_nation"),
     ).transform(ordered, "key")
+
+
+# ---------------------------------------------------------------------------
+# X183: XML column codec — the BUILT-IN to_xml/from_xml/schema_of_xml
+# surface (core Spark 4; unlike avro/protobuf no external module is
+# needed), pinned cross-engine by replaying Spark's deterministic
+# render (<ROW> + 4-space indent + StAX text escaping of & < > +
+# null-field omission) with DuckDB string algebra.
+
+_XML_BACK_SCHEMA = "n LONG, frag STRING, opt STRING"
+
+
+def _xml_oracle() -> str:
+    # & first, then < — the only two characters StAX escapes
+    # unconditionally in text content. '>' is escaped ONLY at position 0
+    # or after ']]' (probed; pinned by t1 golden strings), so the t2
+    # frag stays '>'-free and the replay stays two replace() calls.
+    esc = "replace(replace(frag, '&', '&amp;'), '<', '&lt;')"
+    esc_opt = "replace(replace(opt, '&', '&amp;'), '<', '&lt;')"
+    return f"""
+        WITH src AS (
+            SELECT doc_id,
+                   doc_id % 7 AS n,
+                   '&<' || substr(md5(text), 1, 8) || '&' AS frag,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'v' || CAST(doc_id AS VARCHAR) END AS opt
+            FROM documents)
+        SELECT doc_id,
+               ('<ROW>' || chr(10) ||
+                '    <n>' || CAST(n AS VARCHAR) || '</n>' || chr(10) ||
+                '    <frag>' || {esc} || '</frag>' || chr(10) ||
+                CASE WHEN opt IS NULL THEN ''
+                     ELSE '    <opt>' || {esc_opt} || '</opt>' || chr(10) END ||
+                '</ROW>') AS xml,
+               n AS back_n, frag AS back_frag, opt AS back_opt
+        FROM src
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "q133_xml_column_codec",
+    oracle=_xml_oracle(),
+    tags=("codec",),
+)
+def q133_xml_column_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """X183: to_xml/from_xml column codec (built-in StAX path — the
+    column-level sibling of the X48 XML source). The rendered document
+    is hash-checked against a DuckDB string-algebra replay (4-space
+    indent, unconditional &/< escaping with & first, NULL fields
+    omitted), so the exact wire text is the contract — not just the
+    round trip; back_* pins from_xml∘to_xml == id including the
+    null-omission leg. '>' escapes only at position 0 or after ']]'
+    (probed) — those contextual rules are pinned by t1 golden strings
+    and kept out of the t2 frag. All JVM-side Catalyst expressions,
+    zero Python, zero shuffle."""
+    t = Tables(spark, sf)
+    src = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("n"),
+        F.concat(
+            F.lit("&<"), F.substring(F.md5(F.col("text")), 1, 8), F.lit("&")
+        ).alias("frag"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), F.col("doc_id").cast("string")))
+        .alias("opt"),
+    )
+    doc = src.withColumn("xml", F.to_xml(F.struct("n", "frag", "opt")))
+    back = doc.withColumn("dec", F.from_xml("xml", _XML_BACK_SCHEMA))
+    return back.select(
+        "doc_id",
+        "xml",
+        F.col("dec.n").alias("back_n"),
+        F.col("dec.frag").alias("back_frag"),
+        F.col("dec.opt").alias("back_opt"),
+    ).transform(ordered, "doc_id")

@@ -325,3 +325,33 @@ def test_codec_columns_permissive_and_failfast(spark):
         corrupt.select(
             codecs.from_protobuf("p", "R", desc, {"mode": "FAILFAST"}).alias("d")
         ).collect()
+
+
+def test_xml_codec_escaping_rules_and_malformed(spark):
+    """X183 t1: the StAX text-escaping contract behind the q133 oracle —
+    & and < escape unconditionally; > escapes ONLY at position 0 or
+    after ']]' (probed rules, golden-pinned here so an upstream StAX
+    change breaks THIS test, not the t2 silently); from_xml on
+    malformed input yields a NULL struct (PERMISSIVE default)."""
+    cases = {
+        "a>b": "a>b",          # interior > unescaped
+        ">x": "&gt;x",         # position 0
+        "]]>": "]]&gt;",       # after ]]
+        "a]]>b": "a]]&gt;b",
+        "<>": "&lt;>",         # > after < (original) stays raw
+        "&<": "&amp;&lt;",     # unconditional pair
+        '"q"': '"q"',          # quotes untouched in text content
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["x"]
+        for r in df.select("i", F.to_xml(F.struct("s")).alias("x")).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == f"<ROW>\n    <s>{want}</s>\n</ROW>", (src, got[i])
+    # malformed XML -> NULL struct row, pipeline flows
+    bad = spark.createDataFrame([("<ROW><a>1</a",), ("not xml",)], "x string")
+    rows = bad.select(F.from_xml("x", "a LONG").alias("r")).collect()
+    assert all(r["r"]["a"] is None for r in rows)
