@@ -166,10 +166,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_wav_decode_check",
     # --- post-fix: first-ever green expected (r12 ask #2) ---
     "mm_feature_extract",
-    # --- new this round (X181-X183 codecs) ---
+    # --- new this round (X181-X184 codecs) ---
     "q131_avro_column_codec",
     "q132_protobuf_column_codec",
     "q133_xml_column_codec",
+    "q134_csv_column_codec",
     # --- steady-state re-samples: oldest driver-green first (r02) ---
     "q15_approx_count_distinct",
     "q24_except",
@@ -205,7 +206,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q26_date_extract",
     "q29_case_when",
     "q34_exact_dedup_count",
-    "q40_pandas_udf_scalar",
 )
 
 

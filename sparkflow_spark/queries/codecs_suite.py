@@ -248,3 +248,65 @@ def q133_xml_column_codec(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dec.frag").alias("back_frag"),
         F.col("dec.opt").alias("back_opt"),
     ).transform(ordered, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X184: CSV column codec — to_csv/from_csv (univocity defaults), the
+# last member of the column-codec family (JSON is covered by q54/q30/
+# VARIANT; XML/Avro/Protobuf above). Quoting contract probed and
+# replayed: a field is quoted iff it contains the delimiter or quote;
+# inner quotes are BACKSLASH-escaped (not doubled); SQL NULL renders as
+# an EMPTY unquoted field; the empty string renders as "" but decodes
+# back as NULL (asymmetry pinned by t1, kept out of the t2 frag).
+
+
+def _csv_oracle() -> str:
+    # frag always contains both ',' and '"' by construction -> always
+    # quoted with backslash-escaped inner quotes
+    quoted = """'"' || replace(frag, '"', '\\"') || '"'"""
+    return f"""
+        WITH src AS (
+            SELECT doc_id,
+                   doc_id % 97 AS n,
+                   'x,"' || substr(md5(text), 1, 8) AS frag,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'v' || CAST(doc_id AS VARCHAR) END AS opt
+            FROM documents)
+        SELECT doc_id,
+               (CAST(n AS VARCHAR) || ',' || {quoted} || ',' ||
+                coalesce(opt, '')) AS csv,
+               n AS back_n, frag AS back_frag, opt AS back_opt
+        FROM src
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "q134_csv_column_codec",
+    oracle=_csv_oracle(),
+    tags=("codec",),
+)
+def q134_csv_column_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """X184: to_csv/from_csv column codec. The rendered line is the
+    hash-checked contract (DuckDB replays the univocity quoting rules
+    with string algebra) and back_* pins from_csv∘to_csv == id on
+    non-empty strings (the empty-string→NULL decode asymmetry is a t1
+    pin). All JVM-side, zero Python, zero shuffle."""
+    t = Tables(spark, sf)
+    src = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("n"),
+        F.concat(F.lit('x,"'), F.substring(F.md5(F.col("text")), 1, 8)).alias("frag"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), F.col("doc_id").cast("string")))
+        .alias("opt"),
+    )
+    doc = src.withColumn("csv", F.to_csv(F.struct("n", "frag", "opt")))
+    back = doc.withColumn("dec", F.from_csv("csv", "n LONG, frag STRING, opt STRING"))
+    return back.select(
+        "doc_id",
+        "csv",
+        F.col("dec.n").alias("back_n"),
+        F.col("dec.frag").alias("back_frag"),
+        F.col("dec.opt").alias("back_opt"),
+    ).transform(ordered, "doc_id")

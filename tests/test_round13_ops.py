@@ -355,3 +355,42 @@ def test_xml_codec_escaping_rules_and_malformed(spark):
     bad = spark.createDataFrame([("<ROW><a>1</a",), ("not xml",)], "x string")
     rows = bad.select(F.from_xml("x", "a LONG").alias("r")).collect()
     assert all(r["r"]["a"] is None for r in rows)
+
+
+def test_csv_codec_quoting_rules_and_asymmetries(spark):
+    """X184 t1: univocity default rendering pinned — quote iff the
+    value holds delimiter/quote, inner quotes BACKSLASH-escaped, empty
+    string renders '\"\"' but decodes back NULL, SQL NULL renders bare
+    empty; a raw newline inside an unquoted value does not survive
+    to_csv (single-line record) — all probed, golden-pinned so an
+    upstream univocity change fails here, not in the t2."""
+    cases = {
+        0: ("plain", "plain"),
+        1: ("a,b", '"a,b"'),
+        2: ('q"x', '"q\\"x"'),
+        3: ('both,"y', '"both,\\"y"'),
+        4: ("", '""'),
+        5: (None, ""),
+        6: ("sp ace", "sp ace"),
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in cases.items()], "i long, s string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", F.to_csv(F.struct("i", "s")).alias("c")).collect()
+    }
+    for i, (_, want) in cases.items():
+        assert got[i] == f"{i},{want}", (i, got[i])
+    back = (
+        df.select("i", F.to_csv(F.struct("i", "s")).alias("c"))
+        .select("i", F.from_csv("c", "i LONG, s STRING").alias("r"))
+        .collect()
+    )
+    decoded = {r["i"]: r["r"]["s"] for r in back}
+    assert decoded[0] == "plain" and decoded[2] == 'q"x'
+    assert decoded[4] is None  # "" -> NULL: the pinned decode asymmetry
+    assert decoded[5] is None
+    # newline data loss on the encode side (single-line record)
+    nl = spark.createDataFrame([("\nnl",)], "s string")
+    assert nl.select(F.to_csv(F.struct("s")).alias("c")).first()["c"] == "nl"
