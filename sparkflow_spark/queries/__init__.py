@@ -171,6 +171,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q132_protobuf_column_codec",
     "q133_xml_column_codec",
     "q134_csv_column_codec",
+    "q135_try_function_family",  # X185
+    "q136_linear_interpolate",  # X186
+    "p_protobuf_ingest_quarantine",  # X187
     # --- steady-state re-samples: oldest driver-green first (r02) ---
     "q15_approx_count_distinct",
     "q24_except",
@@ -203,9 +206,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q20_window_lag",
     "q21_window_running_sum",
     "q24_intersect",
-    "q26_date_extract",
-    "q29_case_when",
-    "q34_exact_dedup_count",
 )
 
 

@@ -310,3 +310,74 @@ def q134_csv_column_codec(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dec.frag").alias("back_frag"),
         F.col("dec.opt").alias("back_opt"),
     ).transform(ordered, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X187: the event-bus INGEST composition over X182 — binary payloads
+# arrive, some corrupt; PERMISSIVE decode + dead-letter split with raw
+# evidence (the protobuf sibling of X68's corrupt-JSON quarantine).
+
+_EVT_FIELDS = [("event_id", 1, "sint64"), ("user_id", 2, "sint64"), ("etype", 3, "string")]
+_EVT_DESC = codecs.build_file_descriptor_set("Evt", _EVT_FIELDS)
+
+
+def _pb_ingest_oracle() -> str:
+    # the corrupt payload is its own leading tag byte: field 1 unless
+    # event_id is at the proto3 default (omitted), then field 2, then 3
+    lead_tag = (
+        "CASE WHEN event_id <> 0 THEN '08' "
+        "WHEN user_id <> 0 THEN '10' ELSE '1A' END"
+    )
+    return f"""
+        SELECT event_id AS src_id,
+               CASE WHEN event_id % 13 = 0 THEN 'quarantined' ELSE 'kept' END AS status,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS back_user,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS back_etype,
+               CASE WHEN event_id % 13 = 0 THEN {lead_tag} END AS raw_hex
+        FROM events
+        ORDER BY src_id
+    """
+
+
+@register(
+    "p_protobuf_ingest_quarantine",
+    oracle=_pb_ingest_oracle(),
+    tags=("codec", "pipeline", "udf"),
+)
+def p_protobuf_ingest_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """X187: kafka-shaped protobuf ingest — encode events to wire bytes,
+    deterministically corrupt every 13th payload to its first byte (a
+    dangling tag: reliably malformed), decode PERMISSIVE, and split on
+    DECODE SUCCESS (etype is never empty for well-formed rows, so an
+    all-NULL struct marks failure). Quarantined rows keep the raw
+    payload hex as evidence (X68's dead-letter contract). The oracle
+    derives the split from the corruption RULE, so the hash match
+    proves the decoder failed on exactly the corrupted rows and
+    recovered every healthy one — the 100 TB property that one bad
+    record never kills the job and none is silently dropped."""
+    t = Tables(spark, sf)
+    src = t.events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("etype"),
+    )
+    enc = src.withColumn(
+        "payload",
+        codecs.to_protobuf(F.struct("event_id", "user_id", "etype"), "Evt", _EVT_DESC),
+    )
+    wire = enc.withColumn(
+        "payload",
+        F.when(
+            F.col("event_id") % 13 == 0, F.expr("substring(payload, 1, 1)")
+        ).otherwise(F.col("payload")),
+    )
+    dec = wire.withColumn("dec", codecs.from_protobuf("payload", "Evt", _EVT_DESC))
+    return dec.select(
+        F.col("event_id").alias("src_id"),
+        F.when(F.col("dec.etype").isNull(), F.lit("quarantined"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.col("dec.user_id").alias("back_user"),
+        F.col("dec.etype").alias("back_etype"),
+        F.when(F.col("dec.etype").isNull(), F.hex("payload")).alias("raw_hex"),
+    ).transform(ordered, "src_id")

@@ -2492,3 +2492,161 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     way."""
     register_views(spark, sf)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# X185: the try_* ANSI-safe function family. Under Spark 4 defaults ANSI
+# mode is ON (the driver's bare session — the repo's standing gotcha),
+# so div-by-zero / overflow / bad parses THROW unless the try_ tier is
+# used; these are the expressions a 100 TB pipeline wants NULL-safe.
+
+_TRY_FAMILY_ORACLE = """
+    SELECT o_orderkey AS okey,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE o_totalprice / (o_custkey % 5) END AS td,
+           CASE WHEN o_orderkey % 20 > 7 THEN NULL
+                ELSE 9223372036854775800 + (o_orderkey % 20) END AS ta,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE o_orderkey % (o_custkey % 5) END AS tmod,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS tnum_ok,
+           TRY_CAST(substr(o_orderstatus, 1, 1) AS BIGINT) AS tnum_bad,
+           str_split(o_orderpriority, '-')[2] AS telem_ok,
+           str_split(o_orderpriority, '-')[3] AS telem_oob
+    FROM orders
+    ORDER BY okey
+"""
+
+
+@register(
+    "q135_try_function_family",
+    oracle=_TRY_FAMILY_ORACLE,
+    tags=("relational", "functions"),
+)
+def q135_try_function_family(spark: SparkSession, sf: str) -> DataFrame:
+    """X185: try_divide / try_add / try_mod / try_to_number /
+    try_element_at — every error leg LIVE in the data (divisor 0 on
+    o_custkey%5=0 rows, bigint overflow on o_orderkey%20>7 rows,
+    non-numeric parse on every order status, out-of-bounds element on
+    every priority) and hash-checked against DuckDB CASE/TRY_CAST
+    replays. Under ANSI mode (the driver's bare-session default) the
+    non-try forms of all five THROW — this entry pins that the engine's
+    NULL-safe tier computes the same values the oracle's explicit guards
+    do."""
+    t = Tables(spark, sf)
+    pri_parts = F.split(F.col("o_orderpriority"), "-")
+    return (
+        t.orders.select(
+            F.col("o_orderkey").alias("okey"),
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("td"),
+            F.try_add(
+                F.lit(9223372036854775800), F.col("o_orderkey") % 20
+            ).alias("ta"),
+            F.try_mod(F.col("o_orderkey"), F.col("o_custkey") % 5).alias("tmod"),
+            F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+            .cast("long")
+            .alias("tnum_ok"),
+            F.try_to_number(F.substring("o_orderstatus", 1, 1), F.lit("9"))
+            .cast("long")
+            .alias("tnum_bad"),
+            F.try_element_at(pri_parts, F.lit(2)).alias("telem_ok"),
+            F.try_element_at(pri_parts, F.lit(3)).alias("telem_oob"),
+        )
+        .transform(ordered, "okey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X186: linear interpolation of missing time-series values — the
+# numeric sibling of X21's gap-fill/ffill (which carries the LAST
+# value forward; sensor/metric pipelines want the line BETWEEN the
+# neighbors). One window pass, no self-join.
+
+_INTERP_ORACLE = """
+    WITH src AS (
+        SELECT user_id, event_id,
+               row_number() OVER w AS pos,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ctx AS (
+        SELECT user_id, event_id, pos, v,
+               last_value(v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER wp AS prev_pos,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER wf AS next_pos
+        FROM src
+        WINDOW wp AS (PARTITION BY user_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, event_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) *
+                     ((pos - prev_pos) / (next_pos - prev_pos)) END AS v_interp,
+           (v IS NULL) AS was_missing
+    FROM ctx
+    ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "q136_linear_interpolate",
+    oracle=_INTERP_ORACLE,
+    tags=("relational", "window", "timeseries"),
+)
+def q136_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """X186: per-user linear interpolation of missing metric values
+    (every event_id % 3 == 0 masked): v = prev + (next − prev) ·
+    (pos − prev_pos)/(next_pos − prev_pos) between the nearest
+    non-null neighbors, carrying the edge value at head/tail runs.
+    Spark's last/first(ignorenulls=True) over the growing/shrinking
+    frames == DuckDB's IGNORE NULLS window forms; the arithmetic is
+    written in the identical IEEE op order on both engines so the
+    doubles hash exactly. Scale shape: ONE window exchange on user_id,
+    both directional passes in the same partitioning, no self-join."""
+    t = Tables(spark, sf)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = t.events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("pos"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pos_if_v = F.when(F.col("v").isNotNull(), F.col("pos"))
+    ctx = src.select(
+        "user_id",
+        "event_id",
+        "pos",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(pos_if_v, ignorenulls=True).over(wp).alias("prev_pos"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(pos_if_v, ignorenulls=True).over(wf).alias("next_pos"),
+    )
+    frac = (F.col("pos") - F.col("prev_pos")) / (F.col("next_pos") - F.col("prev_pos"))
+    return ctx.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("v_interp"),
+        F.col("v").isNull().alias("was_missing"),
+    ).transform(ordered, "user_id", "event_id")
