@@ -342,7 +342,7 @@ def _pb_ingest_oracle() -> str:
 @register(
     "p_protobuf_ingest_quarantine",
     oracle=_pb_ingest_oracle(),
-    tags=("codec", "pipeline", "udf"),
+    tags=("codec", "pipeline", "udf", "large-output"),
 )
 def p_protobuf_ingest_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     """X187: kafka-shaped protobuf ingest — encode events to wire bytes,
@@ -380,4 +380,4 @@ def p_protobuf_ingest_quarantine(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dec.user_id").alias("back_user"),
         F.col("dec.etype").alias("back_etype"),
         F.when(F.col("dec.etype").isNull(), F.hex("payload")).alias("raw_hex"),
-    ).transform(ordered, "src_id")
+    )  # one row per event: large-output, unsorted by design
