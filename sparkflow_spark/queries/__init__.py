@@ -174,6 +174,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q135_try_function_family",  # X185
     "q136_linear_interpolate",  # X186
     "p_protobuf_ingest_quarantine",  # X187
+    # --- new this round, second batch (X188-X194) ---
+    "q137_bitmap_distinct_rollup",  # X188
+    "q138_interval_arithmetic",  # X189
+    "q139_map_hof_algebra",  # X190
+    "q140_row_generators",  # X191
+    "s_matryoshka_top1",  # X192
+    "q141_tablesample_forms",  # X193
+    "t_keyword_topic_tags",  # X194
     # --- steady-state re-samples: oldest driver-green first (r02) ---
     "q15_approx_count_distinct",
     "q24_except",
@@ -199,13 +207,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q03_filter_in_between_like",
     "q04_filter_null_coalesce",
     "q05_broadcast_inner_join",
-    "q08_full_outer_join",
-    "q09_left_semi_join",
-    "q12_cross_join",
-    "q14_count_distinct",
-    "q20_window_lag",
-    "q21_window_running_sum",
-    "q24_intersect",
 )
 
 

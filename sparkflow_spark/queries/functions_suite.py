@@ -428,3 +428,149 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         """,
         args={"minp": 150000.0, "pri": "1-URGENT"},
     )
+
+
+# ---------------------------------------------------------------------------
+# X190: map-typed higher-order functions — the map algebra surface
+# (transform_values / map_filter / map_zip_with / map_concat /
+# map_contains_key plus an aggregate() fold over map_values). Maps are
+# the natural carrier for per-entity feature dictionaries in a training
+# pipeline; every derived value is re-exploded to plain columns so the
+# whole algebra is hash-checked against a DuckDB group-by replay.
+
+_MAP_HOF_ORACLE = """
+    WITH per AS (
+        SELECT user_id, event_type AS etype,
+               COUNT(*) AS cnt, MIN(value) AS mv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, etype, cnt,
+           cnt * 2 AS doubled,
+           mv / cnt AS ratio,
+           cnt >= 2 AS kept,
+           CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS utotal
+    FROM per
+"""
+
+
+@register(
+    "q139_map_hof_algebra",
+    oracle=_MAP_HOF_ORACLE,
+    tags=("functions", "map", "large-output"),
+)
+def q139_map_hof_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """X190: per-user event-type maps built with map_from_entries, then
+    pushed through the map HOF family — transform_values (×2),
+    map_filter (cnt≥2 keep-set), map_zip_with (min-value/count ratio;
+    min not sum, so no float accumulation-order dependence), map_concat
+    + element_at (a '__all' synthetic key carrying the per-user total),
+    aggregate() folding map_values, and map_contains_key for the keep
+    test. Exploded back to (user_id, etype) rows for the oracle
+    compare. One shuffle (the groupBy); the map algebra itself is all
+    JVM expressions on grouped rows."""
+    t = Tables(spark, sf)
+    per = t.events.groupBy("user_id", F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("value").alias("mv")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("etype", "cnt"))).alias("cmap"),
+        F.map_from_entries(F.collect_list(F.struct("etype", "mv"))).alias("mmap"),
+    )
+    total = F.aggregate(
+        F.map_values("cmap"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    enriched = maps.select(
+        "user_id",
+        "cmap",
+        F.transform_values("cmap", lambda k, v: v * 2).alias("dmap"),
+        F.map_filter("cmap", lambda k, v: v >= 2).alias("kmap"),
+        F.map_zip_with("mmap", "cmap", lambda k, m, c: m / c).alias("rmap"),
+        F.element_at(
+            F.map_concat("cmap", F.create_map(F.lit("__all"), total)),
+            "__all",
+        ).alias("utotal"),
+    )
+    return enriched.select(
+        "user_id",
+        F.explode("cmap").alias("etype", "cnt"),
+        "dmap",
+        "kmap",
+        "rmap",
+        "utotal",
+    ).select(
+        "user_id",
+        "etype",
+        "cnt",
+        F.element_at("dmap", F.col("etype")).alias("doubled"),
+        F.element_at("rmap", F.col("etype")).alias("ratio"),
+        F.map_contains_key("kmap", F.col("etype")).alias("kept"),
+        "utotal",
+    )  # one row per (user, etype): large-output, unsorted by design
+
+
+# ---------------------------------------------------------------------------
+# X191: row generators — posexplode_outer with a LIVE null leg and
+# sequence() with a per-row bound folded by aggregate(). DuckDB has no
+# WITH ORDINALITY; the replay builds {pos, part} structs with
+# list_apply over range(len(...)) and LEFT JOIN LATERAL UNNEST so the
+# null leg yields the same single all-NULL generator row.
+
+_GENERATORS_ORACLE = """
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 != 0
+                    THEN str_split(o_orderpriority, '-') END AS parts,
+               o_orderkey % 3 + 1 AS k
+        FROM orders
+    )
+    SELECT s.o_orderkey AS okey,
+           CAST(u.x['pos'] AS BIGINT) AS pos,
+           u.x['part'] AS part,
+           CAST(s.k AS INT) AS n_seq,
+           CAST(s.k * (s.k + 1) // 2 AS BIGINT) AS sum_seq
+    FROM src s
+    LEFT JOIN LATERAL (
+        SELECT UNNEST(list_apply(range(len(s.parts)),
+                                 i -> {'pos': i, 'part': s.parts[i + 1]})) AS x
+    ) u ON TRUE
+"""
+
+
+@register(
+    "q140_row_generators",
+    oracle=_GENERATORS_ORACLE,
+    tags=("functions", "generator", "large-output"),
+)
+def q140_row_generators(spark: SparkSession, sf: str) -> DataFrame:
+    """X191: posexplode_outer over split order priorities — every 7th
+    order's array is NULLed so the _outer contract (one all-NULL
+    generator row instead of dropping the parent) is live and
+    hash-checked — alongside sequence(1, k) with a per-row k∈{1,2,3}
+    whose sum is folded by aggregate() and pinned against the closed
+    form k(k+1)/2. Pure narrow generators: zero shuffle, output rows =
+    Σ per-row part counts (large-output, unsorted)."""
+    t = Tables(spark, sf)
+    parts = F.when(
+        F.col("o_orderkey") % 7 != 0, F.split("o_orderpriority", "-")
+    )
+    seq = F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 3 + 1)
+    staged = t.orders.select(
+        F.col("o_orderkey").alias("okey"),
+        parts.alias("parts"),
+        F.size(seq).alias("n_seq_raw"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_seq"
+        ),
+    )
+    return staged.select(
+        "okey",
+        F.posexplode_outer("parts").alias("pos_raw", "part"),
+        "n_seq_raw",
+        "sum_seq",
+    ).select(
+        "okey",
+        F.col("pos_raw").cast("long").alias("pos"),
+        "part",
+        F.col("n_seq_raw").alias("n_seq"),
+        "sum_seq",
+    )  # ~2 rows per order: large-output, unsorted by design

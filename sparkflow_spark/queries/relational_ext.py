@@ -2659,3 +2659,196 @@ def q136_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         .alias("v_interp"),
         F.col("v").isNull().alias("was_missing"),
     )  # one row per event: large-output, unsorted by design
+
+
+# ---------------------------------------------------------------------------
+# X188: bitmap exact-distinct rollup — the bitmap_* aggregate family
+# (Spark 3.5 datasketches-adjacent surface). This is how warehouse
+# engines make EXACT distinct counts mergeable: a (group, bucket) bitmap
+# is a fixed 4 KB value, bitmap_or_agg re-aggregates bitmaps instead of
+# rescanning rows, and sum(bitmap_count) over buckets is the exact
+# distinct — the exact sibling of X128's mergeable HLL rollup.
+
+_BITMAP_ORACLE = """
+    SELECT o_orderpriority AS pri,
+           COUNT(DISTINCT o_custkey) AS distinct_direct,
+           COUNT(DISTINCT o_custkey) AS distinct_merged
+    FROM orders GROUP BY 1 ORDER BY pri
+"""
+
+
+@register(
+    "q137_bitmap_distinct_rollup",
+    oracle=_BITMAP_ORACLE,
+    tags=("relational", "sketch", "agg"),
+)
+def q137_bitmap_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """X188: exact-distinct via the bitmap_* aggregate family, BOTH
+    levels pinned against DuckDB COUNT(DISTINCT):
+
+    - direct: group by (priority, bucket) → bitmap_construct_agg of
+      bit positions → sum(bitmap_count) per priority;
+    - merged: build FINER bitmaps per (priority, status, bucket), then
+      re-aggregate with bitmap_or_agg across status — the mergeability
+      contract (distinct over a coarser group from retained finer
+      bitmaps, no row rescan) that makes exact distinct incremental at
+      100 TB: a day's bitmaps are 4 KB × buckets, month rollup is OR.
+
+    bitmap_bit_position needs positive inputs; custkey is shifted +1
+    (min 0 in the fixtures) — a bijection, so distinct counts carry.
+    """
+    t = Tables(spark, sf)
+    key = (F.col("o_custkey") + 1).alias("k")
+    base = t.orders.select("o_orderpriority", "o_orderstatus", key)
+    fine = base.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.bitmap_bucket_number("k").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+    merged = (
+        fine.groupBy("o_orderpriority", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_merged"))
+    )
+    direct = (
+        base.groupBy("o_orderpriority", F.bitmap_bucket_number("k").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_direct"))
+    )
+    return (
+        direct.join(merged, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            "distinct_direct",
+            "distinct_merged",
+        )
+        .transform(ordered, "pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X189: ANSI interval arithmetic — year-month and day-time INTERVAL
+# types as first-class values: constructor functions (make_ym_interval /
+# make_dt_interval, including COLUMN-valued components), timestamp ±
+# interval with month-end clamping, and unit-diff extraction. Outputs
+# are cast back to portable timestamps/bigints so the hash compare sees
+# engine-independent values; the interval TYPES live only mid-plan.
+
+_INTERVAL_ORACLE = """
+    SELECT o_orderkey AS okey,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           o_orderdate - INTERVAL 14 MONTH AS minus1y2m,
+           o_orderdate + INTERVAL '45 days 6 hours 30 minutes' AS due,
+           o_orderdate + (o_orderkey % 5) * INTERVAL 1 DAY AS flex,
+           date_diff('day', o_orderdate, o_orderdate + INTERVAL 3 MONTH) AS dgap,
+           date_diff('hour', o_orderdate,
+                     o_orderdate + INTERVAL '45 days 6 hours 30 minutes') AS hgap
+    FROM orders
+"""
+
+
+@register(
+    "q138_interval_arithmetic",
+    oracle=_INTERVAL_ORACLE,
+    tags=("relational", "datetime", "large-output"),
+)
+def q138_interval_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """X189: ANSI intervals end to end — `+ INTERVAL '3' MONTH` takes the
+    month-end-clamping path (Jan 31 + 1 month = Feb 28/29, pinned equal
+    across engines on real order dates), make_ym_interval(1,2) subtracts
+    14 months, make_dt_interval mixes day/hour/minute components AND
+    accepts a per-row Column for the day component (the scheduling-
+    pipeline shape: each row gets its own offset), and timestampdiff
+    extracts day/hour gaps as bigints. One projection, zero shuffle,
+    one output row per order (large-output, unsorted)."""
+    t = Tables(spark, sf)
+    od = F.col("o_orderdate")
+    due = od + F.make_dt_interval(F.lit(45), F.lit(6), F.lit(30), F.lit(0))
+    return t.orders.select(
+        F.col("o_orderkey").alias("okey"),
+        (od + F.expr("INTERVAL '3' MONTH")).alias("plus3m"),
+        (od - F.make_ym_interval(F.lit(1), F.lit(2))).alias("minus1y2m"),
+        due.alias("due"),
+        (od + F.make_dt_interval(F.col("o_orderkey") % 5)).alias("flex"),
+        F.expr(
+            "timestampdiff(DAY, o_orderdate, o_orderdate + INTERVAL '3' MONTH)"
+        ).alias("dgap"),
+        F.expr(
+            "timestampdiff(HOUR, o_orderdate,"
+            " o_orderdate + INTERVAL '45 06:30' DAY TO MINUTE)"
+        ).alias("hgap"),
+    )  # one row per order: large-output, unsorted by design
+
+
+# ---------------------------------------------------------------------------
+# X193: TABLESAMPLE syntax forms + DataFrame.sample (the r12 verdict's
+# named leftover). Sample MEMBERSHIP is engine-RNG-specific, so the
+# cross-engine contract is the one the forms guarantee: ROWS-form count
+# is exact, PERCENT/BUCKET/df.sample counts sit inside a 5-sigma
+# binomial band around their expectation for a FIXED seed (REPEATABLE).
+# Spark computes the booleans from its actual samples; the oracle
+# derives them from the guarantee. Exact-membership sampling semantics
+# are separately pinned by the md5-replay entries (q91/q78) and
+# sampleBy by q33 — this row closes the SYNTAX surface.
+
+_TABLESAMPLE_ORACLE = """
+    WITH tot AS (SELECT COUNT(*) AS t FROM orders)
+    SELECT form, ok, t AS total FROM tot, (VALUES
+        ('bucket_1_of_10', TRUE),
+        ('df_sample_10pct', TRUE),
+        ('percent10', TRUE),
+        ('rows200', TRUE)) v(form, ok)
+    ORDER BY form
+"""
+
+
+@register(
+    "q141_tablesample_forms",
+    oracle=_TABLESAMPLE_ORACLE,
+    tags=("relational", "sampling"),
+)
+def q141_tablesample_forms(spark: SparkSession, sf: str) -> DataFrame:
+    """X193: TABLESAMPLE (10 PERCENT) REPEATABLE(42), TABLESAMPLE
+    (200 ROWS), TABLESAMPLE (BUCKET 1 OUT OF 10) REPEATABLE(7), and
+    DataFrame.sample(0.1, seed) — each form's count contract hash-
+    checked: ROWS yields exactly min(200, total); the Bernoulli forms
+    stay within 5σ of 0.1·total (binomial; holds for any partitioning
+    the scan picks, so the bare driver session can't break it). All
+    four samples are scan-time row filters — no shuffle, no collect."""
+    register_views(spark, sf)
+    t = Tables(spark, sf)
+    sigma = "sqrt(t * 0.1 * 0.9)"
+    sql_counts = spark.sql(
+        f"""
+        WITH tot AS (SELECT COUNT(*) AS t FROM orders),
+        s_pct AS (SELECT COUNT(*) AS n FROM orders
+                  TABLESAMPLE (10 PERCENT) REPEATABLE (42)),
+        s_rows AS (SELECT COUNT(*) AS n FROM orders TABLESAMPLE (200 ROWS)),
+        s_bkt AS (SELECT COUNT(*) AS n FROM orders
+                  TABLESAMPLE (BUCKET 1 OUT OF 10) REPEATABLE (7))
+        SELECT 'percent10' AS form,
+               abs(s_pct.n - t * 0.1) <= 5 * {sigma} AS ok, t AS total
+        FROM tot, s_pct
+        UNION ALL
+        SELECT 'rows200', s_rows.n = least(200, t), t FROM tot, s_rows
+        UNION ALL
+        SELECT 'bucket_1_of_10',
+               abs(s_bkt.n - t * 0.1) <= 5 * {sigma}, t
+        FROM tot, s_bkt
+        """
+    )
+    df_n = t.orders.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.orders.agg(F.count(F.lit(1)).alias("t"))
+    df_leg = df_n.crossJoin(tot).select(
+        F.lit("df_sample_10pct").alias("form"),
+        (
+            F.abs(F.col("n") - F.col("t") * 0.1)
+            <= 5 * F.sqrt(F.col("t") * 0.1 * 0.9)
+        ).alias("ok"),
+        F.col("t").alias("total"),
+    )
+    return sql_counts.unionByName(df_leg).transform(ordered, "form")

@@ -1538,3 +1538,103 @@ def s_mmr(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.mmr_rerank(cands, k=5, lam=0.7).transform(
         ordered, "probe_id", "mmr_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# X192: matryoshka (MRL) truncated-embedding retrieval — modern
+# embedding models train nested prefixes so the first k dims are a
+# usable low-cost representation; a 100 TB retrieval tier shortlists on
+# a 16-dim prefix (4× less compute/IO than 64) and refines on the full
+# vector. Cosine is scale-invariant, so "truncate + renormalize" ==
+# cosine over the sliced prefix. Self-matches excluded; ties break by
+# vec_id; both rankings AND their agreement are hash-checked.
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+        ORDER BY vec_id LIMIT {_N_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.pvec,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_full,
+               list_sum(list_transform(range(1, 17),
+                   i -> CAST(p.pvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.pvec[1:16],
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding[1:16],
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_t16
+        FROM probes p CROSS JOIN embeddings e
+        WHERE e.vec_id != p.probe_id
+    )
+    SELECT f.probe_id, f.vec_id AS top1_full, s.vec_id AS top1_t16,
+           f.vec_id = s.vec_id AS agree
+    FROM (SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cos_full DESC, vec_id) AS r
+            FROM scored) WHERE r = 1) f
+    JOIN (SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cos_t16 DESC, vec_id) AS r
+            FROM scored) WHERE r = 1) s USING (probe_id)
+    ORDER BY probe_id
+"""
+
+
+@register(
+    "s_matryoshka_top1",
+    oracle=_MATRYOSHKA_ORACLE,
+    tags=("similarity", "vector"),
+)
+def s_matryoshka_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """X192: exact top-1 under the FULL 64-dim cosine vs the 16-dim
+    matryoshka-prefix cosine for the 10 standard probes, plus the
+    per-probe agreement bit. Plan: ONE corpus scan scores both metrics
+    in the same projection (the prefix slice reuses the decoded array —
+    no second pass), probes broadcast, per-probe argmax via min_by over
+    a (neg-cosine, vec_id) ordering struct. Labeled exactness oracle on
+    the fixed 500-row embeddings table (the production scale path is
+    the IVF/PQ/LSH tier; this entry pins the MRL truncation SEMANTICS
+    those indexes would serve)."""
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    t = Tables(spark, sf)
+    p = _probes(t).select(
+        "probe_id",
+        F.col("embedding").alias("_pvec"),
+        l2_norm("embedding").alias("_pn"),
+        l2_norm(F.slice("embedding", 1, 16)).alias("_pn16"),
+    )
+    c = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("_cn"),
+        l2_norm(F.slice("embedding", 1, 16)).alias("_cn16"),
+    )
+    scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        (dot("_pvec", "embedding") / (F.col("_pn") * F.col("_cn"))).alias("cos_full"),
+        (
+            dot(F.slice("_pvec", 1, 16), F.slice("embedding", 1, 16))
+            / (F.col("_pn16") * F.col("_cn16"))
+        ).alias("cos_t16"),
+    )
+    top = scored.groupBy("probe_id").agg(
+        F.min_by("vec_id", F.struct(-F.col("cos_full"), F.col("vec_id"))).alias(
+            "top1_full"
+        ),
+        F.min_by("vec_id", F.struct(-F.col("cos_t16"), F.col("vec_id"))).alias(
+            "top1_t16"
+        ),
+    )
+    return top.select(
+        "probe_id",
+        "top1_full",
+        "top1_t16",
+        (F.col("top1_full") == F.col("top1_t16")).alias("agree"),
+    ).transform(ordered, "probe_id")

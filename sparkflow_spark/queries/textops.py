@@ -1441,3 +1441,87 @@ def t_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X194: dictionary keyword tagging (FlashText/Aho-Corasick use case) —
+# topic curation for training-data mixtures: a broadcast (keyword →
+# topic) dictionary joined against the corpus's distinct tokens, one
+# corpus scan, rolled back up to a per-document sorted topic list. At
+# 100 TB the dictionary is the small side by construction (even 1 M
+# keywords broadcast in MBs); the corpus never shuffles by content —
+# only the (doc_id, topic) hit pairs (≤ topics per doc) move.
+
+_KEYWORD_TOPICS = {
+    "exec": ("scan", "sort", "merge", "hash"),
+    "storage": ("table", "row", "column"),
+    "streaming": ("stream", "window", "batch"),
+}
+
+_KEYWORD_TAG_ORACLE = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(str_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN tok IN ('scan','sort','merge','hash') THEN 'exec'
+                    WHEN tok IN ('table','row','column') THEN 'storage'
+                    WHEN tok IN ('stream','window','batch') THEN 'streaming'
+               END AS topic
+        FROM toks
+        WHERE tok IN ('scan','sort','merge','hash','table','row','column',
+                      'stream','window','batch')
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(topic, ',' ORDER BY topic) AS topics,
+               COUNT(*) AS n_topics
+        FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.topics, '') AS topics,
+           CAST(COALESCE(a.n_topics, 0) AS BIGINT) AS n_topics
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "t_keyword_topic_tags",
+    oracle=_KEYWORD_TAG_ORACLE,
+    tags=("text", "pipeline"),
+)
+def t_keyword_topic_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """X194: per-document topic tags from a broadcast keyword
+    dictionary. Tokens are space-split and de-duplicated per doc BEFORE
+    the join (array_distinct at the row level — the hit join's input is
+    bounded by vocabulary, not token count), the (keyword → topic)
+    dictionary is an explicit broadcast, and documents with zero hits
+    keep a row with an empty topic list (left join — the curation
+    report needs the untagged mass, not just the tagged one)."""
+    t = Tables(spark, sf)
+    dict_rows = [
+        (kw, topic) for topic, kws in _KEYWORD_TOPICS.items() for kw in kws
+    ]
+    kw_df = spark.createDataFrame(dict_rows, "kw string, topic string")
+    toks = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(kw_df), F.col("tok") == F.col("kw"))
+        .select("doc_id", "topic")
+        .distinct()
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set("topic")), ",").alias("topics"),
+        F.count(F.lit(1)).alias("n_topics"),
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("topics", F.lit("")).alias("topics"),
+            F.coalesce("n_topics", F.lit(0)).cast("long").alias("n_topics"),
+        )
+        .transform(ordered, "doc_id")
+    )

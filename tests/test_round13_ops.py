@@ -394,3 +394,154 @@ def test_csv_codec_quoting_rules_and_asymmetries(spark):
     # newline data loss on the encode side (single-line record)
     nl = spark.createDataFrame([("\nnl",)], "s string")
     assert nl.select(F.to_csv(F.struct("s")).alias("c")).first()["c"] == "nl"
+
+
+# ---------------------------------------------------------------------------
+# X188 bitmap family: OR-merged bitmaps count exactly what direct
+# construction counts, on a frame with a KNOWN distinct answer.
+
+
+def test_bitmap_merge_equals_direct_known_counts(spark):
+    rows = [(g, s, k) for g in ("a", "b") for s in ("x", "y") for k in (1, 2, 3, 40000)]
+    rows.append(("a", "x", 1))  # duplicate: must not double-count
+    df = spark.createDataFrame(rows, "g string, s string, k long")
+    fine = df.groupBy(
+        "g", "s", F.bitmap_bucket_number("k").alias("b")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+    merged = (
+        fine.groupBy("g", "b")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+    )
+    got = {r["g"]: r["n"] for r in merged.collect()}
+    # k=40000 crosses into bucket 2 (32768 positions/bucket) — the
+    # multi-bucket leg is live
+    assert got == {"a": 4, "b": 4}
+
+
+# X189: month-end clamping parity legs the entry exercises on real dates.
+
+
+def test_interval_month_end_clamps(spark):
+    df = spark.createDataFrame(
+        [("1995-01-31",), ("1996-01-31",), ("1995-03-31",)], "d string"
+    ).select(F.col("d").cast("timestamp").alias("ts"))
+    got = [
+        str(r["m1"])[:10]
+        for r in df.select(
+            (F.col("ts") + F.expr("INTERVAL '1' MONTH")).alias("m1")
+        ).collect()
+    ]
+    assert got == ["1995-02-28", "1996-02-29", "1995-04-30"]
+
+
+# X190: map HOF algebra on a golden frame.
+
+
+def test_map_hof_golden(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 3},)], "m map<string,long>"
+    )
+    row = df.select(
+        F.transform_values("m", lambda k, v: v * 10).alias("t"),
+        F.map_filter("m", lambda k, v: v >= 2).alias("f"),
+        F.map_zip_with(
+            "m", F.create_map(F.lit("a"), F.lit(2), F.lit("b"), F.lit(4)),
+            lambda k, x, y: x + y,
+        ).alias("z"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("s"),
+    ).first()
+    assert row["t"] == {"a": 10, "b": 30}
+    assert row["f"] == {"b": 3}
+    assert row["z"] == {"a": 3, "b": 7}
+    assert row["s"] == 4
+
+
+# X191: posexplode_outer's null leg and sequence's closed-form sum.
+
+
+def test_generators_outer_null_leg(spark):
+    df = spark.createDataFrame([(1, ["x", "y"]), (2, None)], "k long, l array<string>")
+    got = sorted(
+        (r["k"], r["pos"], r["part"])
+        for r in df.select("k", F.posexplode_outer("l").alias("pos", "part")).collect()
+    )
+    assert got == [(1, 0, "x"), (1, 1, "y"), (2, None, None)]
+    s = (
+        spark.range(1, 8)
+        .select(
+            F.aggregate(
+                F.sequence(F.lit(1).cast("long"), F.col("id")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("s"),
+            (F.col("id") * (F.col("id") + 1) / 2).cast("long").alias("want"),
+        )
+        .filter(F.col("s") != F.col("want"))
+        .count()
+    )
+    assert s == 0
+
+
+# X192: the truncated metric must IGNORE dims 17..64 — two corpus
+# vectors identical in the prefix but opposite in the tail rank equally
+# under t16 and differently under the full cosine.
+
+
+def test_matryoshka_prefix_blindness(spark):
+    from sparkflow_spark.functions.vector import dot, l2_norm
+
+    probe = [1.0] * 16 + [1.0] * 48
+    same_tail = [1.0] * 16 + [1.0] * 48
+    flip_tail = [1.0] * 16 + [-1.0] * 48
+    df = spark.createDataFrame(
+        [(1, same_tail), (2, flip_tail)], "vec_id long, embedding array<float>"
+    ).withColumn("p", F.lit(probe).cast("array<float>"))
+    r = df.select(
+        "vec_id",
+        (dot(F.slice("p", 1, 16), F.slice("embedding", 1, 16))
+         / (l2_norm(F.slice("p", 1, 16)) * l2_norm(F.slice("embedding", 1, 16)))
+         ).alias("t16"),
+        (dot("p", "embedding") / (l2_norm("p") * l2_norm("embedding"))).alias("full"),
+    ).collect()
+    by_id = {x["vec_id"]: x for x in r}
+    assert by_id[1]["t16"] == by_id[2]["t16"] == pytest.approx(1.0)
+    assert by_id[1]["full"] == pytest.approx(1.0)
+    assert by_id[2]["full"] == pytest.approx(-0.5)  # (16-48)/(8*8)
+
+
+# X193: the ROWS form is exact even when it exceeds the table.
+
+
+def test_tablesample_rows_exact(spark):
+    spark.range(0, 37).createOrReplaceTempView("_ts37")
+    n = spark.sql("SELECT COUNT(*) AS n FROM _ts37 TABLESAMPLE (200 ROWS)").first()["n"]
+    assert n == 37
+    n = spark.sql("SELECT COUNT(*) AS n FROM _ts37 TABLESAMPLE (5 ROWS)").first()["n"]
+    assert n == 5
+
+
+# X194: untagged documents keep an empty-topics row.
+
+
+def test_keyword_tags_untagged_doc_kept(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [(1, "scan the stream"), (2, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "kw")
+    docs.write.parquet(f"{d}/documents.parquet")
+    from sparkflow_spark.queries import load_all, REGISTRY
+
+    load_all()
+    out = {
+        r["doc_id"]: (r["topics"], r["n_topics"])
+        for r in REGISTRY["t_keyword_topic_tags"].fn(spark, d).collect()
+    }
+    assert out[1] == ("exec,streaming", 2)
+    assert out[2] == ("", 0)
