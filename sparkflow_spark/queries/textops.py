@@ -1488,7 +1488,7 @@ _KEYWORD_TAG_ORACLE = """
 @register(
     "t_keyword_topic_tags",
     oracle=_KEYWORD_TAG_ORACLE,
-    tags=("text", "pipeline"),
+    tags=("text", "pipeline", "large-output"),
 )
 def t_keyword_topic_tags(spark: SparkSession, sf: str) -> DataFrame:
     """X194: per-document topic tags from a broadcast keyword
@@ -1523,5 +1523,4 @@ def t_keyword_topic_tags(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("topics", F.lit("")).alias("topics"),
             F.coalesce("n_topics", F.lit(0)).cast("long").alias("n_topics"),
         )
-        .transform(ordered, "doc_id")
-    )
+    )  # one row per document: large-output, unsorted by design
