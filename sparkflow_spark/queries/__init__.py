@@ -182,6 +182,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s_matryoshka_top1",  # X192
     "q141_tablesample_forms",  # X193
     "t_keyword_topic_tags",  # X194
+    # --- new this round, third batch (X195-X197) ---
+    "q142_url_analytics",  # X195
+    "q143_regexp_family",  # X196
+    "q144_observe_metrics",  # X197
     # --- steady-state re-samples: oldest driver-green first (r02) ---
     "q15_approx_count_distinct",
     "q24_except",
@@ -196,9 +200,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q48_string_agg",
     "q49_explode_top_shingles",
     "q50_array_ops",
-    "q51_sql_facade_cte",
-    "q52_asof_join",
-    "q53_offset_fetch",
     "q54_from_json",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -2852,3 +2852,162 @@ def q141_tablesample_forms(spark: SparkSession, sf: str) -> DataFrame:
         F.col("t").alias("total"),
     )
     return sql_counts.unionByName(df_leg).transform(ordered, "form")
+
+
+# ---------------------------------------------------------------------------
+# X195: web-corpus URL analytics (parse_url) — provenance parsing for a
+# C4-style web crawl: protocol/host/path/query-param/fragment pulled
+# out of full URLs. The URLs are synthesized deterministically from
+# document attributes IN-PLAN (ports on %3 rows, missing query on %5
+# rows, fragments on %11 rows — every branch of the parser live), so
+# the DuckDB replay can derive each component from the construction
+# rule: the hash match pins parse∘render == id on every edge shape,
+# the codec-entry pattern. HOST is pinned to EXCLUDE the port.
+
+_URL_ORACLE = """
+    SELECT doc_id,
+           'https' AS proto,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc-' || doc_id AS path,
+           CASE WHEN doc_id % 5 != 0
+                THEN 'ref=' || source || '&page=' || (doc_id % 7) END AS query,
+           CASE WHEN doc_id % 5 != 0
+                THEN CAST(doc_id % 7 AS BIGINT) END AS page,
+           CASE WHEN doc_id % 11 = 0 THEN 'top' END AS frag
+    FROM documents
+"""
+
+
+@register(
+    "q142_url_analytics",
+    oracle=_URL_ORACLE,
+    tags=("relational", "functions", "large-output"),
+)
+def q142_url_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """X195: parse_url over synthesized per-document URLs —
+    PROTOCOL/HOST/PATH/QUERY plus keyed QUERY-param extraction (cast to
+    long) and REF fragment; ports present on %3 rows (HOST must strip
+    them), query absent on %5 rows (NULL, not empty), fragment on %11
+    rows. Pure projection, zero shuffle, one row per document
+    (large-output, unsorted)."""
+    t = Tables(spark, sf)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("?ref="), F.col("source"), F.lit("&page="), F.col("doc_id") % 7
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    d = t.documents.select("doc_id", url.alias("u"))
+    return d.select(
+        "doc_id",
+        F.parse_url("u", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("page")).cast("long").alias("page"),
+        F.parse_url("u", F.lit("REF")).alias("frag"),
+    )  # one row per document: large-output, unsorted by design
+
+
+# ---------------------------------------------------------------------------
+# X196: the regexp function family breadth — regexp_count /
+# regexp_substr / regexp_instr / regexp_extract(group) /
+# regexp_extract_all / anchored rlike / global regexp_replace, all on
+# real customer rows. DuckDB lacks regexp_instr and defaults
+# regexp_replace to first-match; the replay emulates position via a
+# lazy prefix capture and passes the 'g' flag — dialect differences a
+# switch-user must know, encoded in the oracle.
+
+@register(
+    "q143_regexp_family",
+    oracle="""
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
+               regexp_extract(c_name, '[1-9][0-9]*|0$', 0) AS first_sig,
+               CAST(len(regexp_extract(c_name, '^(.*?)[0-9]', 1)) + 1 AS INT)
+                   AS digit_pos,
+               regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cust_id,
+               regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+               regexp_matches(c_mktsegment, '^[A-Z]+$') AS seg_alpha
+        FROM customer
+    """,
+    tags=("relational", "functions", "large-output"),
+)
+def q143_regexp_family(spark: SparkSession, sf: str) -> DataFrame:
+    """X196: regexp_count (digit tally), regexp_substr (first non-zero
+    digit run, with a '|0$' alternative so all-zero ids still match),
+    regexp_instr (position of first digit), regexp_extract with a
+    capture group, global regexp_replace masking, and an anchored
+    rlike. One projection over customer, zero shuffle, one row per
+    customer (large-output, unsorted)."""
+    t = Tables(spark, sf)
+    return t.customer.select(
+        "c_custkey",
+        F.regexp_count(F.col("c_name"), F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_substr(F.col("c_name"), F.lit("[1-9][0-9]*|0$")).alias("first_sig"),
+        F.regexp_instr(F.col("c_name"), F.lit("[0-9]")).alias("digit_pos"),
+        F.regexp_extract(F.col("c_name"), "Customer#([0-9]+)", 1).alias("cust_id"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "*").alias("masked"),
+        F.col("c_mktsegment").rlike("^[A-Z]+$").alias("seg_alpha"),
+    )  # one row per customer: large-output, unsorted by design
+
+
+# ---------------------------------------------------------------------------
+# X197: observe()/Observation — pipeline health metrics collected as a
+# SIDE EFFECT of the action the job already runs (no second scan): the
+# accumulator-backed path a 100 TB ingest uses to audit row counts and
+# value envelopes without paying another pass. The entry materializes
+# the observed metrics as a 1-row frame hash-checked against a direct
+# DuckDB aggregation — pinning that the observation lane computes
+# exactly what a dedicated aggregation would have.
+
+_OBSERVE_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           MIN(o_totalprice) AS min_tp,
+           MAX(o_totalprice) AS max_tp
+    FROM orders
+"""
+
+
+@register(
+    "q144_observe_metrics",
+    oracle=_OBSERVE_ORACLE,
+    tags=("relational", "observability"),
+    memo=False,  # eager: runs the observed action on call
+)
+def q144_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """X197: df.observe(Observation, ...) over the orders scan — count,
+    long-exact key sum, and min/max price envelope ride the noop write
+    as observed metrics (sum over longs, min/max over doubles: all
+    accumulation-order-independent, so the values are exact and
+    hash-comparable). Eager by design (memo=False): the observation
+    only exists after an action."""
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf)
+    obs = Observation(f"audit_{abs(hash(sf)) % 10**8}")
+    observed = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.max("o_totalprice").alias("max_tp"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n"], m["sum_key"], m["min_tp"], m["max_tp"])],
+        "n bigint, sum_key bigint, min_tp double, max_tp double",
+    )

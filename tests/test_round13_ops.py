@@ -545,3 +545,58 @@ def test_keyword_tags_untagged_doc_kept(spark, tmp_path):
     }
     assert out[1] == ("exec,streaming", 2)
     assert out[2] == ("", 0)
+
+
+# X195: parse_url edge goldens — port stripped from HOST, absent query
+# -> NULL (not ''), fragment extraction.
+
+
+def test_parse_url_edge_goldens(spark):
+    urls = [
+        ("https://h.example.com:8443/a/doc-2?ref=x&page=4#top",),
+        ("https://h.example.com/b/doc-5",),
+    ]
+    df = spark.createDataFrame(urls, "u string")
+    rows = df.select(
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("QUERY")).alias("q"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.parse_url("u", F.lit("REF")).alias("ref"),
+    ).collect()
+    assert rows[0]["host"] == "h.example.com"  # port stripped
+    assert rows[0]["page"] == "4" and rows[0]["ref"] == "top"
+    assert rows[1]["q"] is None and rows[1]["page"] is None and rows[1]["ref"] is None
+
+
+# X196: the all-zero id leg — regexp_substr('[1-9][0-9]*') alone would
+# return NULL for Customer#000000000; the '|0$' alternative pins '0'.
+
+
+def test_regexp_substr_zero_id_leg(spark):
+    df = spark.createDataFrame(
+        [("Customer#000000000",), ("Customer#000000123",)], "c_name string"
+    )
+    got = [
+        r["s"]
+        for r in df.select(
+            F.regexp_substr(F.col("c_name"), F.lit("[1-9][0-9]*|0$")).alias("s")
+        ).collect()
+    ]
+    assert got == ["0", "123"]
+
+
+# X197: observed metrics equal a direct aggregation of the same frame.
+
+
+def test_observe_equals_direct_agg(spark):
+    from pyspark.sql import Observation
+
+    df = spark.range(0, 100).withColumn("v", (F.col("id") * 2).cast("double"))
+    obs = Observation("t13")
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"),
+        F.max("v").alias("mx")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert (m["n"], m["s"], m["mx"]) == (100, 4950, 198.0)
