@@ -186,6 +186,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q142_url_analytics",  # X195
     "q143_regexp_family",  # X196
     "q144_observe_metrics",  # X197
+    # --- new this round, fourth batch (X198-X199) ---
+    "q145_approx_topk_merge",  # X198
+    "m07_minmax_scaler",  # X199a
+    "m08_string_indexer",  # X199b
     # --- steady-state re-samples: oldest driver-green first (r02) ---
     "q15_approx_count_distinct",
     "q24_except",
@@ -193,9 +197,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q41_union_all_agg",
     "q42_pivot",
     "q43_rank_family",
-    "q44_string_functions2",
-    "q45_date_functions2",
-    "q46_stats_agg",
     "q47_median_percentile",
     "q48_string_agg",
     "q49_explode_top_shingles",

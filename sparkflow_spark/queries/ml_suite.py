@@ -215,3 +215,97 @@ def m06(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", dec2(F.col("_p")).alias("pred"))
         .transform(ordered, "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X199: pyspark.ml.feature preprocessing — MinMaxScaler over the
+# embedding vectors (fit computes per-dimension min/max in one
+# distributed pass; transform is a narrow map) and StringIndexer's
+# frequency-ordered categorical encoding. Both are the feature-prep
+# stages the reference's estimator pipelines would precede training
+# with; both replayed exactly in DuckDB.
+
+
+@register(
+    "m07_minmax_scaler",
+    memo=False,  # fit() is eager work on every call
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS x1,
+                   CAST(embedding[2] AS DOUBLE) AS x2
+            FROM embeddings),
+        env AS (
+            SELECT MIN(x1) AS mn1, MAX(x1) AS mx1,
+                   MIN(x2) AS mn2, MAX(x2) AS mx2
+            FROM dims)
+        SELECT d.vec_id,
+               ROUND((d.x1 - e.mn1) / (e.mx1 - e.mn1), 4) AS s1,
+               ROUND((d.x2 - e.mn2) / (e.mx2 - e.mn2), 4) AS s2
+        FROM dims d, env e
+        ORDER BY d.vec_id
+    """,
+    tags=("ml", "feature"),
+)
+def m07_minmax_scaler(spark: SparkSession, sf: str) -> DataFrame:
+    """X199a: ml.feature.MinMaxScaler end to end — array_to_vector →
+    fit (per-dim min/max, one pass) → transform → vector_to_array; the
+    first two scaled dimensions hash-checked against the DuckDB
+    (x−min)/(max−min) replay at 4 dp (the scaler multiplies by a
+    precomputed 1/(max−min), which can differ from a literal division
+    in the last ulp — rounding pins the contract without pinning the
+    ulp). Eagerness note: fit() is an action (the one pass computing
+    the envelope); the returned transform is lazy."""
+    from pyspark.ml.feature import MinMaxScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    t = Tables(spark, sf)
+    vecs = t.embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    model = MinMaxScaler(inputCol="v", outputCol="s").fit(vecs)
+    arr = vector_to_array(F.col("s"))
+    return (
+        model.transform(vecs)
+        .select(
+            "vec_id",
+            F.round(arr.getItem(0), 4).alias("s1"),
+            F.round(arr.getItem(1), 4).alias("s2"),
+        )
+        .transform(ordered, "vec_id")
+    )
+
+
+@register(
+    "m08_string_indexer",
+    memo=False,  # fit() is eager work on every call
+    oracle="""
+        WITH cnt AS (
+            SELECT c_mktsegment AS seg, COUNT(*) AS n
+            FROM customer GROUP BY 1)
+        SELECT seg, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, seg ASC) - 1 AS DOUBLE)
+                   AS idx
+        FROM cnt ORDER BY seg
+    """,
+    tags=("ml", "feature"),
+)
+def m08_string_indexer(spark: SparkSession, sf: str) -> DataFrame:
+    """X199b: ml.feature.StringIndexer (frequencyDesc, the default) —
+    label → index mapping with Spark's documented tie rule (equal
+    frequencies sort alphabetically) hash-checked against the DuckDB
+    ROW_NUMBER replay; the output is the distinct (segment, count,
+    index) mapping, i.e. the fitted model's labels, not a per-row
+    copy."""
+    from pyspark.ml.feature import StringIndexer
+
+    t = Tables(spark, sf)
+    model = StringIndexer(
+        inputCol="c_mktsegment", outputCol="idx", stringOrderType="frequencyDesc"
+    ).fit(t.customer)
+    indexed = model.transform(t.customer)
+    return (
+        indexed.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.first("idx").alias("idx"))
+        .transform(ordered, "seg")
+    )

@@ -3011,3 +3011,66 @@ def q144_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         [(m["n"], m["sum_key"], m["min_tp"], m["max_tp"])],
         "n bigint, sum_key bigint, min_tp double, max_tp double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X198: MERGEABLE approx-top-k rollup (approx_top_k_accumulate /
+# _combine / _estimate — Spark 4.1 Datasketches frequent-items as
+# VALUES): q126 pinned the one-shot form; this pins the three-phase
+# lifecycle a 100 TB ingest needs — per-partition sketches persisted,
+# combined WITHOUT rescanning rows, estimated at read time. Per-day
+# event-type sketches are combined across each user cohort (user_id%4)
+# and the combined estimate is checked against the EXACT cohort top-2
+# (fixture cardinality: 5 types, maxItemsTracked 10 ≥ distinct items,
+# so the sketch is exact and must equal ground truth — checked against
+# truth, not another sketch).
+
+_ATK_MERGE_ORACLE = """
+    WITH cnt AS (
+        SELECT user_id % 4 AS cohort, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT cohort, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY cohort
+                                  ORDER BY n DESC, event_type) AS r
+        FROM cnt)
+    SELECT cohort, event_type, n FROM ranked WHERE r <= 2
+    ORDER BY cohort, event_type
+"""
+
+
+@register(
+    "q145_approx_topk_merge",
+    oracle=_ATK_MERGE_ORACLE,
+    tags=("relational", "sketch"),
+)
+def q145_approx_topk_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """X198: accumulate per (cohort, day) → combine per cohort →
+    estimate top-2. The day-level sketches are the persistable unit
+    (fixed-size state per group); the combine step is sketch addition —
+    no row rescan. Estimated (item, count) pairs exploded and
+    hash-checked against the exact replay. Sketch top-2 ties broken by
+    item for determinism (counts are exact at this cardinality)."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH day_sketch AS (
+            SELECT user_id % 4 AS cohort, date_trunc('DAY', ts) AS d,
+                   approx_top_k_accumulate(event_type, 10) AS sk
+            FROM events GROUP BY 1, 2),
+        cohort_sketch AS (
+            SELECT cohort, approx_top_k_combine(sk, 10) AS sk
+            FROM day_sketch GROUP BY cohort),
+        est AS (
+            SELECT cohort, explode(approx_top_k_estimate(sk, 5)) AS e
+            FROM cohort_sketch),
+        ranked AS (
+            SELECT cohort, e.item AS event_type, e.count AS n,
+                   ROW_NUMBER() OVER (PARTITION BY cohort
+                                      ORDER BY e.count DESC, e.item) AS r
+            FROM est)
+        SELECT cohort, event_type, CAST(n AS BIGINT) AS n
+        FROM ranked WHERE r <= 2
+        ORDER BY cohort, event_type
+        """
+    )

@@ -600,3 +600,97 @@ def test_observe_equals_direct_agg(spark):
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     assert (m["n"], m["s"], m["mx"]) == (100, 4950, 198.0)
+
+
+# ---------------------------------------------------------------------------
+# X200: ANALYZE TABLE + CBO — the statistics surface that decides join
+# strategies at 100 TB. Without column stats Spark sizes a FILTERED
+# relation by its file footprint (filter ignored) and plans a
+# sort-merge join; with ANALYZE ... FOR ALL COLUMNS + spark.sql.cbo the
+# filter's selectivity shrinks the estimate under the broadcast
+# threshold and the SAME query plans a broadcast hash join.
+
+
+def test_analyze_stats_flip_join_to_broadcast(spark):
+    spark.sql("DROP TABLE IF EXISTS r13_dim")
+    spark.sql("DROP TABLE IF EXISTS r13_fact")
+    try:
+        spark.range(0, 400_000).selectExpr(
+            "id AS k", "CAST(id % 97 AS LONG) AS grp"
+        ).write.saveAsTable("r13_dim")
+        spark.range(0, 400_000).selectExpr(
+            "id % 400000 AS k", "id AS v"
+        ).write.saveAsTable("r13_fact")
+        q = """
+            SELECT f.v, d.grp FROM r13_fact f
+            JOIN r13_dim d ON f.k = d.k WHERE d.grp = 3
+        """
+        conf = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024),
+            "spark.sql.adaptive.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in conf}
+        try:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            before = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+            # both scans' file footprints exceed the threshold and the
+            # filter is not costed without column stats -> no broadcast
+            assert "BroadcastHashJoin" not in before, before[:800]
+            spark.sql(
+                "ANALYZE TABLE r13_dim COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+            spark.sql("ANALYZE TABLE r13_fact COMPUTE STATISTICS")
+            after = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+            # grp=3 keeps ~1/97 of rows; CBO's filter estimation sinks
+            # the relation under the threshold -> broadcast
+            assert "BroadcastHashJoin" in after, after[:800]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r13_dim")
+        spark.sql("DROP TABLE IF EXISTS r13_fact")
+
+
+# X198: the sketch-merge lifecycle equals the one-shot sketch on the
+# same data (combine is associative addition).
+
+
+def test_approx_topk_combine_equals_oneshot(spark):
+    df = spark.createDataFrame(
+        [(i % 3, "abcde"[i % 5]) for i in range(200)], "part int, v string"
+    )
+    df.createOrReplaceTempView("r13_atk")
+    merged = spark.sql(
+        """
+        WITH per AS (SELECT part, approx_top_k_accumulate(v, 10) AS sk
+                     FROM r13_atk GROUP BY part)
+        SELECT approx_top_k_estimate(approx_top_k_combine(sk, 10), 5) AS e FROM per
+        """
+    ).first()["e"]
+    oneshot = spark.sql(
+        "SELECT approx_top_k_estimate(approx_top_k_accumulate(v, 10), 5) AS e FROM r13_atk"
+    ).first()["e"]
+    assert sorted((r["item"], r["count"]) for r in merged) == sorted(
+        (r["item"], r["count"]) for r in oneshot
+    )
+
+
+# X199: StringIndexer's documented tie rule — equal frequencies sort
+# alphabetically under frequencyDesc.
+
+
+def test_string_indexer_tie_rule(spark):
+    from pyspark.ml.feature import StringIndexer
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "s string"
+    )
+    m = StringIndexer(inputCol="s", outputCol="i").fit(df)
+    assert m.labels == ["a", "b", "c"]  # a/b tie at 2 -> alphabetical, c last
