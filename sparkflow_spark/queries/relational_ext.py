@@ -3074,3 +3074,45 @@ def q145_approx_topk_merge(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY cohort, event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X202: schema-evolving union — unionByName(allowMissingColumns=True),
+# the append shape when a new ingest batch carries added/dropped
+# columns: name-based alignment (not positional), absent columns NULL-
+# filled on either side. DuckDB replays with UNION ALL BY NAME.
+
+_UBN_ORACLE = """
+    SELECT * FROM (
+        SELECT o_orderkey AS okey, o_orderstatus AS status, o_totalprice AS tp
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey AS okey, o_orderpriority AS pri
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+"""
+
+
+@register(
+    "q146_union_by_name_missing",
+    oracle=_UBN_ORACLE,
+    tags=("relational", "set-op", "large-output"),
+)
+def q146_union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
+    """X202: two disjoint order slices with DIFFERENT schemas (one
+    carries status+price, the other priority) unioned by NAME with
+    missing columns NULL-filled — the batch-append path when the
+    producer's schema evolved. Column order is name-aligned on both
+    engines (the driver compare sorts columns by name anyway); narrow
+    plan, zero shuffle, large-output."""
+    t = Tables(spark, sf)
+    a = t.orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    b = t.orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
