@@ -382,23 +382,144 @@ def _percentile(rng: random.Random, t: Tables):
     return df, sql
 
 
+
+
+def _trysafe(rng: random.Random, t: Tables):
+    """ANSI-safe try_* arithmetic with randomized live error legs
+    (round-13 X185 surface): the NULL-safe tier must compute exactly
+    what explicit CASE guards compute, for any divisor modulus."""
+    m = rng.randint(2, 9)
+    kind = rng.choice(["div", "mod", "tonum"])
+    if kind == "div":
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % m).alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, CASE WHEN o_custkey % {m} = 0 THEN NULL "
+            f"ELSE o_totalprice / (o_custkey % {m}) END AS v FROM orders"
+        )
+    elif kind == "mod":
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.try_mod(F.col("o_orderkey"), F.col("o_custkey") % m).alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, CASE WHEN o_custkey % {m} = 0 THEN NULL "
+            f"ELSE o_orderkey % (o_custkey % {m}) END AS v FROM orders"
+        )
+    else:
+        n = rng.randint(1, 2)
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.try_to_number(F.substring("o_orderpriority", 1, n), F.lit("9" * n))
+            .cast("long")
+            .alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, TRY_CAST(substr(o_orderpriority, 1, {n}) "
+            "AS BIGINT) AS v FROM orders"
+        )
+    return df, sql
+
+
+def _interval(rng: random.Random, t: Tables):
+    """ANSI interval arithmetic (round-13 X189 surface): month-end
+    clamping and day offsets must agree across engines for any
+    randomized magnitude."""
+    months = rng.randint(1, 30)
+    days = rng.randint(1, 400)
+    kind = rng.choice(["ym", "dt", "diff"])
+    if kind == "ym":
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL '{months}' MONTH")).alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, o_orderdate + INTERVAL {months} MONTH AS v "
+            "FROM orders"
+        )
+    elif kind == "dt":
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderdate") - F.make_dt_interval(F.lit(days))).alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, o_orderdate - INTERVAL {days} DAY AS v "
+            "FROM orders"
+        )
+    else:
+        df = t.orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(
+                f"timestampdiff(DAY, o_orderdate, o_orderdate + INTERVAL '{months}' MONTH)"
+            ).alias("v"),
+        )
+        sql = (
+            f"SELECT o_orderkey AS k, date_diff('day', o_orderdate, "
+            f"o_orderdate + INTERVAL {months} MONTH) AS v FROM orders"
+        )
+    return df, sql
+
+
+def _regex(rng: random.Random, t: Tables):
+    """Regexp family (round-13 X196 surface) over customer names with
+    randomized digit-class patterns."""
+    d = rng.randint(0, 8)
+    kind = rng.choice(["count", "extract", "mask"])
+    if kind == "count":
+        df = t.customer.select(
+            F.col("c_custkey").alias("k"),
+            F.regexp_count(F.col("c_name"), F.lit(f"[{d}-9]")).alias("v"),
+        )
+        sql = (
+            f"SELECT c_custkey AS k, CAST(len(regexp_extract_all(c_name, "
+            f"'[{d}-9]')) AS INT) AS v FROM customer"
+        )
+    elif kind == "extract":
+        df = t.customer.select(
+            F.col("c_custkey").alias("k"),
+            F.regexp_extract(F.col("c_name"), f"#(0*[{d}-9][0-9]*)", 1).alias("v"),
+        )
+        sql = (
+            f"SELECT c_custkey AS k, regexp_extract(c_name, '#(0*[{d}-9][0-9]*)', 1) "
+            "AS v FROM customer"
+        )
+    else:
+        df = t.customer.select(
+            F.col("c_custkey").alias("k"),
+            F.regexp_replace(F.col("c_name"), f"[{d}-9]", "#").alias("v"),
+        )
+        sql = (
+            f"SELECT c_custkey AS k, regexp_replace(c_name, '[{d}-9]', '#', 'g') "
+            "AS v FROM customer"
+        )
+    return df, sql
+
+
 def _one(rng: random.Random, t: Tables):
     shape = rng.random()
-    if shape < 0.06:
+    if shape < 0.04:
+        return _trysafe(rng, t)
+    if shape < 0.08:
+        return _interval(rng, t)
+    if shape < 0.11:
+        return _regex(rng, t)
+    if shape < 0.16:
         return _groupingsets(rng, t)
-    if shape < 0.12:
+    if shape < 0.21:
         return _percentile(rng, t)
-    if shape < 0.2:
+    if shape < 0.28:
         return _outer_join(rng, t)
-    if shape < 0.24:
+    if shape < 0.32:
         return _window_frame(rng, t)
-    if shape < 0.36:
-        return _hof(rng, t)
     if shape < 0.42:
+        return _hof(rng, t)
+    if shape < 0.47:
         return _exists(rng, t)
-    if shape < 0.46:
+    if shape < 0.51:
         return _setop(rng, t)
-    if shape < 0.55:
+    if shape < 0.58:
         return _stringfn(rng, t)
     fcol, fsql = _filter(rng)
     keys = rng.choice([[], ["l_returnflag"], ["l_returnflag", "l_linestatus"]])
