@@ -3116,3 +3116,54 @@ def q146_union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# X203: the ×256 probe's bitmap counter-finding, FIXED — bitmap
+# exact-distinct state scales with key RANGE (bitmap_bit_position
+# buckets by value), so sparse/shifted key domains balloon the retained
+# bitmaps (SCALE.md round-13h: 15.7× wall for 4× rows). The production
+# remedy: remap keys to DENSE ranks first with the scale-safe two-phase
+# global_rank (X113 — range exchange + per-partition row_number +
+# broadcast offsets; no single-partition window), then bitmap the dense
+# ids. Distinct counts are invariant under the bijection, which is
+# exactly what the unchanged COUNT(DISTINCT) oracle pins.
+
+_BITMAP_DENSE_ORACLE = """
+    SELECT o_orderpriority AS pri,
+           COUNT(DISTINCT o_custkey) AS distinct_dense
+    FROM orders GROUP BY 1 ORDER BY pri
+"""
+
+
+@register(
+    "q147_bitmap_dense_remap",
+    oracle=_BITMAP_DENSE_ORACLE,
+    tags=("relational", "sketch", "agg"),
+)
+def q147_bitmap_dense_remap(spark: SparkSession, sf: str) -> DataFrame:
+    """X203: dense-remap bitmap distinct — distinct custkeys ranked
+    1..n by global_rank (dense by construction), joined back (a
+    key-sized shuffle join, deliberately NOT broadcast — the dictionary
+    is corpus-sized at 100 TB), bitmaps built over the dense ids:
+    bucket count is now ⌈cardinality/32768⌉ regardless of the raw key
+    domain's sparseness. Same COUNT DISTINCT oracle as X188's direct
+    level — the bijection invariance is the contract."""
+    from sparkflow_spark.operators import global_rank
+
+    t = Tables(spark, sf)
+    base = t.orders.select(
+        "o_orderpriority", (F.col("o_custkey") + 1).alias("k")
+    )
+    dense = global_rank(base.select("k").distinct(), ["k"], rank_col="dk")
+    remapped = base.join(dense, "k")
+    return (
+        remapped.groupBy(
+            "o_orderpriority", F.bitmap_bucket_number("dk").alias("bucket")
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("dk")).alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_dense"))
+        .select(F.col("o_orderpriority").alias("pri"), "distinct_dense")
+        .transform(ordered, "pri")
+    )
