@@ -69,6 +69,7 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
         "Generate node and cannot see the 1-row aggregate beneath it",
     },
     "q81_customer_deciles": {"sp_sort": _GLOBAL_RANK_OFFSETS},
+    "q147_bitmap_dense_remap": {"sp_sort": _GLOBAL_RANK_OFFSETS},
     "q102_equiheight_histogram": {"sp_sort": _GLOBAL_RANK_OFFSETS},
     "p_negative_pairs": {"sp_sort": _GLOBAL_RANK_OFFSETS},
     "d_sorted_neighborhood_pairs": {"sp_sort": _GLOBAL_RANK_OFFSETS},
