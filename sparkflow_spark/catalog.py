@@ -126,6 +126,45 @@ def tune_scan_parallelism(spark: SparkSession, sf_dir: str) -> None:
     _SCAN_TUNED.add(key)
 
 
+def fan_out(df: DataFrame, per_core: int = 1) -> DataFrame:
+    """Round-robin repartition a SMALL input across the cores before a
+    pair-expanding operation (r13 optimization, guide §2.5 "input skew
+    … otherwise repartition immediately after the read").
+
+    Candidate/pair-scoring streams multiply each input row into many
+    candidate rows (probes × corpus, anchors × cell), and a chain of
+    broadcast joins PRESERVES the input's partitioning — so a
+    one-row-group parquet scan (parquet cannot split below a row group,
+    whatever ``maxPartitionBytes`` says) pins millions of candidate
+    evaluations onto ONE core of the box. Measured at sf0.1/local[32]:
+    the hard-negative family ran its entire scoring stage single-task.
+
+    The guard is scale-adaptive, from the optimizer's size stats (a
+    driver-side py4j call on the logical plan — microseconds, no job,
+    same probe as dedup._resolve_index_partitions): an input already
+    carrying at least one scan-split's worth of bytes per core is
+    returned UNCHANGED — at production scale the scan parallelism is
+    already there and no exchange is added. Stats-less plans report
+    the Long.MaxValue sentinel → treated as large → unchanged. The
+    round-robin exchange this inserts on small inputs is deterministic
+    (sort-before-repartition is on by default) and costs only the tiny
+    input's bytes, never the expanded pair stream's.
+    """
+    spark = df.sparkSession
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        # the session sets this as a plain byte count (tune_scan_parallelism);
+        # a unit-suffixed form ("128MB") falls back to the Spark default
+        split = int(raw) if raw.strip().isdigit() else 128 << 20
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if size >= min(cores * split, 1 << 60):
+        return df
+    return df.repartition(cores * per_core)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -734,8 +734,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+        # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
+        # convergence count. The count is an action, so an un-truncated
+        # new_labels re-executed every round since the last checkpoint —
+        # and the next round's count re-executed them again (~r²/2
+        # redundant join rounds per checkpoint_every window, measured
+        # 11.9 s → ~5 s at sf0.1). One materialization per round means
+        # the count AND round i+1 both read the same cached blocks;
+        # stale label blocks are ContextCleaner-reclaimed.
+        # ``checkpoint_every`` is retained for API compatibility but the
+        # every-round eager truncation supersedes it.
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -884,8 +893,13 @@ def embedding_near_duplicates_ann(
     )
     # materialize once: both candidate sides reference sigs, and the
     # signature pandas_udf never canonicalizes equal across references
-    # (same pattern as minhash/simhash above)
-    sigs = sigs.localCheckpoint(eager=False)
+    # (same pattern as minhash/simhash above). r13: fanned across the
+    # cores first — the multi-probe explode and the bucket equi-join
+    # stream otherwise inherit the scan's single row-group partition
+    # (fan_out is a scale-adaptive no-op on large inputs).
+    from sparkflow_spark.catalog import fan_out
+
+    sigs = fan_out(sigs).localCheckpoint(eager=False)
 
     a = sigs.select(F.col("tbl"), F.col("sig").alias("code"), F.col(id_col).alias("id_a"))
     b = sigs.select(
@@ -929,10 +943,18 @@ def embedding_near_duplicates(
     """
     from sparkflow_spark.functions.vector import dot_batched, l2_norm
 
-    a = df.select(
+    from sparkflow_spark.catalog import fan_out
+
+    # r13: fan BOTH sides of the n² nested loop across the cores —
+    # whichever side the planner streams (the other is broadcast), a
+    # one-row-group parquet scan otherwise scores every pair on one
+    # task (scale-adaptive no-op on large inputs; this path is the
+    # labeled exactness oracle, the ANN path is the production one)
+    fanned = fan_out(df)
+    a = fanned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("_na")
     )
-    b = df.select(
+    b = fanned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2_norm(vec_col).alias("_nb")
     )
     den = F.col("_na") * F.col("_nb")

@@ -210,6 +210,12 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY doc_id
     """,
     tags=("dedup", "iterative"),
+    # r13: routes through connected_components, whose per-round eager
+    # localCheckpoints would be reused by a memoized plan's repeat
+    # invocations (block reads, not recomputation) — memo=False keeps
+    # every invocation computing from the parquet scans (the
+    # g_connected_components precedent).
+    memo=False,
 )
 def d_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dedup: exact-Jaccard pairs (≥0.5) → connected
@@ -435,6 +441,12 @@ def d_containment(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY doc_id
     """,
     tags=("dedup", "iterative"),
+    # r13: routes through connected_components, whose per-round eager
+    # localCheckpoints would be reused by a memoized plan's repeat
+    # invocations (block reads, not recomputation) — memo=False keeps
+    # every invocation computing from the parquet scans (the
+    # g_connected_components precedent).
+    memo=False,
 )
 def d_near_dedup_longest(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dedup with the PRODUCTION keep rule: per connected
@@ -900,6 +912,12 @@ def d_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY entity_id
     """,
     tags=("dedup", "iterative", "join"),
+    # r13: routes through connected_components, whose per-round eager
+    # localCheckpoints would be reused by a memoized plan's repeat
+    # invocations (block reads, not recomputation) — memo=False keeps
+    # every invocation computing from the parquet scans (the
+    # g_connected_components precedent).
+    memo=False,
 )
 def d_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end entity resolution over part names — the classic

@@ -213,18 +213,39 @@ def q40e(spark: SparkSession, sf: str) -> DataFrame:
 def q40f(spark: SparkSession, sf: str) -> DataFrame:
     """cogroup().applyInPandas — the custom two-sided grouped operator:
     events and orders cogrouped on their key, merged per-key in pandas.
-    Oracle is the equivalent FULL JOIN of group counts."""
+    Oracle is the equivalent FULL JOIN of group counts.
+
+    r13 (guide §4.2): cogroup on a BUCKET of the key, not the raw key —
+    applyInPandas pays ~1 ms of fixed Python/pandas overhead per GROUP
+    invocation, so 15 k distinct keys cost ~18 s in per-key calls while
+    moving only 250 k longs. Bucketing to 64 groups keeps the same
+    FlatMapCoGroupsInPandas plan and the same per-key counts (each
+    key's rows land in exactly one bucket on both sides — pmod of the
+    key), but the per-key merge becomes two vectorized value_counts
+    inside each bucket: 64 boundary crossings instead of 15 k.
+    Measured isolated at sf0.1: steady 18.4 s → sub-second."""
     t = Tables(spark, sf)
-    ev = t.events.select(F.col("user_id").alias("k"))
-    od = t.orders.select(F.col("o_custkey").alias("k"))
+    nb = 64  # buckets: enough for core balance, invariant to key count
+    ev = t.events.select(
+        F.col("user_id").alias("k"), F.pmod("user_id", F.lit(nb)).alias("_b")
+    )
+    od = t.orders.select(
+        F.col("o_custkey").alias("k"), F.pmod("o_custkey", F.lit(nb)).alias("_b")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        key = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        ne = left["k"].value_counts()
+        no = right["k"].value_counts()
+        keys = ne.index.union(no.index)
         return pd.DataFrame(
-            {"k": [key], "n_events": [len(left)], "n_orders": [len(right)]}
+            {
+                "k": keys.to_numpy(dtype="int64"),
+                "n_events": ne.reindex(keys, fill_value=0).to_numpy(dtype="int64"),
+                "n_orders": no.reindex(keys, fill_value=0).to_numpy(dtype="int64"),
+            }
         )
 
-    out = ev.groupBy("k").cogroup(od.groupBy("k")).applyInPandas(
+    out = ev.groupBy("_b").cogroup(od.groupBy("_b")).applyInPandas(
         merge, schema="k long, n_events long, n_orders long"
     )
     return out.transform(ordered, "k")

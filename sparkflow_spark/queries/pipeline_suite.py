@@ -2623,6 +2623,14 @@ def p_classifier_filter_e2e(spark: SparkSession, sf: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("prob"),
     )
+    # r13 (guide §1.3/§4): the percentile aggregate AND the kept-rows
+    # filter both reference `scored`, whose python-scored subplan never
+    # canonicalizes equal across references — the before-plan ran the
+    # whole featurize+ArrowEvalPython scoring chain TWICE (two parallel
+    # Scan→ArrowEvalPython legs). One lazy materialization of the
+    # narrow (doc_id, z256, prob) frame scores the corpus once; both
+    # consumers read the ~24 B/row result. Values unchanged.
+    scored = scored.localCheckpoint(eager=False)
     thr = scored.agg(F.percentile("z256", 0.25).alias("t"))
     return (
         scored.join(F.broadcast(thr))

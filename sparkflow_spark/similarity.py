@@ -23,7 +23,13 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from sparkflow_spark.functions.vector import cosine_similarity, dot, l2_norm
+from sparkflow_spark.catalog import fan_out
+from sparkflow_spark.functions.vector import (
+    cosine_similarity,  # noqa: F401 — re-exported (external callers)
+    dot,
+    dot_seq,
+    l2_norm,
+)
 
 
 def _round6_half_away(x: float) -> float:
@@ -59,14 +65,18 @@ def brute_force_topk(
     p = probes.select(
         F.col(probe_id), F.col(vec_col).alias("_pvec"), l2_norm(vec_col).alias("_pnorm")
     )
-    c = corpus.select(
+    # r13: fan the corpus across the cores — the broadcast pair join
+    # preserves the scan's partitioning, and a one-row-group parquet
+    # input otherwise scores every probes×corpus pair on one task
+    # (fan_out is a scale-adaptive no-op on large inputs)
+    c = fan_out(corpus).select(
         F.col(corpus_id), F.col(vec_col).alias("_cvec"), l2_norm(vec_col).alias("_cnorm")
     )
     den = F.col("_pnorm") * F.col("_cnorm")
     scored = c.join(F.broadcast(p)).select(
         probe_id,
         corpus_id,
-        F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
+        F.when(den != 0, dot_seq("_pvec", "_cvec") / den).alias("cosine"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -131,7 +141,11 @@ def ivf_topk(
         if len(_IVF_MODEL_CACHE) >= 16:
             _IVF_MODEL_CACHE.pop(next(iter(_IVF_MODEL_CACHE)))
         _IVF_MODEL_CACHE[cache_key] = (corpus, model)
-    assigned = model.transform(feats).select(
+    # r13: fan the assigned corpus across the cores AFTER the fit (the
+    # k-means|| init samples by partition, so the model must see the
+    # original layout) — the broadcast probe join otherwise scores all
+    # probed-cell candidates in the scan's single row-group partition
+    assigned = model.transform(fan_out(feats)).select(
         corpus_id, F.col(vec_col).alias("_cvec"), l2_norm(vec_col).alias("_cn"), "_cell"
     )
     centroids = np.stack(model.clusterCenters())  # O(n_centroids·dim): driver-safe
@@ -157,7 +171,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(p), on="_cell").select(
         probe_id,
         corpus_id,
-        F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
+        F.when(den != 0, dot_seq("_pvec", "_cvec") / den).alias("cosine"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -287,7 +301,10 @@ def lsh_topk(
             F.posexplode(rh_signatures_batched(vec_col, tables)).alias("tbl", "sig"),
         )
 
-    c_sig = signatures(corpus.select(F.col(corpus_id), F.col(vec_col)), corpus_id)
+    # r13: fan the corpus side across the cores — the broadcast bucket
+    # join keeps the scan's single row-group partition through candidate
+    # generation otherwise (scale-adaptive no-op on large inputs)
+    c_sig = signatures(fan_out(corpus).select(F.col(corpus_id), F.col(vec_col)), corpus_id)
     p_sig = signatures(probes.select(F.col(probe_id), F.col(vec_col)), probe_id)
 
     candidates = (
@@ -295,10 +312,26 @@ def lsh_topk(
         .select(probe_id, corpus_id, f"_{probe_id}_vec", f"_{corpus_id}_vec")
         .dropDuplicates([probe_id, corpus_id])
     )
-    scored = candidates.select(
+    # r13: cosine_similarity() recomputed BOTH norms per candidate PAIR
+    # through the interpreted HOF fold (~4·dim evals/pair); norms are
+    # per-vector quantities — stage them per side and run the pair dot
+    # through the bit-exact Arrow kernel. Same values: the norm
+    # expression is unchanged (just evaluated once per vector), the dot
+    # is dot()'s exact left-to-right chain, the zero-norm guard is the
+    # same den != 0.
+    den = F.col("_pn") * F.col("_cn")
+    scored = candidates.join(
+        F.broadcast(probes.select(F.col(probe_id), l2_norm(vec_col).alias("_pn"))),
+        probe_id,
+    ).join(
+        corpus.select(F.col(corpus_id), l2_norm(vec_col).alias("_cn")), corpus_id
+    ).select(
         probe_id,
         corpus_id,
-        cosine_similarity(f"_{probe_id}_vec", f"_{corpus_id}_vec").alias("cosine"),
+        F.when(
+            den != 0,
+            dot_seq(f"_{probe_id}_vec", f"_{corpus_id}_vec") / den,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -456,7 +489,12 @@ def pq_topk(
     # (python subplans never canonicalize equal, so it would EXECUTE
     # again) — filtering on vec_col lets column pruning drop the UDF
     # from every branch that doesn't read its output.
-    c = corpus.where(F.col(vec_col).isNotNull()).select(
+    # r13: fan the corpus across the cores before the ADC scan — the
+    # broadcast LUT join preserves the scan's partitioning, and a
+    # one-row-group parquet input otherwise ADC-scores every
+    # probes×corpus row on one task (codebook training above still
+    # samples the ORIGINAL corpus, so the books are unchanged)
+    c = fan_out(corpus).where(F.col(vec_col).isNotNull()).select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
         l2_norm(vec_col).alias("_cn"),
@@ -500,7 +538,7 @@ def pq_topk(
         .select(
             probe_id,
             corpus_id,
-            F.when(den != 0, dot("_pvec", "_cvec") / den).alias("cosine"),
+            F.when(den != 0, dot_seq("_pvec", "_cvec") / den).alias("cosine"),
         )
     )
     w2 = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
@@ -555,6 +593,16 @@ def mmr_rerank_unrolled(
         "_ib",
         F.when(den != 0, dot("_va", "_vb") / den).otherwise(F.lit(0.0)).alias("_sim"),
     )
+    # r13 (guide §5.4 iterative-lineage rule): the K unrolled rounds
+    # each reference sims/slim AND the whole chain of previous rounds —
+    # left un-truncated, round r's logical plan nests every earlier
+    # round's window+joins, and Catalyst re-optimizes (and re-executes)
+    # the growing tree each round: ~12 s of mostly driver-side planning
+    # for a pool²-bounded (tiny) sim table. Materializing the two
+    # round-invariant inputs once and the (≤ k·probes)-row `picked`
+    # union per round keeps every round's plan flat. Values unchanged —
+    # these frames are deterministic and are simply computed once.
+    sims = sims.localCheckpoint(eager=False)
     one_minus = 1.0 - lam  # the IEEE value the greedy kernel uses
 
     def _pick(scored: DataFrame, rank: int) -> DataFrame:
@@ -565,7 +613,7 @@ def mmr_rerank_unrolled(
             .select("_p", "_i", F.lit(rank).alias("_rank"), F.col("_mmr").alias("_score"))
         )
 
-    slim = c.select("_p", "_i", "_rel")
+    slim = c.select("_p", "_i", "_rel").localCheckpoint(eager=False)
     sel = _pick(
         slim.withColumn(
             "_mmr", F.lit(lam) * F.col("_rel") - F.lit(one_minus) * F.lit(0.0)
@@ -594,7 +642,9 @@ def mmr_rerank_unrolled(
             ),
             r,
         )
-        picked = picked.unionByName(nxt)
+        # truncate per round: round r+1's anti-join and div join read a
+        # materialized ≤ (r·probes)-row table, not the nested plan
+        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
     return picked.select(
         F.col("_p").alias(probe_col),
         F.col("_rank").alias("mmr_rank"),

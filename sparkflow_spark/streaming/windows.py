@@ -181,9 +181,13 @@ def run_stream_to_memory(
         last_pid, last_count, empty_quiet = None, -1, 0
         while _time.time() < deadline:
             prog = q.lastProgress
-            n = spark.table(name).count()
             if prog is not None and prog["batchId"] != last_pid:
-                # a batch completed since the last poll
+                # a batch completed since the last poll. The sink count
+                # (a Spark job) runs ONLY here — r13: counting on every
+                # 0.1 s poll fired hundreds of driver jobs that contended
+                # with the stream's own micro-batches; the protocol only
+                # ever consumes the count taken at a batch boundary.
+                n = spark.table(name).count()
                 if prog["numInputRows"] == 0 and n == last_count:
                     empty_quiet += 1
                 else:
