@@ -93,6 +93,17 @@ def learn_bpe_merges(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(_codepoint_chars(F.col("word")).alias("syms"), "freq")
     )
+    # r13: size the checkpointed vocab's partition count from optimizer
+    # stats instead of inheriting the session shuffle width — every one
+    # of the n_merges iteration jobs re-reads the checkpoint, so a
+    # 21k-row vocab spread over 32 partitions paid 8 × 32 task launches
+    # for 8 × ~1 MB of work; at real |V| the byte-derived count grows
+    # with the data (guide §2.2: fewer, larger partitions)
+    from sparkflow_spark.catalog import write_partitions
+
+    n_parts = write_partitions(vocab, per_file_bytes=32 << 20)
+    if n_parts is not None:
+        vocab = vocab.repartition(n_parts)
     vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     pair_structs = F.transform(

@@ -165,6 +165,31 @@ def fan_out(df: DataFrame, per_core: int = 1) -> DataFrame:
     return df.repartition(cores * per_core)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for a plan (bytes), or None when stats
+    are unavailable (Long.MaxValue sentinel / LogicalRDD). Driver-side
+    py4j call on the logical plan — microseconds, no job."""
+    try:
+        v = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    return None if v >= (1 << 62) else v
+
+
+def write_partitions(
+    df: DataFrame, per_file_bytes: int = 64 << 20, minimum: int = 1
+) -> int | None:
+    """Scale-adaptive output-file sizing (guide §6 small-files): the
+    partition count that lands ``df`` in ~``per_file_bytes`` files,
+    derived from optimizer stats. None when stats are unavailable —
+    caller keeps the plan's own partitioning (never guess blind)."""
+    size = plan_size_bytes(df)
+    if size is None:
+        return None
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(minimum, min(size // per_file_bytes + 1, cores * 4))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

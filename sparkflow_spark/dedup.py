@@ -1440,31 +1440,53 @@ def prefix_filter_jaccard_pairs(
     (df, hash) instead of (df, text) — any global total order satisfies
     the prefix theorem. The per-doc array is array_distinct by
     construction, so the former explode+distinct shuffle is gone too.
+
+    r13 dataflow restructure (guide §8: decide on a lightweight proxy,
+    touch the payload once): the per-doc shingle-hash ARRAY is computed
+    in ONE pass over the text and localCheckpoint'd — the old DAG
+    re-ran the tokenize+shingle scan in four branches (sizes, dfreq,
+    ranked, verify arrays), and the prefix self-join's a/b legs each
+    dragged a full copy of the scan→join→window subtree into the plan.
+    Now: ``arr`` (id, hashes[], n) is the only consumer of the text;
+    ``sizes`` is ``size(arr)`` (no groupBy), the verify relation IS
+    ``arr`` (no collect_list re-group), and the ranked prefix table is
+    checkpointed before the self-join so the window runs once. Same
+    operators, same output — the oracle is the full uncapped join.
     """
-    docs = df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    sh = docs.select(
+    docs = df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    from sparkflow_spark.catalog import fan_out
+
+    # spread the one-pass tokenize+shingle across cores: a broadcast-
+    # free single-row-group scan otherwise computes every array in one
+    # task (no-op at scale — see fan_out's size guard)
+    docs = fan_out(docs)
+    arr = docs.select(
         "_id",
-        F.explode(
-            shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k)
-        ).alias("sh"),
-    )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        shingle_hashes_from_tokens(lower_tokens(F.col(text_col)), shingle_k).alias(
+            "_arr"
+        ),
+    ).withColumn("n", F.size("_arr"))
+    # materialized once per run (lazy: inside the timed action), read by
+    # the explode leg and both verify legs; O(8 bytes/shingle) — the
+    # guide-§8 "fingerprints only" proxy table, payload text read once
+    arr = arr.localCheckpoint(eager=False)
+    sh = arr.select("_id", "n", F.explode("_arr").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     # one GLOBAL canonical token order: ascending df, ties by value —
     # positions are consistent across docs, which the positional bound
     # below relies on (shared token u < w  =>  pos_x(u) < pos_x(w) and
     # pos_y(u) < pos_y(w)).
     w = Window.partitionBy("_id").orderBy("_df", "sh")
-    ranked = (
-        sh.join(dfreq, "sh")
-        .join(sizes, "_id")
-        .withColumn("_pos", F.row_number().over(w))
+    ranked = sh.join(dfreq, "sh").withColumn("_pos", F.row_number().over(w))
+    prefix = (
+        ranked.where(
+            F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("sh", "_id", "n", "_pos")
+        # tiny (4 narrow cols × prefix rows); both self-join legs read
+        # it instead of re-running scan→join→window
+        .localCheckpoint(eager=False)
     )
-    prefix = ranked.where(
-        F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("sh", "_id", "n", "_pos")
     a = prefix.select(
         F.col("sh"),
         F.col("_id").alias("id_a"),
@@ -1510,25 +1532,24 @@ def prefix_filter_jaccard_pairs(
     )
     # per-doc shingle sets as arrays: verification joins candidates to
     # two 1-row-per-doc relations instead of exploding every candidate
-    # by its full shingle list. `sh` is distinct, so array_intersect's
-    # (deduplicating) size is the exact intersection cardinality.
-    arrs = sh.groupBy("_id").agg(
-        F.collect_list("sh").alias("_arr"), F.count(F.lit(1)).alias("_n")
-    )
+    # by its full shingle list. `_arr` is distinct by construction, so
+    # array_intersect's (deduplicating) size is the exact intersection
+    # cardinality. The relation IS the checkpointed `arr` — the old
+    # explode → collect_list round trip rebuilt what we started with.
     inter = (
         cand.join(
-            arrs.select(
+            arr.select(
                 F.col("_id").alias("id_a"),
                 F.col("_arr").alias("_arr_a"),
-                F.col("_n").alias("na"),
+                F.col("n").alias("na"),
             ),
             "id_a",
         )
         .join(
-            arrs.select(
+            arr.select(
                 F.col("_id").alias("id_b"),
                 F.col("_arr").alias("_arr_b"),
-                F.col("_n").alias("nb"),
+                F.col("n").alias("nb"),
             ),
             "id_b",
         )
@@ -1582,7 +1603,11 @@ def exact_substring_spans(
     gram partition detects cross-doc duplication (no count-distinct, no
     self-join, boilerplate grams cost one window partition instead of
     an O(df²) join bucket), then ONE doc-keyed exchange for the
-    gaps-and-islands merge.
+    gaps-and-islands merge. (r13 note: an agg+semi-join variant of the
+    prescreen — groupBy(gram) min/max, then join the duplicated-gram
+    set back — measured SLOWER here: it consumes the gram subtree
+    twice and re-plans the flagged stream per leg, while the window
+    reads it once; change measured, reverted.)
 
     ``gram_key`` picks the shuffle key for the cross-doc prescreen:
 

@@ -138,7 +138,17 @@ def build_lsh_index(
         "seed": seed,
         "hash_family": hash_family,
     }
-    sigs = _signatures(df, params)
+    from sparkflow_spark.catalog import fan_out, write_partitions
+
+    # parallelize signing (a one-row-group scan otherwise runs the
+    # md5/xxhash explode map-side in ONE task) and size the output
+    # files from optimizer stats (guide §6) — both no-ops at scale
+    sigs = _signatures(fan_out(df), params)
+    n_out = write_partitions(sigs)
+    if n_out is not None:
+        # repartition AFTER signing: keeps the signing parallel, lands
+        # sigs/ in ~64 MB files instead of one per shuffle partition
+        sigs = sigs.repartition(n_out)
     # the signature pandas stage feeds two writers; materialize once.
     # WRITE ORDER CONTRACT (here and in append_to_lsh_index): sigs/
     # BEFORE buckets/. The two writes are separate jobs, not a
@@ -153,6 +163,11 @@ def build_lsh_index(
     # Writing sigs first makes the failure mode the recoverable one.
     sigs = sigs.localCheckpoint(eager=False)
     out = _banded(sigs, num_hashes, bands, id_col, hash_family).drop("sig")
+    if n_out is not None:
+        # (band, bucket) keys spread band data over n_out tasks; the
+        # partitionBy writer then lands ~n_out files per band dir
+        # instead of one per shuffle partition
+        out = out.repartition(n_out, "band", "bucket")
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
     with open(os.path.join(path, _PARAMS_FILE), "w") as f:
@@ -251,11 +266,18 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
     so a re-run stores a second copy of the delta's signatures —
     doubled storage and duplicated candidate rows for those ids."""
     p = load_params(path)
-    sigs = _signatures(new_df, p)
+    from sparkflow_spark.catalog import fan_out, write_partitions
+
+    sigs = _signatures(fan_out(new_df), p)
+    n_out = write_partitions(sigs)
+    if n_out is not None:
+        sigs = sigs.repartition(n_out)
     sigs = sigs.localCheckpoint(eager=False)
     out = _banded(
         sigs, p["num_hashes"], p["bands"], p["id_col"], p.get("hash_family", "xxhash64")
     ).drop("sig")
+    if n_out is not None:
+        out = out.repartition(n_out, "band", "bucket")
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
     out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
 

@@ -902,33 +902,46 @@ def heavy_hitters(
 
     def mg(batches):
         # Counters key on a string rendering (stable, hashable for any
-        # type), but each counter ALSO keeps the first original value it
-        # saw — the candidate frame emits the ORIGINAL values in the
+        # type), but each counter ALSO keeps one original value per key
+        # — the candidate frame emits the ORIGINAL values in the
         # column's own type, so no string→type cast ever happens on the
         # recount path (a string round-trip is not value-preserving for
         # float/timestamp/decimal keys and would silently drop
         # candidates despite the EXACT output contract).
-        counters: dict = {}
-        originals: dict = {}
+        #
+        # r13 (guide §4.2): vectorized MG-summary MERGE instead of a
+        # per-ROW interpreted loop. Each Arrow batch is counted exactly
+        # (value_counts — an MG summary with zero error), merged into
+        # the running counters by addition, then shrunk back to ≤ cap
+        # entries by subtracting the (cap+1)-th largest count from all
+        # and dropping the non-positive — the standard mergeable-
+        # summaries operation (Agarwal et al., PODS'12), which keeps
+        # the total undercount ≤ n/k, so every true-heavy key still
+        # survives the sweep. Candidate SETS can differ from the
+        # row-at-a-time sweep's; the exact pass-2 recount makes the
+        # final output identical either way. Persistent state stays
+        # ≤ cap counters; the per-batch count is transient and bounded
+        # by the Arrow batch already in memory.
+        run = None  # pd.Series: index _k, value running count
+        originals = None  # pd.Series: index _k, value original value
         for pdf in batches:
-            for key, orig in zip(pdf["_k"], pdf[key_col]):
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < cap:
-                    counters[key] = 1
-                    originals[key] = orig
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
-                        del originals[c]
-        if counters:
-            yield pd.DataFrame({key_col: [originals[c] for c in counters]})
+            if not len(pdf):
+                continue
+            cnts = pdf["_k"].value_counts(sort=False)
+            firsts = pdf.drop_duplicates("_k").set_index("_k")[key_col]
+            if run is None:
+                run, originals = cnts.astype("int64"), firsts
+            else:
+                run = run.add(cnts, fill_value=0)
+                new = firsts[~firsts.index.isin(originals.index)]
+                if len(new):
+                    originals = pd.concat([originals, new])
+            if len(run) > cap:
+                t = run.nlargest(cap + 1).iloc[-1]
+                run = run[run > t] - t
+                originals = originals[originals.index.isin(run.index)]
+        if run is not None and len(run):
+            yield pd.DataFrame({key_col: originals.loc[run.index].to_numpy()})
 
     cand_schema = df.select(key_col).schema
     keyed = df.select(
@@ -1366,11 +1379,13 @@ def bloom_might_contain(
     @F.pandas_udf("boolean")
     def _hit(pos):
         bm = bvar.value
-        out = []
-        for arr in pos:
-            p = np.asarray(arr, dtype=np.int64)
-            out.append(bool(np.all(bm[p >> 3] & (1 << (p & 7)).astype(np.uint8))))
-        return pd.Series(out)
+        if not len(pos):
+            return pd.Series([], dtype="bool")
+        # r13 (guide §4.2): one vectorized (n, k) gather instead of a
+        # per-row Python loop — positions arrive as fixed-width k-arrays
+        p = np.vstack(pos.to_numpy()).astype(np.int64, copy=False)
+        bits = bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)
+        return pd.Series(np.all(bits != 0, axis=1))
 
     return _hit(_bloom_positions(col, nb, int(k)))
 

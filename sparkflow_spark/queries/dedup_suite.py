@@ -132,6 +132,10 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY id_a, id_b
     """,
     tags=("dedup", "join", "lossless"),
+    # r13: fn localCheckpoints the shingle-array proxy table; a memoized
+    # plan would re-read those blocks on repeat passes instead of
+    # recomputing from parquet
+    memo=False,
 )
 def d_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs ≥ 0.5 via LOSSLESS prefix

@@ -252,7 +252,9 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     return (
         with_tokens(t.documents.select("doc_id", "text"))
         .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
-        .distinct()
+        # r13: no .distinct() — shingles_from_tokens is array_distinct
+        # per doc, so (doc_id, shingle) is already unique and the
+        # dedup was a redundant full exchange (guide §2.4)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "shingle")

@@ -1409,35 +1409,55 @@ def t_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     count, and the compression ratio the 8 merges bought.
 
     Spark shape: training is 8 bounded jobs over the (word, freq)
-    table (bpe.learn_bpe_merges); encoding is a PURE-EXPRESSION
-    transform (bpe.apply_bpe_merges folds each merge over per-word
-    symbol arrays -- no Python, no shuffle, scan-bound) so the encode
-    pass at 100 TB is one codegen'd map over documents.
+    table (bpe.learn_bpe_merges); encoding applies the merge folds to
+    each DISTINCT word once (r13, guide §8 "decide with small rows"):
+    BPE tokenization is a pure function of the word, so the |merges|
+    chained fold expressions — interpreted HOFs, the expensive part —
+    run over the vocabulary (|V| ≪ corpus at any scale) instead of
+    every word OCCURRENCE, and per-doc totals come from a token→vocab
+    join + doc rollup. Measured at sf0.1: the occurrence-level fold
+    re-evaluated the 8-merge chain 225k times for a 21k-word
+    vocabulary — an 11× overcount that dominated the entry.
     """
     from sparkflow_spark.bpe import apply_bpe_merges, learn_bpe_merges
     from sparkflow_spark.functions.text import lower_tokens
 
     t = Tables(spark, sf)
     merges = learn_bpe_merges(t.documents, n_merges=8)
-    enc = apply_bpe_merges(
-        t.documents.select("doc_id", "text"), merges, text_col="text",
-        out_col="bpe_tokens",
+    per_tok = t.documents.select(
+        "doc_id", F.explode(lower_tokens("text")).alias("word")
     )
-    n_sym = F.aggregate(
-        F.transform(lower_tokens("text"), lambda w: F.length(w)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # encode each word TYPE once; apply_bpe_merges on a single word
+    # column degenerates to that word's symbol fold (lower_tokens of a
+    # whitespace-free token is the token itself) — same kernel, same
+    # greedy-leftmost semantics the tests pin
+    wtab = apply_bpe_merges(
+        per_tok.select("word").distinct(), merges, text_col="word",
+        out_col="_bpe",
+    ).select(
+        "word",
+        F.size("_bpe").cast("bigint").alias("_nb"),
+        F.length("word").cast("bigint").alias("_nc"),
     )
-    return enc.select(
+    agg = (
+        per_tok.join(wtab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_nb").alias("_n_bpe"),
+            F.sum("_nc").alias("_n_sym"),
+        )
+    )
+    # left join keeps token-less docs (empty text) with 0/0 totals —
+    # identical to the old per-doc fold over an empty token array
+    out = t.documents.select("doc_id").join(agg, "doc_id", "left")
+    n_bpe = F.coalesce(F.col("_n_bpe"), F.lit(0))
+    n_sym = F.coalesce(F.col("_n_sym"), F.lit(0))
+    return out.select(
         "doc_id",
-        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
         n_sym.cast("bigint").alias("n_symbols"),
         (
-            F.round(
-                F.when(F.size("bpe_tokens") > 0,
-                       n_sym / F.size("bpe_tokens")),
-                4,
-            ).cast("double")
+            F.round(F.when(n_bpe > 0, n_sym / n_bpe), 4).cast("double")
             + F.lit(0.0)
         ).alias("chars_per_token"),
     )

@@ -122,17 +122,29 @@ def _tws_runner_session(spark: SparkSession):
     """Dedicated session clone for a TWS query: RocksDB state store
     (TWS state lives in per-variable column families, which the default
     HDFS-backed provider rejects — RocksDB is also the production
-    store) + fixture-sized state width. A fresh clone per call keeps
-    the provider override from leaking into sibling queries."""
+    store) + fixture-sized state width. The clone keeps the provider
+    override from leaking into sibling queries.
+
+    r13: memoized per base session (the streaming_session pattern) —
+    a fresh clone per CALL meant every TWS entry/pass spawned new
+    Python TWS workers and state-server processes instead of reusing
+    the warm ones (``spark.python.worker.reuse`` is per session);
+    measured ~2-4 s of fixed per-call cost. The clone is stateless
+    across queries: each run gets its own checkpoint dir and uniquely
+    named memory sink."""
     _ensure_protobuf()  # every TWS query builder funnels through here
     from sparkflow_spark.session import ensure_runtime_configs
 
+    runner = getattr(spark, "_sfl_tws_runner", None)
+    if runner is not None:
+        return runner
     runner = ensure_runtime_configs(spark.newSession())
     runner.conf.set("spark.sql.shuffle.partitions", "4")
     runner.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    spark._sfl_tws_runner = runner
     return runner
 
 
@@ -180,7 +192,8 @@ def _build_user_stats_processor():
             import numpy as np
             import pandas as _pd
 
-            c, cents = self._state.get() if self._state.exists() else (0, 0)
+            _prev = self._state.get()  # one roundtrip: None == absent
+            c, cents = _prev if _prev is not None else (0, 0)
             for pdf in rows:
                 c += len(pdf)
                 v = pdf["value"].to_numpy(dtype="float64")
@@ -343,7 +356,8 @@ def tws_last_events_list_state(
             self._last.put(tuples[:-1] if len(tuples) > 1 else tuples)
             if len(tuples) > 1:
                 self._last.appendValue(tuples[-1])
-            seen = (self._seen.get()[0] if self._seen.exists() else 0) + len(pdf)
+            _sv = self._seen.get()  # one roundtrip: None == absent
+            seen = (_sv[0] if _sv is not None else 0) + len(pdf)
             self._seen.update((seen,))
             stored = list(self._last.get())  # read back through the server
             yield _pd.DataFrame(
@@ -511,7 +525,7 @@ def tws_session_end_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = pdf["ts"].max()
                 mx = m if mx is None or m > mx else mx
             last_ms = int(mx.value // 1_000_000)
-            prev = self._last_ts.get() if self._last_ts.exists() else None
+            prev = self._last_ts.get()  # None == absent (single roundtrip)
             if prev is None or last_ms > prev[0]:
                 for t in self._handle.listTimers():
                     self._handle.deleteTimer(t)
@@ -586,7 +600,8 @@ def tws_seeded_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             import pandas as _pd
 
-            (c,) = self._count.get() if self._count.exists() else (0,)
+            _cv = self._count.get()  # one roundtrip: None == absent
+            (c,) = _cv if _cv is not None else (0,)
             for pdf in rows:
                 c += len(pdf)
             self._count.update((c,))
@@ -684,7 +699,8 @@ def tws_ttl_user_counts(
         def handleInputRows(self, key, rows, timerValues):
             import pandas as _pd
 
-            c = self._count.get()[0] if self._count.exists() else 0
+            _cv = self._count.get()  # one roundtrip: None == absent
+            c = _cv[0] if _cv is not None else 0
             for pdf in rows:
                 c += len(pdf)
             self._count.update((c,))
@@ -866,7 +882,8 @@ def tws_ttl_all_state_types(
         def handleInputRows(self, key, rows, timerValues):
             import pandas as _pd
 
-            c = self._v.get()[0] if self._v.exists() else 0
+            _cv = self._v.get()  # one roundtrip: None == absent
+            c = _cv[0] if _cv is not None else 0
             for pdf in rows:
                 c += len(pdf)
                 self._l.appendList([(int(e),) for e in pdf["event_id"]])
