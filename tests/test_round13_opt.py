@@ -118,3 +118,135 @@ def test_dot_seq_batched_bit_identical_on_fixture_embeddings(spark, sf_dir):
         dot_seq_batched("pvec", "embedding").alias("fast"),
     ).where(~F.col("ref").eqNullSafe(F.col("fast")))
     assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# protobuf codec fast path (r13 batch 3): the all-singular-scalar wire
+# loops in codecs._pb_encode_fast/_pb_decode_fast must be byte/value-
+# identical to the minipb object path they shortcut.
+
+
+def _pb_object_encode(cls, flds, rows):
+    out = []
+    for r in rows:
+        m = cls()
+        for name, _t in flds:
+            v = r.get(name)
+            if v is not None:
+                setattr(m, name, v)
+        out.append(m.SerializeToString())
+    return out
+
+
+def _pb_object_decode(cls, names, payloads):
+    rows = []
+    for b in payloads:
+        if b is None:
+            rows.append({n: None for n in names})
+            continue
+        try:
+            m = cls()
+            m.ParseFromString(bytes(b))
+            rows.append({n: getattr(m, n) for n in names})
+        except Exception:
+            rows.append({n: None for n in names})
+    return rows
+
+
+def test_pb_fast_path_parity_fuzz():
+    """Fuzz every supported scalar type (negatives → 10-byte varints,
+    zigzag legs, empty strings/bytes at proto3 defaults, unicode, bools,
+    ±0.0 doubles, NULLs) through encode, then corrupt payloads
+    (truncations at every byte, unknown-field prefixes, duplicated
+    fields) through decode — fast path vs minipb object path."""
+    import random
+
+    from sparkflow_spark import codecs
+
+    spec = [
+        ("a_i64", 1, "int64"),
+        ("b_s64", 2, "sint64"),
+        ("c_str", 3, "string"),
+        ("d_bool", 4, "bool"),
+        ("e_dbl", 5, "double"),
+        ("f_u64", 6, "uint64"),
+        ("g_byt", 7, "bytes"),
+        ("h_i32", 8, "int32"),
+        ("i_s32", 9, "sint32"),
+        ("j_flt", 10, "float"),
+    ]
+    desc = codecs.build_file_descriptor_set("Fuzz", spec)
+    cls, flds = codecs._resolve_message(desc, "Fuzz")
+    plan = codecs._pb_fast_plan(desc, "Fuzz")
+    assert plan is not None and len(plan) == len(spec)
+
+    rng = random.Random(13)
+    ints = [0, 1, -1, 127, 128, -128, 2**31 - 1, -(2**31), 2**62, -(2**62), None]
+    strs = ["", "x", "héllo wörld ✓", "a" * 300, None]
+    byts = [b"", b"\x00\xff", bytes(range(64)), None]
+    dbls = [0.0, -0.0, 1.5, -2.25e300, float("inf"), None]
+    rows = []
+    for _ in range(500):
+        rows.append(
+            {
+                "a_i64": rng.choice(ints),
+                "b_s64": rng.choice(ints),
+                "c_str": rng.choice(strs),
+                "d_bool": rng.choice([True, False, None]),
+                "e_dbl": rng.choice(dbls),
+                "f_u64": rng.choice([0, 1, 2**63, 2**64 - 1, None]),
+                "g_byt": rng.choice(byts),
+                "h_i32": rng.choice([0, 1, -1, 2**31 - 1, -(2**31), None]),
+                "i_s32": rng.choice([0, 5, -5, None]),
+                "j_flt": rng.choice([0.0, -0.0, 1.5, None]),
+            }
+        )
+
+    ref = _pb_object_encode(cls, flds, rows)
+    cols = [[r[name] for r in rows] for name, _t, _tag, _n in plan]
+    fast = codecs._pb_encode_fast(plan, cols)
+    assert fast == ref
+
+    # decode corpus: healthy + truncated-at-every-prefix + unknown-field
+    # prefix (field 15, varint / len-delimited) + duplicated first field
+    payloads: list = [None]
+    for b in ref[:80]:
+        payloads.append(b)
+        for cut in range(len(b)):
+            payloads.append(b[:cut])
+        payloads.append(b"\x78\x2a" + b)  # field 15 varint 42
+        payloads.append(b"\x7a\x03abc" + b)  # field 15 LEN "abc"
+        payloads.append(b + b)  # every field duplicated: last wins
+        payloads.append(b"\xfd\xff\xff\xff\x0f" + b)  # huge field number
+    names = [n for n, _t in flds]
+    ref_rows = _pb_object_decode(cls, names, payloads)
+    got_cols = codecs._pb_decode_fast(plan, payloads, "PERMISSIVE")
+    for i, rr in enumerate(ref_rows):
+        for n in names:
+            a, g = rr[n], got_cols[n][i]
+            assert (a == g and type(a) is type(g)) or (
+                a != a and g != g
+            ), f"row {i} field {n}: object={a!r} fast={g!r}"
+
+
+def test_pb_fast_plan_falls_back_on_repeated_fields():
+    """Messages with repeated fields must take the object path."""
+    from sparkflow_spark import codecs
+    from sparkflow_spark.codecs import _pb_ld, _pb_vi
+
+    # hand-rolled FileDescriptorSet: message Rep { repeated int64 xs = 1; }
+    fld = bytearray()
+    _pb_ld(fld, 1, b"xs")  # FieldDescriptorProto.name
+    _pb_vi(fld, 3, 1)  # .number
+    _pb_vi(fld, 4, 3)  # .label = LABEL_REPEATED
+    _pb_vi(fld, 5, 3)  # .type = TYPE_INT64
+    msg = bytearray()
+    _pb_ld(msg, 1, b"Rep")
+    _pb_ld(msg, 2, bytes(fld))
+    fp = bytearray()
+    _pb_ld(fp, 1, b"rep.proto")
+    _pb_ld(fp, 4, bytes(msg))
+    _pb_ld(fp, 12, b"proto3")
+    desc = bytearray()
+    _pb_ld(desc, 1, bytes(fp))
+    assert codecs._pb_fast_plan(bytes(desc), "Rep") is None
