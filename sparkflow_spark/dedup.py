@@ -636,17 +636,28 @@ def ngram_containment_pairs(
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    fwd = inter.select(
-        F.col("id_a").alias("src_id"),
-        F.col("id_b").alias("dst_id"),
-        (F.col("inter") / F.col("na")).alias("containment"),
+    # r13: both directions from ONE pass over `inter` — the former
+    # fwd/rev unionByName re-executed the entire index+expansion subtree
+    # per leg (plan: 2 scans + 2 Windows + 2 pair expansions → 1; guide
+    # §2.4). Identical rows: same inter/na and inter/nb divisions, just
+    # emitted via explode instead of a union.
+    directions = F.array(
+        F.struct(
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("dst_id"),
+            (F.col("inter") / F.col("na")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            (F.col("inter") / F.col("nb")).alias("containment"),
+        ),
     )
-    rev = inter.select(
-        F.col("id_b").alias("src_id"),
-        F.col("id_a").alias("dst_id"),
-        (F.col("inter") / F.col("nb")).alias("containment"),
+    return (
+        inter.select(F.explode(directions).alias("d"))
+        .select("d.*")
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def connected_components(

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkflow_spark import multimodal
-from sparkflow_spark.catalog import Tables
+from sparkflow_spark.catalog import Tables, fan_out
 from sparkflow_spark.queries import ordered, register
 
 
@@ -396,11 +396,17 @@ def mm_dhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
     multimodal.dhash_near_pairs (banded hamming equi-join, t1-bound).
     """
     t = Tables(spark, sf)
-    docs = t.documents.where(
-        F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72
-    ).select(
-        "doc_id",
-        F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 144).alias("hx"),
+    # r13: round-robin the one-row-group documents scan across cores
+    # BEFORE the raster synthesis (72-element interpreted HOF per row)
+    # and the mapInPandas decode — both legs otherwise run single-task
+    # (guide §2.5; scale-adaptive no-op once the scan carries splits).
+    docs = fan_out(
+        t.documents.where(
+            F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72
+        ).select(
+            "doc_id",
+            F.substring(F.hex(F.encode(F.col("text"), "utf-8")), 1, 144).alias("hx"),
+        )
     )
     header = F.lit(_P5_HEADER)
     # Decode + hash PER LEG, then union the tiny (doc_id, dhash) frames
@@ -495,6 +501,10 @@ def _dhash_pairs_oracle() -> str:
     "d_dhash_hamming_pairs",
     oracle=_dhash_pairs_oracle(),
     tags=("multimodal", "dedup", "image", "similarity"),
+    # r13: fn localCheckpoints the signature table; a memoized plan
+    # would re-read those blocks on repeat passes instead of
+    # recomputing from parquet
+    memo=False,
 )
 def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-dup PAIRS through the banded hamming join (X169's
@@ -509,7 +519,9 @@ def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     banded join lossless on real planted data at every scale — not just
     on the synthetic t1 hashes."""
     t = Tables(spark, sf)
-    docs = (
+    # r13: same fan-out as mm_dhash_dup_groups — spread the synthesis +
+    # decode of the one-row-group scan across cores (guide §2.5)
+    docs = fan_out(
         t.documents.where(
             (F.octet_length(F.encode(F.col("text"), "utf-8")) >= 72)
             & (F.col("doc_id") % 3 == 0)
@@ -540,7 +552,16 @@ def d_dhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
             multimodal.dhash_expr("pixels").alias("dhash"),
         )
 
-    hashes = _leg_hashes(orig).unionByName(_leg_hashes(variant))
+    # Materialize the tiny (img_id, 64-char dhash) signature table ONCE
+    # (lazy localCheckpoint: executes inside the timed action) — the
+    # banded self-join otherwise drags a full copy of the synthesize +
+    # mapInPandas-decode + dHash subtree into EACH join leg, running the
+    # expensive Python decode twice per image (guide §8 "decide with
+    # small rows, touch the payload once"; plan: 8 scans/4 MapInPandas
+    # → 2 scans/2 MapInPandas, see plans/r13).
+    hashes = _leg_hashes(orig).unionByName(_leg_hashes(variant)).localCheckpoint(
+        eager=False
+    )
     return (
         multimodal.dhash_near_pairs(hashes, id_col="img_id", max_hamming=3)
         .withColumn("hamming", F.col("hamming").cast("bigint"))

@@ -1900,14 +1900,18 @@ def q92_transitions(spark: SparkSession, sf: str) -> DataFrame:
     pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    # r13: row totals as a partition window over the tiny |types|² pairs
+    # frame instead of a groupBy + join back — the self-derived `tot`
+    # join re-executed the whole scan→shuffle→window→agg subtree for its
+    # other leg (plan: 2 scans + 2 Windows → 1; guide §2.4). Same exact
+    # integer sum, so round(n/row_n, 6) is bit-identical.
+    row_n = F.sum("n").over(Window.partitionBy("prev_type"))
     return (
-        pairs.join(F.broadcast(tot), "prev_type")
-        .select(
+        pairs.select(
             "prev_type",
             "next_type",
             "n",
-            (F.round(F.col("n") / F.col("row_n"), 6).cast("double") + F.lit(0.0)).alias(
+            (F.round(F.col("n") / row_n, 6).cast("double") + F.lit(0.0)).alias(
                 "prob"
             ),
         )

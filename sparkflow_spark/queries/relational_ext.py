@@ -1039,34 +1039,42 @@ def q84_dwell(spark: SparkSession, sf: str) -> DataFrame:
               AS orphan_orders
         """,
     tags=("relational", "integrity", "join"),
-    memo=False,  # fn runs the three audit counts eagerly per call
 )
 def q90_ri(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit: FK orphans in both directions
     across the order graph, as three LEFT ANTI joins (each a plain
     keyed join — NOT the NOT-IN trap q83 pins, since NOT EXISTS is
     NULL-safe by construction). The post-load data-quality gate: three
-    counts, each shuffle-keyed, output O(1)."""
+    counts, each shuffle-keyed, output O(1).
+
+    r13: the three audits were separate eager .count() driver actions —
+    three SEQUENTIAL jobs with driver round trips between them (guide
+    §5.4). Now one lazy plan: each audit is a 1-row aggregate and the
+    cross-joins of 1-row frames fuse them into a single job whose legs
+    run concurrently. Same three exact counts."""
     t = Tables(spark, sf)
-    orphan_li = t.lineitem.join(
-        t.orders.select("o_orderkey"),
-        t.lineitem["l_orderkey"] == F.col("o_orderkey"),
-        "left_anti",
-    ).count()
-    childless_o = t.orders.join(
-        t.lineitem.select("l_orderkey"),
-        t.orders["o_orderkey"] == F.col("l_orderkey"),
-        "left_anti",
-    ).count()
-    orphan_o = t.orders.join(
-        t.customer.select("c_custkey"),
-        t.orders["o_custkey"] == F.col("c_custkey"),
-        "left_anti",
-    ).count()
-    return spark.createDataFrame(
-        [(orphan_li, childless_o, orphan_o)],
-        "orphan_lineitems bigint, childless_orders bigint, orphan_orders bigint",
+    orphan_li = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey"),
+            t.lineitem["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
     )
+    childless_o = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey"),
+            t.orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("childless_orders"))
+    )
+    orphan_o = (
+        t.orders.join(
+            t.customer.select("c_custkey"),
+            t.orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return orphan_li.crossJoin(childless_o).crossJoin(orphan_o)
 
 
 @register(
