@@ -724,6 +724,11 @@ def connected_components(
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
+                # r13 batch 4: carry the previous label through the round
+                # so the convergence check below is a filter over the
+                # checkpointed blocks instead of a per-round shuffle join
+                # of new vs old labels (one whole job removed per round).
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
@@ -740,6 +745,7 @@ def connected_components(
             propagated.join(parent, propagated["component"] == parent["_pn"], "left")
             .select(
                 "node",
+                "_prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
@@ -756,13 +762,12 @@ def connected_components(
         # ``checkpoint_every`` is retained for API compatibility but the
         # every-round eager truncation supersedes it.
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # same comparison as the old new-vs-old label join (labels only
+        # ever decrease, so _prev != component ⟺ the join's inequality),
+        # but served from the blocks the checkpoint just wrote — no
+        # shuffle, no second execution of the round's joins.
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
         if changed == 0:
             converged = True
             break

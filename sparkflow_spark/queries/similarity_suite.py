@@ -469,29 +469,40 @@ def _sem_pairs_frame(spark: SparkSession, sf: str) -> DataFrame:
         t.embeddings, id_col="vec_id", vec_col="embedding",
         k=_KM_K, iters=_KM_ITERS,
     )
-    vecs = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
-    ).join(assign, "vec_id")
+    # r13 batch 4 (guide §4.1/§2.4): the within-cluster expansion paid
+    # ~400 interpreted HOF lambda evaluations PER PAIR (one dot + two
+    # norms re-folded per candidate row — ~200M evaluations at sf0.1's
+    # ~500k within-cluster pairs, all on ≤k tasks). Norms are now staged
+    # once per VECTOR on each join leg (2n evals, not 2·pairs), and the
+    # pair dot runs through dot_seq — the codegen'd unrolled chain that
+    # is bit-exact with the aggregate(zip_with) fold (same left-to-right
+    # IEEE adds; parity pinned in tests/test_round13_opt.py). Same pair
+    # set, same cosine_raw bits, same oracle.
+    from sparkflow_spark.functions.vector import dot_seq
+
+    norm_v = F.sqrt(dot_seq(F.col("_v"), F.col("_v")))
+    vecs = (
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        )
+        .join(assign, "vec_id")
+        .withColumn("_n", norm_v)
+    )
     a = vecs.select(
-        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cluster",
     )
     b = vecs.select(
-        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
-    )
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cluster",
     )
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_raw", dot_ab / (norm("_va") * norm("_vb")))
+        .withColumn(
+            "cosine_raw",
+            dot_seq("_va", "_vb") / (F.col("_na") * F.col("_nb")),
+        )
         .where(F.col("cosine_raw") >= _SEMDUP_THRESHOLD)
         .select("id_a", "id_b", "cluster", "cosine_raw")
     )

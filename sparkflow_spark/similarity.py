@@ -757,6 +757,14 @@ def _kmeans_impl(
     dims = len(centroids[0])
 
     def assign(frame: DataFrame) -> DataFrame:
+        # r13 batch 4 NOTE (measured, then reverted): swapping this fold
+        # for a codegen'd unrolled per-centroid chain (sqdist_to_const
+        # style) is bit-exact but REGRESSES the bench — every iteration's
+        # centroids are new literals, so Janino recompiles a ~k·2·dim-term
+        # class per iteration per consumer (s_kmeans_clusters cold 2.3 s
+        # → 8.2 s, s_hard_negative_md5_query cold 6 s → 13 s, steady 1.6
+        # → 2.8 s) while the interpreted assign is only ~k·2·dim evals per
+        # ROW on the small frames every caller feeds it. Keep the fold.
         dists = F.array(
             *[
                 F.aggregate(

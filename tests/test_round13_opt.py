@@ -98,6 +98,28 @@ def test_dot_seq_unrolled_bit_identical_on_fixture_embeddings(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_sem_pairs_staged_norm_bit_identical(spark, sf_dir):
+    """The d_semantic_dedup pair restructure (batch 4): per-VECTOR staged
+    norm sqrt(dot_seq(v,v)) vs the per-pair aggregate(transform(x*x))
+    fold it replaced — value-for-value on every fixture embedding."""
+    from sparkflow_spark.catalog import Tables
+    from sparkflow_spark.functions.vector import dot_seq
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(F.col("embedding").cast("array<double>").alias("v"))
+    old = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    diff = emb.select(
+        old.alias("ref"), F.sqrt(dot_seq("v", "v")).alias("fast")
+    ).where(~F.col("ref").eqNullSafe(F.col("fast")))
+    assert diff.count() == 0
+
+
 def test_dot_seq_batched_bit_identical_on_fixture_embeddings(spark, sf_dir):
     """Every (probe, corpus) pair of the first 20 embeddings × the whole
     corpus — the exact pair-stream shape the hard-negative family and
