@@ -30,6 +30,7 @@ Persistence (cf. reference EP3):
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,10 +44,39 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.ml.linalg import VectorUDT
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.param.shared import HasInputCol, HasLabelCol, HasPredictionCol, HasSeed
-from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable, DefaultParamsWriter
 from pyspark.sql import DataFrame
 
 from sparkflow_spark.ml.nn import build_optimizer, make_network
+
+
+class _FastParamsWriter(DefaultParamsWriter):
+    """DefaultParamsWriter with the metadata write done as ONE RDD slice
+    (r13 optimization, guide §5.4 — driver/boundary fixed costs).
+
+    Stock ``DefaultParamsWriter.saveImpl`` writes the metadata line via
+    ``createDataFrame([(json,)]).coalesce(1).write.text(...)``:
+    ``createDataFrame`` parallelizes the single row into
+    ``defaultParallelism`` pickled partitions and the coalesced task then
+    drains all of them through sequential Python-worker round trips —
+    measured ~5 s PER SAVE on local[32] (vs 0.3 s on local[4]; the cost
+    scales with the core count, worst exactly where the engine runs).
+    ``parallelize([json], 1).saveAsTextFile`` produces the same on-disk
+    layout (one text part file + _SUCCESS, same JSON bytes, loadable by
+    ``DefaultParamsReader.loadMetadata``) in one Python partition.
+    Falls back to the stock path if the private metadata helper ever
+    disappears. Output equivalence is pinned in tests/test_ml.py.
+    """
+
+    def saveImpl(self, path: str) -> None:
+        get_meta = getattr(DefaultParamsWriter, "_get_metadata_to_save", None)
+        if get_meta is None:  # future-pyspark fallback: correct, just slower
+            DefaultParamsWriter.saveImpl(self, path)
+            return
+        metadata_json = get_meta(self.instance, self.sparkSession)
+        self.sparkSession.sparkContext.parallelize([metadata_json], 1).saveAsTextFile(
+            os.path.join(path, "metadata")
+        )
 
 
 class _DLParams(HasInputCol, HasPredictionCol):
@@ -157,6 +187,10 @@ class DistributedDL(
         # state, HogwildSparkModel.py:117,141); persistence skips it.
         self._loss_callback = kwargs.pop("lossCallback", None)
         self._set(**kwargs)
+
+    def write(self):
+        # one-slice metadata write; see _FastParamsWriter
+        return _FastParamsWriter(self)
 
     def setLossCallback(self, fn) -> "DistributedDL":
         """``fn(loss, epoch, partition_id)`` — called on the driver after
@@ -487,6 +521,10 @@ class DistributedDLModel(Model, _DLParams, DefaultParamsWritable, DefaultParamsR
             inputCol="features", predictionCol="predicted", networkSpec="", modelWeights=""
         )
         self._set(**self._input_kwargs)
+
+    def write(self):
+        # one-slice metadata write; see _FastParamsWriter
+        return _FastParamsWriter(self)
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         spec_json = self.getOrDefault(self.networkSpec)

@@ -111,6 +111,25 @@ def test_save_load_model_roundtrip(spark, tmp_path):
     assert before == pytest.approx(after)
 
 
+def test_fast_writer_metadata_equivalent(spark, tmp_path):
+    """_FastParamsWriter (r13: one-slice metadata write) must produce
+    metadata DefaultParamsReader parses to the SAME class/uid/params as
+    the stock DefaultParamsWriter path — timestamp excepted."""
+    from pyspark.ml.util import DefaultParamsReader, DefaultParamsWriter
+
+    df = xor_df(spark)
+    model = xor_estimator().fit(df)
+    fast_path = str(tmp_path / "fast")
+    model.save(fast_path)  # routes through _FastParamsWriter
+    slow_path = str(tmp_path / "slow")
+    DefaultParamsWriter(model).save(slow_path)  # stock pyspark writer
+    sc = spark.sparkContext
+    fast = DefaultParamsReader.loadMetadata(fast_path, sc)
+    slow = DefaultParamsReader.loadMetadata(slow_path, sc)
+    for key in ("class", "uid", "paramMap", "defaultParamMap", "sparkVersion"):
+        assert fast[key] == slow[key], key
+
+
 def test_save_load_pipeline(spark, tmp_path):
     """Mirrors the reference's pipeline save/load test
     (reference tests/dl_runner.py:120-141) — no serialization shim
