@@ -42,7 +42,12 @@ def _weights(dim: int) -> list[float]:
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "inference"),
-    memo=False,  # fn runs eager work per call — do not reuse results
+    # memo default (True): the fn is a pure plan builder — its only
+    # once-eager probe (embedding_dim) is memoized in the catalog, so
+    # this matches the registry convention for lazy entries (plans are
+    # reused, data work re-executes from parquet every pass). The old
+    # memo=False predates the memoized embedding_dim. r13: per-pass
+    # Catalyst re-analysis was ~40% of steady (0.45 -> 0.26 s).
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-weight linear model through the full DistributedDLModel
@@ -146,7 +151,8 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "inference"),
-    memo=False,  # fn runs eager work per call — do not reuse results
+    # memo default (True) — same rationale as m02 (pure plan builder;
+    # embedding_dim is catalog-memoized)
 )
 def m05(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-weight LOGISTIC model through the same DistributedDLModel
@@ -188,7 +194,9 @@ def m05(spark: SparkSession, sf: str) -> DataFrame:
         FROM embeddings ORDER BY vec_id
     """,
     tags=("ml", "inference", "serving"),
-    memo=False,  # fn runs eager work per call — do not reuse results
+    # memo default (True) — same rationale as m02 (pure plan builder;
+    # embedding_dim is catalog-memoized; the serving fn factory resolves
+    # on executors at execution time, not at plan build)
 )
 def m06(spark: SparkSession, sf: str) -> DataFrame:
     """Batch inference via the framework-agnostic serving hook: the
