@@ -660,6 +660,18 @@ def ngram_containment_pairs(
     )
 
 
+# connected_components loop sizing (derived from the MATERIALIZED edge
+# count, so both scale with the data instead of being local-mode tuning):
+# below the edge bound, the label table is ≤ 2·edges rows of two longs
+# (≈32 MB of row data at the bound — comfortably a broadcast build side),
+# so every per-round join gets an explicit broadcast hint; above it the
+# loop keeps shuffle joins — the 100 TB path. The width divisor keeps
+# ~200k label/edge rows per shuffle partition inside the loop, capped at
+# the session setting (never raised).
+_CC_BROADCAST_EDGE_MAX = 1_000_000
+_CC_ROWS_PER_PARTITION = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -693,6 +705,22 @@ def connected_components(
     Scale notes: lineage is truncated with localCheckpoint every few
     rounds (iterative plans otherwise grow unboundedly); the per-round
     convergence check is a count() — one cheap action per round.
+
+    Join strategy (r13, guide §3.1): the materialized edge count — one
+    count() over the checkpointed blocks, paid once — picks the round's
+    join strategy DELIBERATELY instead of leaving every round to
+    sort-merge. Label/parent frames derive from localCheckpoint RDDs,
+    whose size statistics Catalyst treats as unknown-large, so the
+    planner can never auto-broadcast them even when the graph is tiny;
+    below ``_CC_BROADCAST_EDGE_MAX`` edges (labels ≤ 2·edges rows of two
+    longs — tens of MB at the bound, far under executor memory) every
+    per-round join gets an explicit broadcast hint, collapsing 3 shuffle
+    exchanges per round to the single groupBy exchange. Above the bound
+    the loop keeps shuffle joins — the 100 TB path is unchanged. The
+    loop's shuffle width is likewise derived from the edge count
+    (~200k edges per partition, never above the session setting), so a
+    small graph stops paying 32-partition scheduling overhead per round
+    while production widths are untouched.
     """
     if on_nonconvergence not in ("raise", "warn"):
         raise ValueError("on_nonconvergence must be 'raise' or 'warn'")
@@ -708,69 +736,101 @@ def connected_components(
     # re-execution at sf0.1, several times per convergence). Blocks are
     # ContextCleaner-reclaimed when the loop's result is dropped.
     edges = edges.localCheckpoint(eager=False)
+    # One count over the checkpointed blocks (this is also the action
+    # that materializes them — work the first round was about to do
+    # anyway) sizes the loop: join strategy + shuffle width below are
+    # DERIVED from the data, not constants (guide §2.2/§3.1). Catalyst
+    # sees localCheckpoint frames as unknown-large, so without the hint
+    # a 500-node dedup graph pays 3 sort-merge exchanges per round.
+    n_edges = edges.count()
+    bcast = n_edges <= _CC_BROADCAST_EDGE_MAX
+    hint = F.broadcast if bcast else (lambda df: df)
+    spark = pairs.sparkSession
+    saved_width: str | None = None
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_width = max(1, min(cur, n_edges // _CC_ROWS_PER_PARTITION + 1))
+        if loop_width < cur:
+            saved_width = str(cur)
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    except (TypeError, ValueError):
+        pass  # non-integer setting (e.g. "auto") — leave it alone
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
     converged = False
-    for i in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
-        )
-        propagated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                # r13 batch 4: carry the previous label through the round
-                # so the convergence check below is a filter over the
-                # checkpointed blocks instead of a per-round shuffle join
-                # of new vs old labels (one whole job removed per round).
-                F.col("component").alias("_prev"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+    try:
+        for i in range(max_iter):
+            neighbor_min = (
+                edges.join(hint(labels), edges["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nmin"))
             )
-        )
-        # pointer jumping: follow the label one more hop (component :=
-        # component's component). label(u) is connected to u and
-        # label(label(u)) is connected to label(u), so the invariant
-        # holds; reach doubles per round, giving the O(log d) bound.
-        parent = propagated.select(
-            F.col("node").alias("_pn"), F.col("component").alias("_pc")
-        )
-        new_labels = (
-            propagated.join(parent, propagated["component"] == parent["_pn"], "left")
-            .select(
-                "node",
-                "_prev",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
-                ).alias("component"),
+            propagated = (
+                labels.join(
+                    hint(neighbor_min), labels["node"] == neighbor_min["a"], "left"
+                )
+                .select(
+                    "node",
+                    # r13 batch 4: carry the previous label through the round
+                    # so the convergence check below is a filter over the
+                    # checkpointed blocks instead of a per-round shuffle join
+                    # of new vs old labels (one whole job removed per round).
+                    F.col("component").alias("_prev"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")),
+                    ).alias("component"),
+                )
             )
-        )
-        # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
-        # convergence count. The count is an action, so an un-truncated
-        # new_labels re-executed every round since the last checkpoint —
-        # and the next round's count re-executed them again (~r²/2
-        # redundant join rounds per checkpoint_every window, measured
-        # 11.9 s → ~5 s at sf0.1). One materialization per round means
-        # the count AND round i+1 both read the same cached blocks;
-        # stale label blocks are ContextCleaner-reclaimed.
-        # ``checkpoint_every`` is retained for API compatibility but the
-        # every-round eager truncation supersedes it.
-        new_labels = new_labels.localCheckpoint()
-        # same comparison as the old new-vs-old label join (labels only
-        # ever decrease, so _prev != component ⟺ the join's inequality),
-        # but served from the blocks the checkpoint just wrote — no
-        # shuffle, no second execution of the round's joins.
-        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
-        labels = new_labels.drop("_prev")
-        if changed == 0:
-            converged = True
-            break
+            # pointer jumping: follow the label one more hop (component :=
+            # component's component). label(u) is connected to u and
+            # label(label(u)) is connected to label(u), so the invariant
+            # holds; reach doubles per round, giving the O(log d) bound.
+            parent = propagated.select(
+                F.col("node").alias("_pn"), F.col("component").alias("_pc")
+            )
+            new_labels = (
+                propagated.join(
+                    hint(parent), propagated["component"] == parent["_pn"], "left"
+                )
+                .select(
+                    "node",
+                    "_prev",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_pc"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
+            # convergence count. The count is an action, so an un-truncated
+            # new_labels re-executed every round since the last checkpoint —
+            # and the next round's count re-executed them again (~r²/2
+            # redundant join rounds per checkpoint_every window, measured
+            # 11.9 s → ~5 s at sf0.1). One materialization per round means
+            # the count AND round i+1 both read the same cached blocks;
+            # stale label blocks are ContextCleaner-reclaimed.
+            # ``checkpoint_every`` is retained for API compatibility but the
+            # every-round eager truncation supersedes it.
+            new_labels = new_labels.localCheckpoint()
+            # same comparison as the old new-vs-old label join (labels only
+            # ever decrease, so _prev != component ⟺ the join's inequality),
+            # but served from the blocks the checkpoint just wrote — no
+            # shuffle, no second execution of the round's joins.
+            changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+            labels = new_labels.drop("_prev")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # restore before downstream consumers plan their own exchanges:
+        # every round's labels are checkpointed, so nothing the caller
+        # does re-executes plans built under the narrowed width.
+        if saved_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_width)
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "
