@@ -185,6 +185,30 @@ def main() -> int:
     ratio_v1_wb, v1_wb, v1_floored = workbound_ratio(HEADLINE, steady)
     ratio_v2_wb, v2_wb, v2_floored = workbound_ratio(HEADLINE_V2, v2_steady)
 
+    # Round-14 contract amendment (r13 verdict ask #2): the bulky
+    # raw-passes blobs live in a SIDECAR file referenced by path, so
+    # the driver-facing line stays short enough that its tail capture
+    # can never truncate mid-JSON (BENCH_r12's line outgrew the
+    # driver's capture and the whole round-over-round comparison was
+    # lost). Every scalar/contract field stays on the line; only the
+    # per-pass arrays move. Best-effort: a read-only checkout still
+    # prints the full contract line.
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_passes.json"
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(
+                {
+                    "queries_steady_passes": steady_passes,
+                    "v2_queries_steady_passes": v2_passes,
+                    "duckdb_queries_passes": duck_passes,
+                },
+                fh,
+            )
+    except OSError:
+        sidecar_path = None
+
     timings = cold
     total = round(sum(cold.values()), 3)
     print(
@@ -198,14 +222,13 @@ def main() -> int:
                 "methodology": "cold_1st_pass; vs rounds 1-2: streaming ENGINE init (state store/micro-batch exec) is warmed outside the window since r3, so st_tumbling cold excludes ~1s of one-time init r1/r2 included; steady_* is the per-query MEDIAN of three full post-cold re-executions (single-pass steady readings vary +-0.3s/query from JIT+GC at toy scale; every pass recomputes from the parquet scans)",
                 "steady_total": round(sum(steady.values()), 3),
                 "queries_steady": steady,
-                "queries_steady_passes": steady_passes,
+                "passes_sidecar": sidecar_path,
                 "v2_total": round(sum(v2_cold.values()), 3),
                 "v2_queries": v2_cold,
                 "v2_steady_total": round(sum(v2_steady.values()), 3),
                 "v2_queries_steady": v2_steady,
                 "duckdb_same_session": {
                     "queries": duck,
-                    "queries_passes": duck_passes,
                     "skipped_no_oracle": duck_skipped,
                     "v1_total": duck_v1,
                     "v2_total": duck_v2,

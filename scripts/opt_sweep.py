@@ -39,7 +39,64 @@ def main() -> int:
     ap.add_argument("--plans-dir", default=None)
     ap.add_argument("--only", default=None)
     ap.add_argument("--json", dest="json_out", default=None)
+    # r14 (r13 verdict ask #8): a 314-entry single-session sweep
+    # accumulates driver state (memory-sink tables, broadcast blocks,
+    # codegen cache churn) and LATE entries read 2-10x worse in-sweep
+    # than isolated. --fresh-every N runs the sweep in chunks of N
+    # entries, each in a FRESH python+JVM subprocess, and merges the
+    # JSONs — bounding the session age any entry can see.
+    ap.add_argument("--fresh-every", type=int, default=None)
     args = ap.parse_args()
+
+    if args.fresh_every:
+        import subprocess
+        import tempfile
+
+        names = [
+            n
+            for n in load_all()
+            if not args.only or n in set(args.only.split(","))
+        ]
+        merged: dict[str, dict] = {}
+        chunks = [
+            names[i : i + args.fresh_every]
+            for i in range(0, len(names), args.fresh_every)
+        ]
+        for ci, chunk in enumerate(chunks):
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+                part = tf.name
+            cmd = [
+                sys.executable,
+                os.path.abspath(__file__),
+                args.sf_dir,
+                "--passes",
+                str(args.passes),
+                "--only",
+                ",".join(chunk),
+                "--json",
+                part,
+            ]
+            if args.plans_dir:
+                cmd += ["--plans-dir", args.plans_dir]
+            print(f"== chunk {ci + 1}/{len(chunks)} ({len(chunk)} entries, fresh session) ==", flush=True)
+            subprocess.run(cmd, check=False)
+            try:
+                with open(part) as f:
+                    merged.update(json.load(f))
+                os.unlink(part)
+            except (OSError, json.JSONDecodeError) as exc:
+                print(f"chunk {ci + 1} result unreadable: {exc}", flush=True)
+        order = sorted(
+            (n for n, r in merged.items() if r.get("steady") is not None),
+            key=lambda n: -merged[n]["steady"],
+        )
+        print("\n== slowest by steady (merged) ==")
+        for n in order[:40]:
+            print(f"{merged[n]['steady']:8.3f}s  cold={merged[n]['cold']:8.3f}s  {n}")
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(merged, f, indent=1, sort_keys=True)
+        return 0
 
     spark = build_session(app_name="opt_sweep")
     spark.sparkContext.setLogLevel("ERROR")

@@ -231,6 +231,12 @@ def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     if key not in _DIM_CACHE:
         row = cached_table(spark, sf_dir, "embeddings").select("embedding").first()
         _DIM_CACHE[key] = len(row[0])
+        # r14: teach dot_seq this corpus's layout, so pair-scoring on a
+        # non-64/16 embedding table gets the codegen'd unrolled chain
+        # instead of silently falling back to the interpreted fold
+        from sparkflow_spark.functions.vector import register_unroll_dim
+
+        register_unroll_dim(_DIM_CACHE[key])
     return _DIM_CACHE[key]
 
 

@@ -746,91 +746,111 @@ def connected_components(
     bcast = n_edges <= _CC_BROADCAST_EDGE_MAX
     hint = F.broadcast if bcast else (lambda df: df)
     spark = pairs.sparkSession
-    saved_width: str | None = None
+    # r14 (r13 verdict ask #6): the loop width is applied with explicit
+    # keyed repartitions on the exchanges the loop owns, NOT by setting
+    # spark.sql.shuffle.partitions on the shared session — a global
+    # knob set-then-restored races with any concurrently submitted
+    # query on the same session. A keyed repartition(n, k) immediately
+    # before a groupBy(k)/join-on-k satisfies the operator's required
+    # distribution, so Spark plans NO second exchange (guide §2.4) —
+    # same exchange count, same narrowed width, zero session-global
+    # state.
+    loop_width: int | None = None
     try:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        loop_width = max(1, min(cur, n_edges // _CC_ROWS_PER_PARTITION + 1))
-        if loop_width < cur:
-            saved_width = str(cur)
-            spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+        w = max(1, min(cur, n_edges // _CC_ROWS_PER_PARTITION + 1))
+        if w < cur:
+            loop_width = w
     except (TypeError, ValueError):
-        pass  # non-integer setting (e.g. "auto") — leave it alone
+        pass  # non-integer setting (e.g. "auto") — leave widths alone
+
+    def keyed(df: DataFrame, *cols: str) -> DataFrame:
+        """Pin the NEXT keyed exchange over ``df`` to the loop width."""
+        return df if loop_width is None else df.repartition(loop_width, *cols)
+
+    # broadcast-mode joins shuffle nothing — narrowing their inputs
+    # would ADD exchanges the conf-based form never planned; only the
+    # shuffle-join (big graph) path keys its join inputs
+    jkeyed = (lambda df, *c: df) if bcast else keyed
     labels = (
-        edges.select(F.col("a").alias("node"))
+        keyed(edges.select(F.col("a").alias("node")), "node")
         .distinct()
         .withColumn("component", F.col("node"))
     )
     converged = False
-    try:
-        for i in range(max_iter):
-            neighbor_min = (
-                edges.join(hint(labels), edges["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("component").alias("nmin"))
+    for i in range(max_iter):
+        neighbor_min = (
+            keyed(
+                jkeyed(edges, "b").join(
+                    hint(jkeyed(labels, "node")),
+                    F.col("b") == F.col("node"),
+                ),
+                "a",
             )
-            propagated = (
-                labels.join(
-                    hint(neighbor_min), labels["node"] == neighbor_min["a"], "left"
-                )
-                .select(
-                    "node",
-                    # r13 batch 4: carry the previous label through the round
-                    # so the convergence check below is a filter over the
-                    # checkpointed blocks instead of a per-round shuffle join
-                    # of new vs old labels (one whole job removed per round).
-                    F.col("component").alias("_prev"),
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nmin"), F.col("component")),
-                    ).alias("component"),
-                )
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        propagated = (
+            jkeyed(labels, "node").join(
+                hint(jkeyed(neighbor_min, "a")),
+                F.col("node") == F.col("a"),
+                "left",
             )
-            # pointer jumping: follow the label one more hop (component :=
-            # component's component). label(u) is connected to u and
-            # label(label(u)) is connected to label(u), so the invariant
-            # holds; reach doubles per round, giving the O(log d) bound.
-            parent = propagated.select(
-                F.col("node").alias("_pn"), F.col("component").alias("_pc")
+            .select(
+                "node",
+                # r13 batch 4: carry the previous label through the round
+                # so the convergence check below is a filter over the
+                # checkpointed blocks instead of a per-round shuffle join
+                # of new vs old labels (one whole job removed per round).
+                F.col("component").alias("_prev"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
             )
-            new_labels = (
-                propagated.join(
-                    hint(parent), propagated["component"] == parent["_pn"], "left"
-                )
-                .select(
-                    "node",
-                    "_prev",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("_pc"), F.col("component")),
-                    ).alias("component"),
-                )
+        )
+        # pointer jumping: follow the label one more hop (component :=
+        # component's component). label(u) is connected to u and
+        # label(label(u)) is connected to label(u), so the invariant
+        # holds; reach doubles per round, giving the O(log d) bound.
+        parent = propagated.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            jkeyed(propagated, "component").join(
+                hint(jkeyed(parent, "_pn")),
+                F.col("component") == F.col("_pn"),
+                "left",
             )
-            # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
-            # convergence count. The count is an action, so an un-truncated
-            # new_labels re-executed every round since the last checkpoint —
-            # and the next round's count re-executed them again (~r²/2
-            # redundant join rounds per checkpoint_every window, measured
-            # 11.9 s → ~5 s at sf0.1). One materialization per round means
-            # the count AND round i+1 both read the same cached blocks;
-            # stale label blocks are ContextCleaner-reclaimed.
-            # ``checkpoint_every`` is retained for API compatibility but the
-            # every-round eager truncation supersedes it.
-            new_labels = new_labels.localCheckpoint()
-            # same comparison as the old new-vs-old label join (labels only
-            # ever decrease, so _prev != component ⟺ the join's inequality),
-            # but served from the blocks the checkpoint just wrote — no
-            # shuffle, no second execution of the round's joins.
-            changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
-            labels = new_labels.drop("_prev")
-            if changed == 0:
-                converged = True
-                break
-    finally:
-        # restore before downstream consumers plan their own exchanges:
-        # every round's labels are checkpointed, so nothing the caller
-        # does re-executes plans built under the narrowed width.
-        if saved_width is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_width)
+            .select(
+                "node",
+                "_prev",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_pc"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
+        # convergence count. The count is an action, so an un-truncated
+        # new_labels re-executed every round since the last checkpoint —
+        # and the next round's count re-executed them again (~r²/2
+        # redundant join rounds per checkpoint_every window, measured
+        # 11.9 s → ~5 s at sf0.1). One materialization per round means
+        # the count AND round i+1 both read the same cached blocks;
+        # stale label blocks are ContextCleaner-reclaimed.
+        # ``checkpoint_every`` is retained for API compatibility but the
+        # every-round eager truncation supersedes it.
+        new_labels = new_labels.localCheckpoint()
+        # same comparison as the old new-vs-old label join (labels only
+        # ever decrease, so _prev != component ⟺ the join's inequality),
+        # but served from the blocks the checkpoint just wrote — no
+        # shuffle, no second execution of the round's joins.
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
+        if changed == 0:
+            converged = True
+            break
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "

@@ -176,8 +176,37 @@ def dot_seq_batched(a: Column | str, b: Column | str) -> Column:
     return _dot(ca, cb)
 
 
+# Layout dims worth an unrolled-codegen branch in dot_seq. Seeded with
+# the fixture embedding layout (64) and its matryoshka truncation (16);
+# r14 (r13 verdict ask #5): catalog.embedding_dim REGISTERS the dim it
+# probes, so a corpus with any other layout gets the codegen'd chain
+# instead of silently falling back to the interpreted fold. Bounded:
+# each dim costs one size() check per row on every dot_seq call site,
+# and the unrolled chain is ~2·dim expression nodes of codegen, so the
+# set is small and each dim is capped where Janino compile time stays
+# negligible (measured: the 64-term chain compiles once per shape).
+_UNROLL_DIMS: tuple[int, ...] = (64, 16)
+_UNROLL_DIM_CAP = 128
+_UNROLL_SET_MAX = 6
+
+
+def register_unroll_dim(d: int) -> None:
+    """Teach :func:`dot_seq` a vector layout dim (idempotent). Called by
+    the catalog's ``embedding_dim`` probe; library users with exotic
+    layouts may call it directly. Out-of-range dims and a full set are
+    ignored — the interpreted fold remains the correct fallback."""
+    global _UNROLL_DIMS
+    if (
+        isinstance(d, int)
+        and 1 <= d <= _UNROLL_DIM_CAP
+        and d not in _UNROLL_DIMS
+        and len(_UNROLL_DIMS) < _UNROLL_SET_MAX
+    ):
+        _UNROLL_DIMS = (*_UNROLL_DIMS, d)
+
+
 def dot_seq(
-    a: Column | str, b: Column | str, unroll_dims: tuple[int, ...] = (64, 16)
+    a: Column | str, b: Column | str, unroll_dims: tuple[int, ...] | None = None
 ) -> Column:
     """BIT-EXACT twin of :func:`dot` with a CODEGEN'D unrolled fast path
     (r13 optimization, guide §4.1 "replace the UDF with built-ins").
@@ -202,12 +231,16 @@ def dot_seq(
     the interpreted fold (empty → 0.0, NaN kept — unlike the Arrow
     kernel, NaN handling matches :func:`dot` exactly).
 
-    ``unroll_dims`` lists the layout dims worth a branch (64 = the
-    embedding layout, 16 = the matryoshka truncation); conditions cost
-    one size() check each at runtime."""
+    ``unroll_dims`` lists the layout dims worth a branch; ``None``
+    (default) uses the module registry — seeded (64, 16) and extended
+    by ``catalog.embedding_dim`` / :func:`register_unroll_dim` with
+    whatever layout the data actually carries. Conditions cost one
+    size() check each at runtime."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     expr = dot(ca, cb)
+    if unroll_dims is None:
+        unroll_dims = _UNROLL_DIMS
     for d in unroll_dims:
         acc: Column = F.lit(0.0)
         for i in range(1, d + 1):

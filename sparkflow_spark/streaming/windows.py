@@ -33,7 +33,11 @@ _SESSION_CLONES: dict[tuple[int, int], tuple[SparkSession, SparkSession]] = {}
 _SCHEMA_CACHE: dict[tuple[int, str], tuple[SparkSession, object]] = {}
 
 
-def streaming_session(spark: SparkSession, state_partitions: int | None = 4) -> SparkSession:
+def streaming_session(
+    spark: SparkSession,
+    state_partitions: int | None = 4,
+    no_data_batches: bool = True,
+) -> SparkSession:
     """A cloned session (same SparkContext, isolated SQL conf) sized for
     streaming state.
 
@@ -52,16 +56,34 @@ def streaming_session(spark: SparkSession, state_partitions: int | None = 4) -> 
     set-then-restore on the shared session races with any concurrently
     running query (round-3 review finding). ``newSession()`` starts
     from base defaults, so the runtime configs are re-applied.
+
+    ``no_data_batches=False`` (r14, guide §5 — each empty micro-batch
+    costs 0.2-0.9 s of per-partition state-store load/commit) turns
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` off on the
+    clone, so an AvailableNow run ends at its LAST DATA batch instead
+    of scheduling watermark-advance/settle batches after it (and a
+    processingTime-mode run terminates at all — see
+    run_stream_to_memory's drain notes). ONLY legal when the query's
+    RESULT cannot depend on post-data batches: complete-mode
+    aggregations (every batch rewrites the whole sink; the extra batch
+    re-emits identical content), update-mode stateful queries with no
+    timers (emissions ride handleInputRows), inner stream-stream joins
+    and within-watermark dedup (rows emit on arrival; the final batch
+    only evicts state). NEVER for append-mode watermarked aggregations,
+    OUTER stream-stream joins, or timer-driven processors — those emit
+    rows IN the post-data batches.
     """
     if state_partitions is None:
         return ensure_runtime_configs(spark)
-    key = (id(spark), state_partitions)
+    key = (id(spark), state_partitions, no_data_batches)
     hit = _SESSION_CLONES.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
     runner = spark.newSession()
     ensure_runtime_configs(runner)
     runner.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batches:
+        runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # memoized per (parent, width): the clone itself is stateless (each
     # query gets its own checkpoint/sink), but building one costs a
     # newSession + ~a dozen conf py4j round-trips per call. The parent
@@ -78,6 +100,7 @@ def stream_events(
     watermark: str | None = "2 hours",
     state_partitions: int | None = 4,
     max_files_per_trigger: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """``readStream`` over the events parquet with event-time ``ts``.
 
@@ -88,8 +111,10 @@ def stream_events(
     its state-store count follows ``state_partitions``; pass ``None``
     to stay on the caller's session (e.g. when composing two streams
     into one query — they must share a session).
+    ``no_data_batches=False`` forwards to :func:`streaming_session`
+    (see the legality notes there).
     """
-    spark = streaming_session(spark, state_partitions)
+    spark = streaming_session(spark, state_partitions, no_data_batches)
     path = table_path(sf_dir, "events")
     # memoize the RAW batch schema per (session, path): a fresh
     # spark.read.parquet re-reads the footer on every call (~50 ms of
@@ -129,6 +154,7 @@ def run_stream_to_memory(
     drain: str = "terminate",
     settle_secs: float = 0.1,
     settle_timeout: float = 60.0,
+    settle_quiet_batches: int = 2,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the final result as a batch DataFrame.
@@ -162,6 +188,20 @@ def run_stream_to_memory(
       poll interval (default 0.1 s — correctness does not depend on it,
       only poll frequency); ``settle_timeout`` bounds the whole wait for
       queries that legitimately never go quiet.
+
+    ``settle_quiet_batches`` (r14, guide §1/§5 — empty micro-batches
+    cost 0.4-0.7 s of state-store load/commit each): how many
+    consecutive quiet batches (numInputRows == 0, no sink growth) prove
+    completion. The default 2 is the conservative generic protocol. A
+    caller may pass 1 ONLY when its processor guarantees that a quiet
+    empty batch cannot be followed by an emitting one — true when (a)
+    the processor never registers timers (emissions ride
+    handleInputRows, so once the AvailableNow backlog is drained — the
+    first empty batch proves it, batches are sequential — nothing can
+    emit again), or (b) every registered timer is already-elapsed at
+    registration AND every fired timer emits ≥1 row and registers no
+    new timer (so a quiet empty batch means no timers remained). The
+    protocol stays progress-based either way.
     """
     import time as _time
 
@@ -193,7 +233,7 @@ def run_stream_to_memory(
                 else:
                     empty_quiet = 0
                 last_pid, last_count = prog["batchId"], n
-                if empty_quiet >= 2:
+                if empty_quiet >= settle_quiet_batches:
                     break
             _time.sleep(settle_secs)
         q.stop()
