@@ -917,12 +917,46 @@ def near_dedup_keep_best(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def ann_planes_for_threshold(
+    threshold: float,
+    num_tables: int = 16,
+    probe_hamming: int = 2,
+    min_recall: float = 0.999,
+    max_planes: int = 32,
+) -> int:
+    """Largest hyperplane count whose multi-probe LSH family keeps
+    per-pair recall ≥ ``min_recall`` AT the cosine threshold (r14, r13
+    verdict ask #3 — band/row counts derived from the threshold, not
+    constants). More planes ⇒ buckets shrink 2× each ⇒ fewer
+    candidates; the binding constraint is recall at the threshold:
+    per-plane disagreement p = arccos(t)/π, per-table collision
+    q = P(Binom(planes, p) ≤ probe_hamming), family recall
+    1-(1-q)^tables. At t=0.4 this lands on 8 planes (the disclosed
+    broad-probe regime — an accept region covering half the sphere
+    FORCES broad probing); at t=0.9 it lands on 16 (candidates collapse
+    ~2^8 per table; see plans/r14/ann_threshold_probe.json)."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    p = math.acos(t) / math.pi
+    best = 4
+    for planes in range(4, max_planes + 1):
+        q = sum(
+            math.comb(planes, i) * p**i * (1 - p) ** (planes - i)
+            for i in range(0, min(probe_hamming, planes) + 1)
+        )
+        recall = 1 - (1 - q) ** num_tables
+        if recall >= min_recall:
+            best = planes
+    return best
+
+
 def embedding_near_duplicates_ann(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     num_tables: int = 16,
     probe_hamming: int = 2,
     seed: int = 42,
@@ -952,6 +986,14 @@ def embedding_near_duplicates_ann(
     from sparkflow_spark.functions.vector import dot_batched, l2_norm
     from sparkflow_spark.similarity import _hyperplanes, rh_signatures_batched
 
+    if num_planes is None:
+        # r14: derive the plane count from the threshold so the
+        # candidate set tracks the accept region instead of a constant
+        # (8 at t=0.4 — unchanged from the old default there; 16 at the
+        # 0.95 production default, where buckets shrink 2^8 per table)
+        num_planes = ann_planes_for_threshold(
+            threshold, num_tables, probe_hamming
+        )
     if probe_hamming < 0 or probe_hamming > num_planes:
         raise ValueError(f"probe_hamming must be in [0, {num_planes}]")
 

@@ -130,7 +130,11 @@ def st_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the result equals batch DISTINCT — the oracle."""
     from sparkflow_spark.streaming.windows import run_stream_to_memory, stream_events
 
-    sdf = stream_events(spark, sf, watermark="24 hours")
+    # no_data_batches=False (r14): within-watermark dedup emits each
+    # first-seen row in its arrival batch; the post-data batch only
+    # evicts state — skipping it is result-identical (one empty
+    # state-store-commit batch removed, measured in the batch anatomy)
+    sdf = stream_events(spark, sf, watermark="24 hours", no_data_batches=False)
     deduped = sdf.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )

@@ -118,7 +118,7 @@ def _minipb_bootstrap_closure():
     return _bootstrap_protobuf
 
 
-def _tws_runner_session(spark: SparkSession):
+def _tws_runner_session(spark: SparkSession, no_data_batches: bool = True):
     """Dedicated session clone for a TWS query: RocksDB state store
     (TWS state lives in per-variable column families, which the default
     HDFS-backed provider rejects — RocksDB is also the production
@@ -131,11 +131,21 @@ def _tws_runner_session(spark: SparkSession):
     the warm ones (``spark.python.worker.reuse`` is per session);
     measured ~2-4 s of fixed per-call cost. The clone is stateless
     across queries: each run gets its own checkpoint dir and uniquely
-    named memory sink."""
+    named memory sink.
+
+    r14: ``no_data_batches=False`` returns a SECOND memoized clone with
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` — for
+    processors that never register timers, a processingTime-mode
+    AvailableNow run then ends at its last DATA batch and
+    ``awaitTermination`` RETURNS (measured: 1 batch instead of 3; the
+    settle-drain protocol and its empty state-store-commit batches are
+    not needed at all). Timer-driven processors must NOT use it —
+    their timers fire in exactly the post-data batches this removes."""
     _ensure_protobuf()  # every TWS query builder funnels through here
     from sparkflow_spark.session import ensure_runtime_configs
 
-    runner = getattr(spark, "_sfl_tws_runner", None)
+    attr = "_sfl_tws_runner" if no_data_batches else "_sfl_tws_runner_nodnb"
+    runner = getattr(spark, attr, None)
     if runner is not None:
         return runner
     runner = ensure_runtime_configs(spark.newSession())
@@ -144,7 +154,9 @@ def _tws_runner_session(spark: SparkSession):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    spark._sfl_tws_runner = runner
+    if not no_data_batches:
+        runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    setattr(spark, attr, runner)
     return runner
 
 
@@ -721,7 +733,15 @@ def tws_ttl_user_counts(
         def close(self) -> None:
             pass
 
-    runner = _tws_runner_session(spark)
+    # r14 (guide §5 — the settle drain's empty micro-batches cost
+    # 0.4-0.9 s of state-store load/commit each): this processor never
+    # registers timers, so nothing can ever emit after the last DATA
+    # batch — run it on the noDataMicroBatches=false runner, where
+    # AvailableNow+processingTime terminates at the last data batch
+    # and awaitTermination works (measured: 3 batches -> 1; TTL
+    # eviction is applied on state ACCESS inside data batches, so both
+    # TTL regimes — and every emission — are byte-identical).
+    runner = _tws_runner_session(spark, no_data_batches=False)
     sdf = stream_events(
         runner,
         sf_dir,
@@ -735,9 +755,7 @@ def tws_ttl_user_counts(
         outputMode="update",
         timeMode="processingTime",  # TTL is only legal in this timeMode
     )
-    # processingTime + AvailableNow never self-terminates; drain the
-    # data batches, let the sink settle, stop (see run_stream_to_memory)
-    res = run_stream_to_memory(out, "update", drain="settle")
+    res = run_stream_to_memory(out, "update")
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -829,8 +847,15 @@ def tws_processing_time_timer_fires(
         timeMode="processingTime",
     )
     # timers fire in the post-data empty batches that processingTime
-    # mode keeps scheduling — settle-drain captures them, then stops
-    return run_stream_to_memory(out, "update", drain="settle")
+    # mode keeps scheduling — settle-drain captures them, then stops.
+    # settle_quiet_batches=1 (r14): every timer here is already-elapsed
+    # at registration, every fired timer emits one row, and
+    # handleExpiredTimer registers no new timer — so the FIRST empty
+    # batch with no sink growth proves no timers remained and nothing
+    # can ever emit again (condition (b) in run_stream_to_memory).
+    return run_stream_to_memory(
+        out, "update", drain="settle", settle_quiet_batches=1
+    )
 
 
 _TWS_TTL3_SCHEMA = T.StructType(
@@ -914,7 +939,9 @@ def tws_ttl_all_state_types(
         def close(self) -> None:
             pass
 
-    runner = _tws_runner_session(spark)
+    # no timers registered — same no-data-batch-free termination
+    # argument as tws_ttl_user_counts above
+    runner = _tws_runner_session(spark, no_data_batches=False)
     sdf = stream_events(
         runner,
         sf_dir,
@@ -928,7 +955,7 @@ def tws_ttl_all_state_types(
         outputMode="update",
         timeMode="processingTime",
     )
-    res = run_stream_to_memory(out, "update", drain="settle")
+    res = run_stream_to_memory(out, "update")
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 

@@ -291,8 +291,15 @@ def stream_stream_join(
     batch join — the t2 oracle.
     """
     # both legs must be built under the SAME (sized) session — clone
-    # once here, then stream_events with state_partitions=None
-    runner = streaming_session(spark)
+    # once here, then stream_events with state_partitions=None.
+    # no_data_batches=False (r14): an INNER join emits each match in
+    # the data batch where its second side arrives; the post-data
+    # watermark-advance batch only EVICTS state and can emit nothing,
+    # so skipping it is result-identical and saves one empty batch of
+    # 4-partition x 4-store load/commit (measured ~0.4-0.6 s). The
+    # outer-join twins below keep no-data batches — their null-padded
+    # rows are emitted exactly there.
+    runner = streaming_session(spark, no_data_batches=False)
     left = (
         stream_events(runner, sf_dir, watermark="3 hours", state_partitions=None)
         .filter(F.col("event_type") == left_type)
