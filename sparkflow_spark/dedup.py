@@ -670,6 +670,52 @@ def ngram_containment_pairs(
 # the session setting (never raised).
 _CC_BROADCAST_EDGE_MAX = 1_000_000
 _CC_ROWS_PER_PARTITION = 200_000
+# r14: below this many (directed, deduped) edges the component labels
+# are computed with a single driver-side union-find instead of the
+# iterative join loop. Memory class argument: the broadcast-mode loop
+# ALREADY collects the whole label table to the driver as a broadcast
+# build side THREE TIMES PER ROUND (×~13 rounds measured at sf0.1);
+# one collect of the edge list is strictly less driver traffic than
+# any single round, and the loop's per-round floor (~0.35 s of
+# scheduling + checkpoint + count, measured) × O(log d) rounds never
+# beats ~30 ms of path-compressed union-find at this size. Above the
+# bound — the 100 TB path — the distributed loop is unchanged.
+_CC_DRIVER_EDGE_MAX = 200_000
+
+
+def _driver_union_find(edges: DataFrame):
+    """Exact (node, component=min reachable id) via path-compressed
+    union-find with union-by-min, over a collected small edge list.
+    Returns None when an id is NULL (the join loop's null semantics are
+    subtle enough that the caller keeps the distributed path there).
+    Label values equal the distributed fixpoint's by construction: the
+    root of every set is kept at the set's minimum id, and both
+    orderings (Python's and Spark's) agree on longs and on strings
+    (UTF-8 byte order preserves code-point order)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            return None
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # root stays the component MINIMUM
+    return [(n, find(n)) for n in parent]
 
 
 def connected_components(
@@ -743,9 +789,27 @@ def connected_components(
     # sees localCheckpoint frames as unknown-large, so without the hint
     # a 500-node dedup graph pays 3 sort-merge exchanges per round.
     n_edges = edges.count()
+    spark = pairs.sparkSession
+    if n_edges <= _CC_DRIVER_EDGE_MAX:
+        # r14 small-graph fast path (see _CC_DRIVER_EDGE_MAX): one
+        # bounded collect + union-find replaces O(log d) join rounds
+        # that each collected the label table to the driver as a
+        # broadcast build side anyway. Same exact labels; measured
+        # g_connected_components 4.1 s → ~0.6 s steady at sf0.1.
+        labeled = _driver_union_find(edges)
+        if labeled is not None:
+            id_type = edges.schema["a"].dataType
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", id_type),
+                    T.StructField("component", id_type),
+                ]
+            )
+            return spark.createDataFrame(labeled, schema)
     bcast = n_edges <= _CC_BROADCAST_EDGE_MAX
     hint = F.broadcast if bcast else (lambda df: df)
-    spark = pairs.sparkSession
     # r14 (r13 verdict ask #6): the loop width is applied with explicit
     # keyed repartitions on the exchanges the loop owns, NOT by setting
     # spark.sql.shuffle.partitions on the shared session — a global
@@ -831,17 +895,21 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # r13 (guide §5.4): truncate EVERY round, eagerly, BEFORE the
-        # convergence count. The count is an action, so an un-truncated
-        # new_labels re-executed every round since the last checkpoint —
-        # and the next round's count re-executed them again (~r²/2
-        # redundant join rounds per checkpoint_every window, measured
-        # 11.9 s → ~5 s at sf0.1). One materialization per round means
-        # the count AND round i+1 both read the same cached blocks;
-        # stale label blocks are ContextCleaner-reclaimed.
+        # r13 (guide §5.4): truncate EVERY round BEFORE the convergence
+        # count. The count is an action, so an un-truncated new_labels
+        # re-executed every round since the last checkpoint — and the
+        # next round's count re-executed them again (~r²/2 redundant
+        # join rounds per checkpoint_every window, measured 11.9 s →
+        # ~5 s at sf0.1). One materialization per round means the count
+        # AND round i+1 both read the same cached blocks; stale label
+        # blocks are ContextCleaner-reclaimed. r14: the checkpoint is
+        # LAZY — the convergence count right below is the round's one
+        # materializing action (it writes the blocks as it counts), so
+        # each round runs ONE job instead of two (eager checkpoint job
+        # + count job; measured ~19% off g_connected_components steady).
         # ``checkpoint_every`` is retained for API compatibility but the
-        # every-round eager truncation supersedes it.
-        new_labels = new_labels.localCheckpoint()
+        # every-round truncation supersedes it.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # same comparison as the old new-vs-old label join (labels only
         # ever decrease, so _prev != component ⟺ the join's inequality),
         # but served from the blocks the checkpoint just wrote — no

@@ -166,8 +166,15 @@ def build_lsh_index(
     if n_out is not None:
         # (band, bucket) keys spread band data over n_out tasks; the
         # partitionBy writer then lands ~n_out files per band dir
-        # instead of one per shuffle partition
-        out = out.repartition(n_out, "band", "bucket")
+        # instead of one per shuffle partition. r14: at n_out == 1 that
+        # funneled ALL bands through ONE task writing `bands` files
+        # sequentially — repartitioning by band writes the IDENTICAL
+        # one-file-per-band layout with band-parallel tasks instead.
+        out = (
+            out.repartition(bands, "band")
+            if n_out == 1
+            else out.repartition(n_out, "band", "bucket")
+        )
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     out.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "buckets"))
     with open(os.path.join(path, _PARAMS_FILE), "w") as f:
@@ -277,7 +284,12 @@ def append_to_lsh_index(spark: SparkSession, path: str, new_df: DataFrame) -> No
         sigs, p["num_hashes"], p["bands"], p["id_col"], p.get("hash_family", "xxhash64")
     ).drop("sig")
     if n_out is not None:
-        out = out.repartition(n_out, "band", "bucket")
+        # band-parallel write at n_out == 1 — same layout, see build
+        out = (
+            out.repartition(p["bands"], "band")
+            if n_out == 1
+            else out.repartition(n_out, "band", "bucket")
+        )
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
     out.write.mode("append").partitionBy("band").parquet(os.path.join(path, "buckets"))
 

@@ -421,20 +421,29 @@ def test_connected_components_path_graph_converges_in_log_rounds(spark):
     """A 100-node path is the diameter-heavy shape min-label propagation
     alone cannot finish in 20 rounds (it needs O(diameter) = 99); the
     pointer-jumping shortcut makes it O(log d), so the default max_iter
-    must suffice and every node must label to the path minimum."""
+    must suffice and every node must label to the path minimum.
+    (r14: the driver union-find fast path is disabled here so this keeps
+    pinning the DISTRIBUTED loop, which owns graphs above the bound.)"""
     from sparkflow_spark import dedup
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "id_a bigint, id_b bigint"
     )
-    comp = dedup.connected_components(pairs).collect()
+    saved = dedup._CC_DRIVER_EDGE_MAX
+    dedup._CC_DRIVER_EDGE_MAX = 0
+    try:
+        comp = dedup.connected_components(pairs).collect()
+    finally:
+        dedup._CC_DRIVER_EDGE_MAX = saved
     assert len(comp) == 101
     assert all(r["component"] == 0 for r in comp)
 
 
 def test_connected_components_loud_on_max_iter_exhaustion(spark):
     """Exhausting max_iter must never silently return partial labels
-    (round-4 audit: near_dedup would keep duplicates with no signal)."""
+    (round-4 audit: near_dedup would keep duplicates with no signal).
+    (r14: forced onto the distributed loop — the driver union-find path
+    cannot exhaust max_iter, which is the point of its guard.)"""
     import warnings
 
     from sparkflow_spark import dedup
@@ -442,15 +451,52 @@ def test_connected_components_loud_on_max_iter_exhaustion(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        labels = dedup.connected_components(
-            pairs, max_iter=2, on_nonconvergence="warn"
-        )
-        assert labels.count() == 61  # partial labels still returned
-    assert any("did not converge" in str(x.message) for x in w)
+    saved = dedup._CC_DRIVER_EDGE_MAX
+    dedup._CC_DRIVER_EDGE_MAX = 0
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            labels = dedup.connected_components(
+                pairs, max_iter=2, on_nonconvergence="warn"
+            )
+            assert labels.count() == 61  # partial labels still returned
+        assert any("did not converge" in str(x.message) for x in w)
+    finally:
+        dedup._CC_DRIVER_EDGE_MAX = saved
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """r14: the small-graph driver union-find must label EXACTLY like
+    the distributed join loop — same (node, component-minimum) set —
+    on an adversarial mix of chains, cycles, stars, self-loops and
+    singleton edges."""
+    import random
+
+    from sparkflow_spark import dedup
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(50)]  # chain
+    edges += [(100 + i, 100 + (i + 1) % 7) for i in range(7)]  # cycle
+    edges += [(200, 200 + i) for i in range(1, 9)]  # star
+    edges += [(300, 300), (301, 301)]  # self-loops
+    edges += [(rng.randrange(400, 440), rng.randrange(400, 440)) for _ in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fast = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    saved = dedup._CC_DRIVER_EDGE_MAX
+    dedup._CC_DRIVER_EDGE_MAX = 0
+    try:
+        slow = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+    finally:
+        dedup._CC_DRIVER_EDGE_MAX = saved
+    assert fast == slow
 
 
 def test_lsh_topk_null_first_vector_and_empty_corpus(spark):
