@@ -137,64 +137,53 @@ def register(
 # redundant relational variants and no-oracle (t1-by-design) entries sit
 # past 50 and are covered by the local mirror + pytest instead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-13 rotation (r12 verdict ask #3): the 11 entries registered
-    # after the r12 window froze (q124-q130, the dHash pairs t2, WAV
-    # decode, dynamic-gap sessions, SCD2 enrich) get their FIRST driver
-    # rows; mm_feature_extract returns post-fix (its only prior row,
-    # r12, ERRORED in the driver canonicalizer — first-ever green
-    # expected); the 3 codec entries NEW this round (X181-X183); and
-    # the window fills with steady-state re-samples of the OLDEST
-    # driver-green entries (the 20 r02-vintage + 14 r04-vintage rows —
-    # picked by `scripts/round_record.py`-style union age, oldest
-    # first). After this window the r01-r13 union covers all 294
-    # entries with zero error rows. Rotation history r5-r12 lives in
-    # git on this literal.
+    # Round-14 rotation (optimization round): the 3 entries no driver
+    # round has EVER checked (registered mid-r13 after that window
+    # froze — g_connected_components, q146, q147; round_record.py names
+    # them) get first rows; every entry whose execution path this
+    # round's optimizations touched gets a driver row (streaming
+    # no-data-batch/settle cuts, the CC driver union-find and its
+    # consumers, the LSH band-parallel writes, dot_seq-registry scoring
+    # paths); the window fills with steady-state re-samples, oldest
+    # driver-green first (the r02/r04-vintage rows the r13 window
+    # re-sampled stay green in CORRECTNESS_r13). Rotation history
+    # r5-r13 lives in git on this literal.
     #
     # flagship (stays every round; entry() smoke-check target)
     "q13_hash_agg_tpch_q1",
-    # --- the 11 post-r12-freeze entries, first driver rows ---
-    "q124_sql_pipe_syntax",
-    "q125_count_min_rollup",
-    "q126_approx_top_k",
-    "q127_lateral_topk",
-    "q128_group_by_all",
-    "q129_calibration_bins",
-    "q130_pr_curve",
-    "st_session_dynamic_gap",
-    "st_scd2_enrich",
-    "d_dhash_hamming_pairs",
-    "mm_wav_decode_check",
-    # --- post-fix: first-ever green expected (r12 ask #2) ---
-    "mm_feature_extract",
-    # --- new this round (X181-X184 codecs) ---
-    "q131_avro_column_codec",
-    "q132_protobuf_column_codec",
-    "q133_xml_column_codec",
-    "q134_csv_column_codec",
-    "q135_try_function_family",  # X185
-    "q136_linear_interpolate",  # X186
-    "p_protobuf_ingest_quarantine",  # X187
-    # --- new this round, second batch (X188-X194) ---
-    "q137_bitmap_distinct_rollup",  # X188
-    "q138_interval_arithmetic",  # X189
-    "q139_map_hof_algebra",  # X190
-    "q140_row_generators",  # X191
-    "s_matryoshka_top1",  # X192
-    "q141_tablesample_forms",  # X193
-    "t_keyword_topic_tags",  # X194
-    # --- new this round, third batch (X195-X197) ---
-    "q142_url_analytics",  # X195
-    "q143_regexp_family",  # X196
-    "q144_observe_metrics",  # X197
-    # --- new this round, fourth batch (X198-X199) ---
-    "q145_approx_topk_merge",  # X198
-    "m07_minmax_scaler",  # X199a
-    "m08_string_indexer",  # X199b
-    # --- steady-state re-samples: oldest driver-green first (r02) ---
+    # --- never driver-checked (registered mid-r13 post-freeze) ---
+    "g_connected_components",
+    "q146_union_by_name_missing",
+    "q147_bitmap_dense_remap",
+    # --- r14-touched: streaming fixed-cost cuts ---
+    "st_tws_ttl_counts",
+    "st_tws_pt_timer_fired_keys",
+    "st_stream_stream_join",
+    "st_stream_dedup",
+    # settle/clone machinery shared by the rest of the family — one
+    # representative per drain/timer shape
+    "st_tws_user_stats",
+    "st_tws_session_timers",
+    "st_stream_stream_left_join",
+    "st_statestore_audit",
+    # --- r14-touched: CC driver union-find consumers ---
+    "d_near_dedup_keep",
+    "d_near_dedup_keep_longest",
+    "d_semantic_dedup_keep",
+    "d_entity_resolution_keep",
+    # --- r14-touched: LSH lifecycle band-parallel writes ---
+    "d_lsh_index_md5_query",
+    "d_lsh_takedown_md5_query",
+    # --- r14-touched: dot_seq registry / fan_out scoring paths ---
+    "s_brute_force_top1",
+    "s_hard_negative_md5_query",
+    "s_matryoshka_top1",
+    "d_semantic_dedup_pairs",
+    "d_embedding_near_dup_ann",
+    # --- steady-state re-samples: oldest driver-green first ---
     "q15_approx_count_distinct",
     "q24_except",
     "q33_sampling",
-    "q41_union_all_agg",
     "q42_pivot",
     "q43_rank_family",
     "q47_median_percentile",
@@ -205,10 +194,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    # --- steady-state re-samples: r04 vintage ---
     "q03_filter_in_between_like",
     "q04_filter_null_coalesce",
     "q05_broadcast_inner_join",
+    "q06_multiway_join",
+    "q11_theta_join",
+    "q21_window_running_sum",
+    "q30_json_extract",
+    "t_token_count",
+    "d_ngram_jaccard_pairs",
+    "m02_linear_inference",
+    "mm_binary_stats",
+    "st_tumbling_hour_counts",
+    "p_clean_corpus",
+    "t_bm25_scores",
 )
 
 
